@@ -1,0 +1,199 @@
+"""Typed table catalog + schema-asserted parquet loader.
+
+The reference harness declares fixed schemas via Hive DDL before
+loading (SURVEY.md §1.1, `runner/prepare_benchmark.py` [P]); our
+equivalent is an explicit StructType per table, asserted against the
+parquet footer on load — schema drift fails fast instead of being
+silently inferred away (SURVEY.md §1.3).
+
+Scale posture: parquet is already the right storage for 100 TB
+(columnar, row-group statistics for predicate pushdown, per-column
+encodings). At cluster scale the facts (`lineitem`, `orders`,
+`events`) would additionally be written partitioned by a date column
+and bucketed by join key; the loader reads whatever layout exists,
+and partition/bucket pruning then composes for free via Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- Fixed schemas (SURVEY.md §1.2; verified against parquet footers,
+# FIXTURES.md). Timestamps: o_orderdate/l_shipdate are ms-granular,
+# events.ts is exactly microsecond-granular — all lossless as Spark
+# TimestampType (microseconds).
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    # events.ts is physically TIMESTAMP(NANOS) INT64, which Spark's
+    # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read
+    # path: spark.sql.legacy.parquet.nanosAsLong=true + LongType
+    # schema, then timestamp_micros(ts div 1000) — lossless because
+    # the data is exactly microsecond-granular (verified, SURVEY.md
+    # §1.2 / FIXTURES.md). The logical schema above is what queries see.
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+TABLES = tuple(SCHEMAS)
+
+
+def _events_ts_projection():
+    from pyspark.sql import functions as F
+
+    return [
+        F.col("event_id"),
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    ]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = True
+) -> DataFrame:
+    """Read one table; fail fast if the footer drifts from the catalog.
+
+    The explicit ``.schema(...)`` (rather than footer inference) keeps
+    the analyzed plan identical across scale factors and lets Spark
+    skip footer-merging on many-file tables at cluster scale.
+    """
+    expected = SCHEMAS[name]
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(table_path(sf_dir, name))
+        df = raw.select(*_events_ts_projection())
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        want = [(f.name, f.dataType) for f in expected.fields]
+        if got != want:
+            raise ValueError(f"events projection drifted: {got}")
+        return df
+    df = spark.read.schema(expected).parquet(table_path(sf_dir, name))
+    if assert_schema:
+        actual = spark.read.parquet(table_path(sf_dir, name)).schema
+        exp_simple = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+        act_simple = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+        if exp_simple != act_simple:
+            raise ValueError(
+                f"schema drift for table {name!r}: expected {exp_simple}, footer has {act_simple}"
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (SQL surface)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name, assert_schema=False)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

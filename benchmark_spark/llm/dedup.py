@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (BASELINE.json north star; SURVEY.md §2.10):
+  * exact dedup          — full-row / content-hash distinct (oracle-checked)
+  * n-gram Jaccard       — exact pairwise set similarity (oracle-checked)
+  * MinHash + LSH        — near-dup at scale: shingle -> k minhashes ->
+                           band -> bucket join -> verify candidates only
+                           (rows-only: engine-specific hash functions)
+  * SimHash              — 64-bit signatures + Hamming-distance pairs
+                           (rows-only)
+
+The fixtures' 500 documents are all distinct (FIXTURES.md), so dup
+and near-dup structure is CONSTRUCTED deterministically: the corpus
+under test is documents UNION ALL a mutated copy (last token
+dropped, doc_id offset by 1_000_000) — every original therefore has
+exactly one planted near-duplicate, which tests assert is found.
+
+Scale posture (the whole point of MinHash/SimHash): brute-force
+pairwise Jaccard is O(n²) and dead at 100 TB. The LSH pipeline is
+linear in corpus size: one explode over shingles, one groupBy for
+signatures, one groupBy per band for buckets, and the quadratic
+verify join runs only inside buckets (tiny by construction). All
+stages are native Spark expressions — no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+_DOUBLED_SQL = "(SELECT * FROM documents UNION ALL SELECT * FROM documents)"
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"SELECT DISTINCT doc_id, text, lang, source, n_chars FROM {_DOUBLED_SQL}",
+    doc="Exact full-row dedup: DISTINCT over a corpus with every row duplicated (SURVEY.md §2.10 [Q:q_dedup_exact]). One hash-distinct shuffle; at 100 TB, dedup on a content hash instead of the full row (q_dedup_fingerprint).",
+    tags=("extension", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    return docs.unionByName(docs).distinct()
+
+
+@register(
+    "q_dedup_fingerprint",
+    oracle=f"""
+        SELECT md5(text) AS fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM {_DOUBLED_SQL}
+        GROUP BY md5(text)
+    """,
+    doc=(
+        "Content-hash dedup with deterministic survivor selection (keep MIN doc_id). "
+        "The 100 TB form of exact dedup: shuffle a 16-byte fingerprint, not the document."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    corpus = docs.unionByName(docs)
+    return corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS isect
+            FROM toks a JOIN toks b
+              ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id,
+               round(isect * 1.0 / (sa.n + sb.n - isect), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.8
+    """,
+    doc=(
+        "Exact token-set Jaccard similarity for doc pairs, blocked by `source` "
+        "(SURVEY.md §2.10 n-gram Jaccard). Blocking keeps the pair join from going "
+        "quadratic over the corpus — the same trick scales to 100 TB only when the "
+        "blocking key is selective; otherwise use q_dedup_minhash."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.8)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a mutated copy (last token dropped, id offset):
+    a deterministic corpus where every original has one planted near-dup."""
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(mutated)
+
+
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (native, no UDF)."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """k-permutation MinHash via seeded xxhash64: sig_i = min over shingles
+    of xxhash64(shingle, i). One groupBy, k aggregates, all JVM-side."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Band the signature, bucket-join within (band, band_hash): only
+    documents agreeing on a full band meet — the quadratic step never
+    sees the whole corpus."""
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for j in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # xxhash64-seeded permutations are engine-specific -> rows-only
+    doc=(
+        "MinHash+LSH near-dup detection over the planted-near-dup corpus: "
+        "3-gram shingles -> 16 seeded minhashes -> 4 bands x 4 rows -> bucket join "
+        "-> exact-Jaccard verification of candidates only; emits pairs with "
+        "verified shingle-Jaccard >= 0.5. tests/test_llm.py asserts every planted "
+        "pair (doc, doc+1M) is recovered. Rows-only: minhash values depend on the "
+        "engine's xxhash64."
+    ),
+    tags=("extension", "dedup", "rows-only"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    sh = shingles(corpus)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    # verify candidates with exact shingle Jaccard (join runs only on
+    # candidate pairs, not the corpus cross product)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa = sh.alias("pa")
+    pb = sh.alias("pb")
+    inter = (
+        cand.join(pa, F.col("pa.doc_id") == F.col("a_id"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("b_id"))
+            & (F.col("pb.shingle") == F.col("pa.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.5)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # engine-specific 64-bit hash -> rows-only
+    doc=(
+        "SimHash near-dup: 64-bit signature per doc (sign of per-bit vote over "
+        "token hashes), then Hamming-distance pairs within `source` blocks. "
+        "Emits (a_id, b_id, hamming) for distance <= 8. tests/test_llm.py asserts "
+        "planted near-dups land within the threshold. At 100 TB the pair join "
+        "blocks on signature prefixes instead of `source` (multi-probe)."
+    ),
+    tags=("extension", "dedup", "rows-only"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    # per-token 64-bit vote vector: +1 where bit set, -1 otherwise.
+    # (SQL-expression lambda: the Python shiftright() helper only takes a
+    # literal shift amount, the SQL function accepts a column.)
+    votes = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63),"
+                " b -> cast((shiftright(xxhash64(tok), b) & 1) * 2 - 1 as bigint))"
+            )
+        ).alias("bit", "vote"),
+    )
+    sigs = (
+        votes.groupBy("doc_id", "source", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 8)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.cast("long").alias("hamming"),
+        )
+    )

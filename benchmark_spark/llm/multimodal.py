@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Per the north star (BASELINE.json), media payloads are carried as
+`binary` columns with typed metadata; decode / feature-extraction /
+resize / frame-sampling run as Arrow-batched functions over
+`mapInPandas`. The container has no image/audio libraries, so the
+DECODE step is stubbed (`decode_image` raises NotImplementedError;
+the pipeline uses a clearly-marked deterministic fake) — the
+Spark-side plumbing (binary schema, partitioning, Arrow batch shape,
+UDF signatures) is real and tested (tests/test_multimodal.py).
+
+Scale posture: media bytes dominate row size, so the iterator-based
+mapInPandas path streams Arrow batches without materializing a
+partition in memory; metadata-only queries never touch the payload
+column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """REAL DECODE STUB: the container ships no image/audio codecs.
+
+    On a production cluster this is `PIL.Image.open(io.BytesIO(payload))`
+    (or torchaudio/ffmpeg for audio/video) inside the same mapInPandas
+    worker; everything around it — schema, batching, partitioning —
+    is unchanged.
+    """
+    raise NotImplementedError("no media codecs in this environment; see fake_features")
+
+
+def fake_features(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for decode+embed: byte-window means.
+
+    Keeps the exact output shape a real extractor would produce
+    (fixed-dim float vector) so downstream similarity/dedup operators
+    are exercised for real.
+    """
+    if not payload:
+        return [0.0] * dim
+    chunk = max(1, len(payload) // dim)
+    out = []
+    for i in range(dim):
+        window = payload[i * chunk : (i + 1) * chunk] or payload[-chunk:]
+        out.append(sum(window) / (255.0 * len(window)))
+    return out
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: utf-8 payload bytes +
+    typed metadata — the storage shape for any binary modality."""
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "q_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+    doc="Binary-column metadata path: payload stays opaque; length/hash/type are computed without decoding (and without even reading the payload when pruned).",
+    tags=("extension", "multimodal"),
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    return media.join(
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")),
+        "doc_id",
+    ).select("doc_id", "media_type", "n_bytes", "content_hash")
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # Python feature extractor -> rows-only
+    doc=(
+        "Feature extraction over binary payloads via iterator mapInPandas "
+        "(Arrow-batched): per row, byte length, checksum, and a fixed-dim fake "
+        "feature vector standing in for the stubbed decoder (decode_image). "
+        "tests/test_multimodal.py pins batch shapes and determinism."
+    ),
+    tags=("extension", "multimodal", "rows-only"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: sum(b) % 997).astype("int64"),
+                    "feature": payloads.map(fake_features),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 [Q:q8_knn]).
+
+Embeddings are 64-dim float32, L2-normalized (FIXTURES.md), so
+cosine similarity == dot product. All dot products are computed in
+DOUBLE precision via higher-order functions (zip_with + aggregate)
+— JVM-side, no UDF, deterministic accumulation order.
+
+Three tiers:
+  * q8_knn        — brute-force top-k for one anchor: broadcast the
+                    anchor, one pass over the table (oracle-checked)
+  * q_knn_batch   — top-k for a set of anchors: broadcast the anchor
+                    set, score all pairs, per-anchor window top-k
+                    (oracle-checked)
+  * q_ann_lsh     — the 100 TB path: random-hyperplane LSH buckets,
+                    exact re-score only within buckets (rows-only;
+                    recall vs brute force asserted in tests/test_llm.py)
+
+Scale posture: brute force is O(n·q) dot products — fine for one
+anchor over any corpus (a single scan), dead for all-pairs. The LSH
+variant makes candidate generation linear: signatures are computed
+per row (no shuffle), bucket join touches only colliding vectors.
+On a cluster the bucketed table would be written pre-partitioned by
+(plane_id, bucket) so repeated queries never reshuffle the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_KNN_ORACLE = """
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(
+               CAST(e.embedding AS DOUBLE[]),
+               CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+           ), 4) AS score
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "q8_knn",
+    oracle=_KNN_ORACLE,
+    doc="Brute-force cosine top-10 neighbors of vec_id=0 (SURVEY.md §2.10 [Q:q8_knn]): broadcast anchor, one scan, TakeOrderedAndProject.",
+    tags=("extension", "similarity"),
+)
+def q8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("anchor_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_knn_batch",
+    oracle="""
+        SELECT a_id, vec_id AS neighbor_id, score
+        FROM (
+            SELECT a.vec_id AS a_id, e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])), 4) AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(a.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM embeddings e
+            JOIN embeddings a ON a.vec_id < 5 AND e.vec_id <> a.vec_id
+        )
+        WHERE rn <= 3
+    """,
+    doc="Batch kNN: top-3 neighbors for each anchor vec_id<5 — broadcast anchors, score, per-anchor window top-k.",
+    tags=("extension", "similarity"),
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select("a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("raw", 4).alias("score"),
+        )
+    )
+
+
+def hyperplane_signature(emb_col: Column, num_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane p's d-th component is a pseudo-random ±1 derived from
+    xxhash64(p, d) — data-independent, identical on every executor,
+    no driver-side randomness (workflow-safe, resume-safe). The
+    signature packs sign(v·plane_p) bits into one integer.
+    """
+    def plane_dot(p: int) -> Column:
+        prods = F.zip_with(
+            emb_col,
+            F.sequence(F.lit(0), F.size(emb_col) - 1),
+            lambda x, d: x.cast("double")
+            * (
+                (F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+            ),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [
+        F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # bucket membership depends on engine hash -> rows-only
+    doc=(
+        "Approximate NN via random-hyperplane LSH: 8 deterministic hash-derived "
+        "hyperplanes -> 256 buckets; anchors (vec_id<5) probe only their own bucket "
+        "and are exactly re-scored there. Linear candidate generation — the 100 TB "
+        "scale path where brute force is quadratic. Recall vs q_knn_batch is "
+        "asserted in tests/test_llm.py."
+    ),
+    tags=("extension", "similarity", "rows-only"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    signed = emb.withColumn("bucket", hyperplane_signature(F.col("embedding")))
+    anchors = signed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("bucket").alias("a_bucket"),
+    )
+    cand = signed.join(
+        F.broadcast(anchors),
+        (F.col("bucket") == F.col("a_bucket")) & (F.col("vec_id") != F.col("a_id")),
+    )
+    scored = cand.select(
+        "a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("raw", 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle="""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) > 0.55
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs, blocked by label (SURVEY.md §2.10 "
+        "embedding-cosine near-dup): pair join only within blocks, exact double "
+        "cosine, threshold filter. The unblocked 100 TB form swaps the label block "
+        "for q_ann_lsh buckets."
+    ),
+    tags=("extension", "similarity", "dedup"),
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.55)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,256 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+Language-ID, quality scoring, token counting, TF-IDF — all expressed
+relationally (explode/join/groupBy/window) so every one is
+oracle-checkable and stays JVM-side. The `documents` fixture is
+space-separated tokens over a 31-word vocabulary (FIXTURES.md), so
+language-ID uses a deterministic token-profile table (the same
+n-gram-profile scoring shape real langid uses, with a fixture-sized
+profile).
+
+Scale posture: all of these are one explode + one or two shuffles
+keyed by doc_id or token — the canonical 100 TB corpus-statistics
+shape. TF-IDF's document-frequency side is tiny (vocab-sized) and
+broadcast back onto the term-frequency side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+# Deterministic language profile over the fixture vocabulary:
+# (lang, token, weight). The scoring rule is argmax over
+# sum(weight) of matched tokens — the word-profile analogue of
+# char-n-gram langid scoring.
+LANG_PROFILE: list[tuple[str, str, float]] = [
+    ("en", "the", 2.0),
+    ("en", "a", 0.5),
+    ("en", "data", 1.0),
+    ("de", "der", 2.0),
+    ("de", "value", 0.8),
+    ("de", "window", 0.9),
+    ("es", "a", 1.2),
+    ("es", "table", 0.7),
+    ("es", "column", 0.9),
+    ("fr", "merge", 0.9),
+    ("fr", "vector", 0.8),
+    ("fr", "query", 0.7),
+    ("zh", "big", 0.9),
+    ("zh", "stream", 0.8),
+    ("zh", "hash", 0.7),
+]
+
+_PROFILE_VALUES = ", ".join(f"('{l}', '{t}', {w})" for l, t, w in LANG_PROFILE)
+
+STOPWORDS = ("the", "a", "row", "value")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "q_textstats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               round(AVG(n_chars), 4) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               round(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Per-language corpus statistics: doc counts, char/token means (SURVEY.md §2.10 [Q:q_textstats]).",
+    tags=("extension", "text"),
+)
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_langid",
+    oracle=f"""
+        WITH profile(p_lang, p_tok, w) AS (VALUES {_PROFILE_VALUES}),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, p_lang, round(CAST(SUM(w) AS DOUBLE), 4) AS score
+            FROM toks JOIN profile ON tok = p_tok
+            GROUP BY doc_id, p_lang
+        )
+        SELECT doc_id, p_lang AS lang_pred, score
+        FROM scores
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, p_lang
+        ) = 1
+    """,
+    doc=(
+        "Language identification via token-profile scoring (the n-gram-profile "
+        "heuristic shape, SURVEY.md §2.10): explode tokens, join a broadcast "
+        "profile table, argmax score per doc with deterministic tiebreak."
+    ),
+    tags=("extension", "text"),
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    profile = spark.createDataFrame(LANG_PROFILE, ["p_lang", "p_tok", "w"])
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(profile), F.col("tok") == F.col("p_tok"))
+        .groupBy("doc_id", "p_lang")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("lang_pred"), "score")
+    )
+
+
+@register(
+    "q_quality",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS ttr,
+               round(length(replace(text, ' ', '')) * 1.0
+                     / len(string_split(text, ' ')), 4) AS avg_tok_len,
+               round(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_STOP_SQL}))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS stop_ratio,
+               round(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' ')))
+                   + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                                t -> t IN ({_STOP_SQL}))) * 1.0
+                            / len(string_split(text, ' ')))
+                   + 0.2 * least(len(string_split(text, ' ')) / 50.0, 1.0), 4)
+                   AS quality
+        FROM documents
+    """,
+    doc=(
+        "Document quality scoring (SURVEY.md §2.10): token count, type-token "
+        "ratio, mean token length, stopword ratio, and a weighted composite "
+        "quality score — the standard pre-training filter features."
+    ),
+    tags=("extension", "text"),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    ttr = n_uniq / n
+    avg_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    quality = 0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(avg_len, 4).alias("avg_tok_len"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "q_token_regex",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens,
+               CAST(len(regexp_extract_all(text, 'a')) AS BIGINT) AS n_a
+        FROM documents
+    """,
+    doc="Regex token counting (BPE-ish pre-tokenizer shape, SURVEY.md §2.10): regexp_extract_all + count; the Query-4 regex-extraction surface [P].",
+    tags=("extension", "text"),
+)
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias(
+            "n_re_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("a"), 0)).cast("long").alias("n_a"),
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS f FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS d FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS total FROM documents)
+        SELECT doc_id, term,
+               round(f * ln(total * 1.0 / d), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY f * ln(total * 1.0 / d) DESC, term
+        ) = 1
+    """,
+    doc=(
+        "TF-IDF with per-doc top term (SURVEY.md §2.10): term frequency x inverse "
+        "document frequency, fully relational — two aggregations plus a broadcast "
+        "join of the vocab-sized DF table back onto TF."
+    ),
+    tags=("extension", "text"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf_raw", F.col("f") * F.log(F.col("total") / F.col("d")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.round("tfidf_raw", 4).alias("tfidf"))
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=None,  # xxhash64-based rolling fold is engine-specific -> rows-only
+    doc=(
+        "Rolling-hash document fingerprint (SURVEY.md §2.10): order-sensitive "
+        "fold over token hashes via aggregate() — unlike md5-of-text (q_hash), "
+        "the fold shape generalizes to windowed/chunked fingerprints. Rows-only: "
+        "the per-token hash is engine-specific xxhash64."
+    ),
+    tags=("extension", "text", "rows-only"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    fp = F.aggregate(
+        toks,
+        F.lit(7).cast("long"),
+        lambda acc, t: acc * F.lit(1_000_003).cast("long") + F.xxhash64(t),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

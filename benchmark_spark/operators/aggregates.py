@@ -1,0 +1,303 @@
+"""Aggregation operators — Query-2 family + aggregation completeness.
+
+Reference semantics (SURVEY.md §2.0 Query 2 [P]):
+    SELECT SUBSTR(sourceIP,1,X), SUM(adRevenue) FROM uservisits GROUP BY 1
+which stresses two-phase (partial -> shuffle -> final) hash
+aggregation at up to ~254M groups. Catalyst provides the two-phase
+plan automatically (HashAggregate(partial) -> Exchange ->
+HashAggregate(final), spilling to sort-based agg under pressure) —
+SURVEY.md §4. At 100 TB the knobs are shuffle partition count (AQE
+coalesces) and group-key skew (AQE skew handling; map-side partial
+agg already collapses hot keys before the shuffle).
+
+Float stability (SURVEY.md §5.2, hardened): rounding alone is NOT
+enough when the summed expression carries more decimal digits than
+the rounding grid — the exact sum can sit exactly on a half-way
+point (e.g. SUM(price*(1-disc)) is an exact 4-decimal value ending
+in ...x5, and a 2dp round flips between engines), while rounding at
+the term precision collides with double accumulation error. The fix
+used throughout: aggregate money expressions as DECIMAL (exact),
+cast the exact result back to DOUBLE — bit-identical on both
+engines, no rounding lottery. Sums whose terms already match the
+rounding grid (2dp inputs rounded at 2dp) stay plain doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+
+def dsum(c: Column) -> Column:
+    """Exact decimal sum of a money-precision expression, as double.
+
+    DECIMAL(30,6) holds any 100 TB-scale money sum (24 integer
+    digits) at full 6-decimal term precision; the final cast yields
+    the same double on every engine because the sum itself is exact.
+    """
+    return F.sum(c.cast("decimal(30,6)")).cast("double")
+
+
+@register(
+    "q2_agg",
+    oracle="""
+        SELECT substr(o_orderpriority, 1, 1) AS prio,
+               round(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY substr(o_orderpriority, 1, 1)
+    """,
+    doc="Query-2 analogue: substring group-by + SUM (SURVEY.md §2.4 [Q:q2_agg]).",
+    tags=("reference", "agg"),
+)
+def q2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).alias("prio")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+
+
+@register(
+    "q2_agg_wide",
+    oracle="""
+        SELECT substr(o_orderpriority, 1, 3) AS prio, o_orderstatus,
+               round(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY substr(o_orderpriority, 1, 3), o_orderstatus
+    """,
+    doc="Query-2 higher-cardinality variant (2b/2c-style: more groups).",
+    tags=("reference", "agg"),
+)
+def q2_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy(
+        F.substring("o_orderpriority", 1, 3).alias("prio"), "o_orderstatus"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+
+
+@register(
+    "q5_pricing",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)      AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+               COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped multi-aggregate rollup over lineitem (SURVEY.md §2.4 [Q:q5_pricing]).",
+    tags=("completeness", "agg"),
+)
+def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_funcs",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*)          AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+               sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                    / (COUNT(*) - 1)) AS sd_price,
+               (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                    / (COUNT(*) - 1) AS var_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Aggregate-function battery: COUNT/MIN/MAX/AVG/STDDEV/VARIANCE "
+        "(SURVEY.md §2.4). Variance/stddev use the sum-of-squares identity over "
+        "EXACT decimal sums so both engines evaluate the identical double formula "
+        "(built-in stddev_samp implementations differ, e.g. Welford vs naive); "
+        "the native fns are property-tested in tests/test_aggregates.py."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
+    s2 = F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,6)")
+    ).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return orders.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (s1 / n).alias("avg_price"),
+        F.sqrt(var).alias("sd_price"),
+        var.alias("var_price"),
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="COUNT(DISTINCT) per group (expand-based distinct aggregation, SURVEY.md §2.4 [Q:q_distinct_agg]).",
+    tags=("completeness", "agg"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               round(SUM(o_totalprice), 2) AS rev,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets: (status,prio), (status), () — NULL-filled super-aggregate rows (SURVEY.md §2.4 [Q:q_grouping_sets]).",
+    tags=("completeness", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(SUM(l_quantity), 2) AS qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all 2^2 grouping sets.",
+    tags=("completeness", "agg"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING = post-aggregation filter (SURVEY.md §2.4).",
+    tags=("completeness", "agg"),
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q_percentile",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group: Spark `percentile` == DuckDB `quantile_cont` (SURVEY.md §2.4). The 100 TB path is percentile_approx (see q_approx_stats, rows-only).",
+    tags=("extension", "agg"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95), 6).alias("p95"),
+    )
+
+
+@register(
+    "q_approx_stats",
+    oracle=None,  # approximate sketches differ across engines -> rows-only
+    doc=(
+        "100 TB-posture approximate aggregates: approx_count_distinct (HLL++) and "
+        "percentile_approx (KLL-style). Deliberately rows-only: sketch results are "
+        "engine-specific; tests/test_aggregates.py bounds their error vs exact values."
+    ),
+    tags=("extension", "agg", "rows-only"),
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_p50"),
+    )
+
+
+@register(
+    "q_collect",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(DISTINCT n_name)) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="collect_set/sort_array: assemble per-group value lists (order-canonicalized for comparability).",
+    tags=("completeness", "agg"),
+)
+def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation", assert_schema=False)
+    return nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations")
+    )

@@ -1,0 +1,218 @@
+"""Window functions + sorts/limits/top-k.
+
+Not in the reference's exercised surface (SURVEY.md §2.5 — its
+queries contain no OVER clauses) but required for analytics
+completeness. All window specs carry deterministic tiebreaker keys
+so results are stable across engines.
+
+Scale posture: a window over PARTITION BY k is one shuffle on k and
+per-partition sort; at 100 TB the concern is partition skew (one
+giant customer) — mitigated by AQE or pre-bucketing by k. Global
+ORDER BY ... LIMIT k never sorts globally (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+
+@register(
+    "q6_window",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+        QUALIFY rn <= 2
+    """,
+    doc="Per-group top-2 via row_number (SURVEY.md §2.5 [Q:q6_window]).",
+    tags=("completeness", "window"),
+)
+def q6_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_rank_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS prk,
+               round(cume_dist()    OVER w, 6) AS cd
+        FROM orders
+        WHERE o_totalprice > 450000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-function battery: rank/dense_rank/ntile/percent_rank/cume_dist (SURVEY.md §2.5).",
+    tags=("completeness", "window"),
+)
+def q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "q_lag",
+    oracle="""
+        SELECT user_id, event_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+               lead(event_id) OVER w AS next_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead analytics: per-user inter-event gap in microseconds (SURVEY.md §2.5 [Q:q_lag]).",
+    tags=("completeness", "window"),
+)
+def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "q_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_rev
+        FROM orders
+    """,
+    doc="Explicit ROWS frame: running revenue per customer (SURVEY.md §2.5 [Q:q_frame]).",
+    tags=("completeness", "window"),
+)
+def q_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+    )
+
+
+@register(
+    "q_sliding_frame",
+    oracle="""
+        SELECT user_id, event_id,
+               round(AVG(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 4) AS avg3
+        FROM events
+    """,
+    doc="Bounded sliding ROWS frame: 3-event moving average per user.",
+    tags=("completeness", "window"),
+)
+def q_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return events.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("avg3")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+        SELECT o_custkey, round(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY rev DESC, o_custkey
+        LIMIT 10
+    """,
+    doc="Global top-k: top-10 customers by revenue; TakeOrderedAndProject, no full sort (SURVEY.md §2.6 [Q:q_topk]).",
+    tags=("reference", "sort"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS s,
+               o_totalprice
+        FROM orders
+        ORDER BY s ASC NULLS LAST, o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="Multi-key sort with NULLS LAST ordering + LIMIT (SURVEY.md §2.6).",
+    tags=("completeness", "sort"),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    s = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    return (
+        orders.select("o_orderkey", s.alias("s"), "o_totalprice")
+        .orderBy(
+            F.col("s").asc_nulls_last(), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 100 OFFSET 50
+    """,
+    doc="LIMIT/OFFSET pagination over a unique sort key (SURVEY.md §2.6).",
+    tags=("completeness", "sort"),
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(50)
+        .limit(100)
+    )

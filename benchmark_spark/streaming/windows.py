@@ -1,0 +1,251 @@
+"""Streaming operators over the `events` table (SURVEY.md §2.9 — all E;
+the reference is batch-only [P]).
+
+Correctness strategy per SURVEY.md §2.9: every streaming operator has
+a batch-equivalent DataFrame form (same expression on the static
+table) that IS oracle-checkable; the real `readStream` runs are
+verified by convergence to the batch answer — here via
+Trigger.AvailableNow into a memory sink inside the query itself
+(q7_tumble_stream shares q7_tumble's oracle), and more broadly in
+tests/test_streaming.py (watermarks, stateful dedup, stream-stream
+join, applyInPandasWithState).
+
+Scale posture: event-time windowed aggregation is the canonical
+streaming shuffle (key = window x group); watermarks bound state.
+Session windows keep per-key state until gap expiry — at 100 TB the
+keys (user_id) must be well-distributed, which they are here and
+which salting would fix otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import EVENTS_RAW_SCHEMA, load_table, table_path
+from benchmark_spark.registry import register
+
+_TUMBLE_ORACLE = """
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           COUNT(*) AS n,
+           round(SUM(value), 2) AS total
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def _tumble(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "q7_tumble",
+    oracle=_TUMBLE_ORACLE,
+    doc="Tumbling 1-hour event-time window aggregation, batch form (SURVEY.md §2.9 [Q:q7_tumble]); identical expression serves the stream.",
+    tags=("extension", "streaming"),
+)
+def q7_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tumble(load_table(spark, sf_dir, "events", assert_schema=False))
+
+
+def scratch_dir() -> str:
+    d = os.path.join("/root/repo/.scratch", uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming source over the events table.
+
+    The file stream source requires a DIRECTORY, while the fixture is
+    a single parquet file — stage a symlink dir (no data copy). Same
+    nanos-as-long read path as the batch catalog (catalog.load_table),
+    so stream and batch plans see the identical logical schema.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    stage = os.path.join(
+        "/root/repo/.scratch", f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.select(
+        "event_id",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "q7_tumble_stream",
+    oracle=_TUMBLE_ORACLE,
+    doc=(
+        "The SAME tumbling window executed as a real Structured Streaming job: "
+        "readStream(parquet) -> window agg -> complete-mode memory sink, "
+        "Trigger.AvailableNow; returns the sink table. Hash-matches the batch "
+        "oracle — streaming-to-batch convergence checked by the driver itself."
+    ),
+    tags=("extension", "streaming"),
+)
+def q7_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    sink = f"tumble_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        _tumble(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+@register(
+    "q_sliding",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL 15 MINUTE AS w_start,
+               event_type,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding window (1 hour, 15-minute slide): each event lands in 4 "
+        "overlapping windows (SURVEY.md §2.9). Oracle expands the overlap "
+        "explicitly via unnest x time_bucket."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "q_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Session windows (30-minute gap) per user, batch form via native "
+        "session_window (SURVEY.md §2.9); oracle is the classical "
+        "lag -> gap-flag -> cumulative-sum session-id rewrite. Session end is "
+        "last-event + gap, matching Spark's semantics."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        GROUP BY event_id, user_id, event_type
+    """,
+    doc=(
+        "Stateful dedup, batch form: first-event-wins per event_id over a stream "
+        "with every event delivered twice (at-least-once ingestion shape). The "
+        "streaming twin — dropDuplicates + watermark so state is bounded — runs "
+        "in tests/test_streaming.py."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    doubled = events.unionByName(events).select("event_id", "user_id", "event_type")
+    return doubled.dropDuplicates(["event_id", "user_id", "event_type"])
+
+
+@register(
+    "q_stream_session",
+    oracle=None,  # live streaming run -> rows-only (batch twin q_session is oracle-checked)
+    doc=(
+        "Session windows executed as a REAL stream: readStream -> "
+        "withWatermark(10 min) -> session_window agg -> complete-mode memory "
+        "sink, Trigger.AvailableNow. Rows-only by design; its batch twin "
+        "q_session is the oracle-checked form (SURVEY.md §2.9 strategy)."
+    ),
+    tags=("extension", "streaming", "rows-only"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+    )
+    sink = f"session_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)

@@ -1,0 +1,191 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference's only extensibility point is Hive TRANSFORM: a child
+process fed rows on stdin, emitting typed rows on stdout [P]. Spark
+offers a ladder of better options, all covered here:
+
+  * vectorized scalar pandas_udf (Arrow batches)   — q_pandas_udf
+  * grouped-agg pandas_udf (custom UDAF)           — q_grouped_agg_udf
+  * applyInPandas (grouped map)                    — q_apply_in_pandas
+  * Python UDTF (one row -> many typed rows)       — q_udtf
+  * RDD.pipe external-script fidelity mode         — q_pipe_wordcount
+
+Every entry except the pipe keeps Arrow batching; each one's result
+is still oracle-checkable because the Python logic mirrors a pure
+SQL formulation. UDFs are the slow path by design — the idiomatic
+engine surface (operators/, functions/) never uses them; this module
+exists to prove the extension points work and stay correct.
+
+Scale posture: pandas_udf/applyInPandas move Arrow batches across
+the JVM<->Python boundary — ~10-100x faster than row-at-a-time UDFs
+but still off the codegen path; use only for logic SQL cannot
+express. RDD.pipe forks a child per partition: fine for the
+reference-fidelity ETL, wrong for anything hot.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.wordcount import WORDCOUNT_ORACLE
+from benchmark_spark.registry import register
+
+_CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "wordcount_child.py")
+
+
+@register(
+    "q_pandas_udf",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS net_rev
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Vectorized scalar pandas_udf (Arrow Series->Series) computing net revenue, then native aggregation — the Query-3 arithmetic pushed through the Arrow path.",
+    tags=("udf",),
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(net("l_extendedprice", "l_discount").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("net_rev")
+    )
+
+
+@register(
+    "q_grouped_agg_udf",
+    oracle="""
+        SELECT l_returnflag,
+               round(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Custom UDAF via grouped-agg pandas_udf: quantity-weighted average discount per return flag.",
+    tags=("udf",),
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg(disc: pd.Series, qty: pd.Series) -> float:
+        return float((disc * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_discount", "l_quantity"), 6).alias("wavg_disc")
+    )
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round((o_totalprice - avg_p) / sd_p, 4) AS z
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   AVG(o_totalprice)         OVER (PARTITION BY o_custkey) AS avg_p,
+                   stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sd_p,
+                   COUNT(*)                  OVER (PARTITION BY o_custkey) AS n
+            FROM orders
+        )
+        WHERE n >= 3 AND sd_p > 0
+    """,
+    doc=(
+        "Grouped-map applyInPandas: per-customer z-score normalization of order "
+        "prices (pandas ddof=1 == stddev_samp); oracle is the pure window-function "
+        "formulation — same math, two execution strategies."
+    ),
+    tags=("udf",),
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 3:
+            return pd.DataFrame(columns=["o_custkey", "o_orderkey", "z"])
+        sd = pdf["o_totalprice"].std(ddof=1)
+        if not sd or sd <= 0 or pd.isna(sd):
+            return pd.DataFrame(columns=["o_custkey", "o_orderkey", "z"])
+        z = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / sd).round(4)
+        return pd.DataFrame(
+            {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"], "z": z}
+        )
+
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_custkey").applyInPandas(zscore, schema=out_schema)
+
+
+@register(
+    "q_udtf",
+    oracle="""
+        SELECT doc_id,
+               string_split(text, ' ')[CAST(i AS INTEGER) + 1] AS word,
+               CAST(i AS BIGINT) AS pos
+        FROM documents, unnest(range(len(string_split(text, ' ')))) AS t(i)
+    """,
+    doc=(
+        "Python UDTF (Spark >=3.5): one document row -> many typed (word, pos) "
+        "rows — the TRANSFORM one-in-many-out shape [P] with a declared schema "
+        "instead of stdout parsing."
+    ),
+    tags=("udf",),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string, pos bigint")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for pos, word in enumerate(text.split(" ")):
+                yield doc_id, word, pos
+
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.word, t.pos "
+        "FROM docs_for_udtf, LATERAL tokenize_udtf(doc_id, text) t"
+    )
+
+
+@register(
+    "q_pipe_wordcount",
+    oracle=WORDCOUNT_ORACLE,
+    doc=(
+        "Query-4 external-script FIDELITY mode (SURVEY.md §2.10): documents.text "
+        "piped line-by-line through a literal child process "
+        "(udf/wordcount_child.py — the url_count.py analogue) via RDD.pipe, "
+        "stdout parsed back into typed (word, cnt) rows, re-aggregated in SQL. "
+        "Hash-matches the idiomatic q4_wordcount."
+    ),
+    tags=("udf", "reference"),
+)
+def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    lines = docs.select("text").rdd.map(lambda r: r[0])
+    piped = lines.pipe(f"{sys.executable} {_CHILD}")
+    pairs = piped.map(lambda s: s.split("\t")).map(lambda kv: (kv[0], int(kv[1])))
+    out = spark.createDataFrame(
+        pairs,
+        T.StructType(
+            [T.StructField("word", T.StringType()), T.StructField("one", T.LongType())]
+        ),
+    )
+    return out.groupBy("word").agg(F.sum("one").cast("long").alias("cnt"))
