@@ -16,10 +16,12 @@ the rounding grid — the exact sum can sit exactly on a half-way
 point (e.g. SUM(price*(1-disc)) is an exact 4-decimal value ending
 in ...x5, and a 2dp round flips between engines), while rounding at
 the term precision collides with double accumulation error. The fix
-used throughout: aggregate money expressions as DECIMAL (exact),
-cast the exact result back to DOUBLE — bit-identical on both
-engines, no rounding lottery. Sums whose terms already match the
-rounding grid (2dp inputs rounded at 2dp) stay plain doubles.
+used throughout: aggregate money expressions as EXACT fixed-point
+BIGINT sums (dsum/dsum_sql below) — bit-identical on both engines,
+no rounding lottery, and still on the codegen fast path (DECIMAL
+aggregation, the other exact option, is ~10x slower in Spark). Sums
+whose terms already match the rounding grid (2dp inputs rounded at
+2dp) stay plain doubles.
 """
 
 from __future__ import annotations
@@ -31,14 +33,27 @@ from benchmark_spark.catalog import load_table
 from benchmark_spark.registry import register
 
 
-def dsum(c: Column) -> Column:
-    """Exact decimal sum of a money-precision expression, as double.
+def dsum(c: Column, scale: int = 4) -> Column:
+    """Exact fixed-point sum of a money-precision expression, as double.
 
-    DECIMAL(30,6) holds any 100 TB-scale money sum (24 integer
-    digits) at full 6-decimal term precision; the final cast yields
-    the same double on every engine because the sum itself is exact.
+    round(x*10^scale) recovers the exact integer the decimal value
+    represents (terms carry <= `scale` true decimal digits, so the
+    double sits ~1e-9 from the integer — never halfway); the BIGINT
+    sum is exact, and the final int->double cast + division is
+    IEEE-deterministic, so both engines produce identical doubles.
+    Unlike DECIMAL aggregation this stays on the whole-stage-codegen
+    fast path (~10x faster in Spark). Overflow headroom: 9.2e18 /
+    10^scale units — at 100 TB (≈6e11 rows x 1e5 values, scale 4)
+    switch to scale-aware two-level aggregation or DECIMAL(30,6).
     """
-    return F.sum(c.cast("decimal(30,6)")).cast("double")
+    m = 10**scale
+    return F.sum(F.round(c * m, 0).cast("long")) / F.lit(float(m))
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`dsum` (same exact fixed-point sum)."""
+    m = 10**scale
+    return f"(CAST(SUM(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE) / {m})"
 
 
 @register(
@@ -81,14 +96,14 @@ def q2_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_pricing",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)      AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
-               COUNT(*)                                                     AS count_order
+               (CAST(SUM(CAST(round((l_quantity) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000)      AS sum_qty,
+               (CAST(SUM(CAST(round((l_extendedprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS sum_base_price,
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS sum_disc_price,
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) AS sum_charge,
+               (CAST(SUM(CAST(round((l_quantity) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*)      AS avg_qty,
+               (CAST(SUM(CAST(round((l_extendedprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) AS avg_price,
+               (CAST(SUM(CAST(round((l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*)      AS avg_disc,
+               COUNT(*)                           AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -108,7 +123,7 @@ def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            dsum(charge, 6).alias("sum_charge"),
             (dsum(F.col("l_quantity")) / n).alias("avg_qty"),
             (dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
             (dsum(F.col("l_discount")) / n).alias("avg_disc"),
@@ -124,14 +139,12 @@ def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*)          AS n,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+               (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) AS avg_price,
                sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                     - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-                       * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                     - (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) * (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*))
                     / (COUNT(*) - 1)) AS sd_price,
                (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                     - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-                       * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                     - (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) * (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*))
                     / (COUNT(*) - 1) AS var_price
         FROM orders
         GROUP BY o_orderstatus
@@ -148,7 +161,7 @@ def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
     n = F.count(F.lit(1))
-    s1 = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
+    s1 = dsum(F.col("o_totalprice"))
     s2 = F.sum(
         (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,6)")
     ).cast("double")

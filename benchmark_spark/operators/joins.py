@@ -32,8 +32,8 @@ from benchmark_spark.registry import register
     "q3_join",
     oracle="""
         SELECT o_custkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_rev,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS total_rev,
+               (CAST(SUM(CAST(round((l_quantity) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) AS avg_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                               AND TIMESTAMP '1997-01-01 00:00:00'
@@ -69,8 +69,8 @@ def q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_join_wide",
     oracle="""
         SELECT o_custkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_rev,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS total_rev,
+               (CAST(SUM(CAST(round((l_quantity) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) AS avg_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                               AND TIMESTAMP '2001-01-01 00:00:00'
@@ -106,7 +106,7 @@ def q3_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     oracle="""
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey  = o_orderkey
         JOIN customer ON o_custkey   = c_custkey

@@ -45,7 +45,7 @@ _CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "wordcount_chi
     "q_pandas_udf",
     oracle="""
         SELECT l_returnflag,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS net_rev
+               (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) AS net_rev
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -59,9 +59,7 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
     return li.groupBy("l_returnflag").agg(
-        F.sum(net("l_extendedprice", "l_discount").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("net_rev")
+        (F.sum(F.round(net("l_extendedprice", "l_discount") * 10000, 0).cast("long")) / 10000.0).alias("net_rev")
     )
 
 
