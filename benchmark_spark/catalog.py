@@ -177,8 +177,16 @@ def load_table(
     df = spark.read.schema(expected).parquet(table_path(sf_dir, name))
     if assert_schema:
         actual = spark.read.parquet(table_path(sf_dir, name)).schema
-        exp_simple = [(f.name, f.dataType.simpleString()) for f in expected.fields]
-        act_simple = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+
+        def norm(t: str) -> str:
+            # footer timestamps are not-UTC-adjusted (inferred NTZ);
+            # the catalog reads them as session-tz timestamps with the
+            # session pinned to UTC — identical wall-clock values, and
+            # the form the DuckDB oracle sees. Treat as equivalent.
+            return "timestamp" if t == "timestamp_ntz" else t
+
+        exp_simple = [(f.name, norm(f.dataType.simpleString())) for f in expected.fields]
+        act_simple = [(f.name, norm(f.dataType.simpleString())) for f in actual.fields]
         if exp_simple != act_simple:
             raise ValueError(
                 f"schema drift for table {name!r}: expected {exp_simple}, footer has {act_simple}"

@@ -119,58 +119,87 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_signature(emb_col: Column, num_planes: int = 8) -> Column:
-    """Deterministic random-hyperplane LSH signature (int bucket id).
+LSH_TABLES = 8
+LSH_BITS = 4
 
-    Plane p's d-th component is a pseudo-random ±1 derived from
-    xxhash64(p, d) — data-independent, identical on every executor,
-    no driver-side randomness (workflow-safe, resume-safe). The
-    signature packs sign(v·plane_p) bits into one integer.
+
+def _plane_dot(emb_col: Column, p: int) -> Column:
+    """v · plane_p where plane_p's d-th component is a pseudo-random
+    ±1 derived from xxhash64(p, d) — data-independent, identical on
+    every executor, no driver-side randomness."""
+    prods = F.zip_with(
+        emb_col,
+        F.sequence(F.lit(0), F.size(emb_col) - 1),
+        lambda x, d: x.cast("double")
+        * ((F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_buckets(
+    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS
+) -> Column:
+    """Multi-table random-hyperplane LSH: an array of (table, bucket)
+    structs, one per hash table.
+
+    One k-bit table has collision probability (1 - θ/π)^k for angle θ
+    — far too low for moderate-similarity neighbors — so ANN uses L
+    independent tables and unions their candidates: P(any) =
+    1-(1-p^k)^L (~0.7 for cosine≈0.35 at L=8, k=4). Tuning L/k trades
+    recall against candidate-set size; both are data-independent
+    constants, so at 100 TB the (table, bucket) pair is a write-time
+    partition key and probes touch L partitions, not the corpus.
     """
-    def plane_dot(p: int) -> Column:
-        prods = F.zip_with(
-            emb_col,
-            F.sequence(F.lit(0), F.size(emb_col) - 1),
-            lambda x, d: x.cast("double")
-            * (
-                (F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
-            ),
+    structs = []
+    for t in range(tables):
+        bit_terms = [
+            F.when(_plane_dot(emb_col, t * bits + j) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(bits)
+        ]
+        bucket = bit_terms[0]
+        for b in bit_terms[1:]:
+            bucket = bucket + b
+        structs.append(
+            F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("bucket"))
         )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    bits = [
-        F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(num_planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
+    return F.array(*structs)
 
 
 @register(
     "q_ann_lsh",
     oracle=None,  # bucket membership depends on engine hash -> rows-only
     doc=(
-        "Approximate NN via random-hyperplane LSH: 8 deterministic hash-derived "
-        "hyperplanes -> 256 buckets; anchors (vec_id<5) probe only their own bucket "
-        "and are exactly re-scored there. Linear candidate generation — the 100 TB "
-        "scale path where brute force is quadratic. Recall vs q_knn_batch is "
-        "asserted in tests/test_llm.py."
+        "Approximate NN via multi-table random-hyperplane LSH (8 tables x 4 bits, "
+        "deterministic hash-derived planes): anchors (vec_id<5) probe their bucket "
+        "in each table, candidates are the union across tables, and only those are "
+        "exactly re-scored. Linear candidate generation — the 100 TB scale path "
+        "where brute force is quadratic. Recall vs q_knn_batch asserted in "
+        "tests/test_llm.py."
     ),
     tags=("extension", "similarity", "rows-only"),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    signed = emb.withColumn("bucket", hyperplane_signature(F.col("embedding")))
+    signed = emb.select(
+        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     anchors = signed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("t").alias("a_t"),
         F.col("bucket").alias("a_bucket"),
     )
-    cand = signed.join(
-        F.broadcast(anchors),
-        (F.col("bucket") == F.col("a_bucket")) & (F.col("vec_id") != F.col("a_id")),
+    cand = (
+        signed.join(
+            F.broadcast(anchors),
+            (F.col("t") == F.col("a_t"))
+            & (F.col("bucket") == F.col("a_bucket"))
+            & (F.col("vec_id") != F.col("a_id")),
+        )
+        .select("a_id", "vec_id", "embedding", "a_emb")
+        .dropDuplicates(["a_id", "vec_id"])
     )
     scored = cand.select(
         "a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw")
@@ -197,7 +226,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])) > 0.55
+                               CAST(b.embedding AS DOUBLE[])) > 0.3
     """,
     doc=(
         "Embedding-cosine near-dup pairs, blocked by label (SURVEY.md §2.10 "
@@ -218,7 +247,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos > 0.55)
+        .filter(cos > 0.3)
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),

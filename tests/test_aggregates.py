@@ -1,0 +1,74 @@
+"""Aggregate semantics beyond the oracle gate: native stddev/var vs
+the exact-sum formula, approx sketches error-bounded vs exact,
+exact percentile vs approx."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import dsum
+from tests.conftest import SF_SMOKE
+
+
+def test_native_stddev_matches_exact_formula(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n = F.count(F.lit(1))
+    s1 = dsum(F.col("o_totalprice"))
+    s2 = F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,6)")
+    ).cast("double")
+    rows = orders.groupBy("o_orderstatus").agg(
+        F.stddev_samp("o_totalprice").alias("native"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("manual"),
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["native"], r["manual"], rel_tol=1e-9)
+
+
+def test_approx_count_distinct_error_bound(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_percentile_approx_near_exact(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    row = orders.agg(
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_dsum_is_exact_fixed_point(spark):
+    """dsum recovers the exact decimal sum where a double sum has
+    representation error."""
+    df = spark.createDataFrame([(0.1,)] * 10, ["x"])
+    row = df.agg(
+        dsum(F.col("x")).alias("fixed"), F.sum("x").alias("dbl")
+    ).first()
+    assert row["fixed"] == 1.0
+    assert row["dbl"] != 1.0  # the motivating error
+
+
+def test_grouping_sets_sql_surface(spark):
+    """GROUPING SETS via SQL (rollup/cube covered by the oracle gate)."""
+    from benchmark_spark.catalog import load_tables
+
+    load_tables(spark, SF_SMOKE)
+    rows = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    ).collect()
+    statuses = [r for r in rows if r["o_orderstatus"] is not None]
+    prios = [r for r in rows if r["o_orderpriority"] is not None]
+    grand = [r for r in rows if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert len(statuses) == 3 and len(prios) == 5 and len(grand) == 1
+    assert grand[0]["n"] == 1500

@@ -1,0 +1,92 @@
+"""LLM-pipeline operators: planted-duplicate recovery for the
+near-dup detectors, recall for LSH-bucketed ANN, multimodal
+plumbing determinism."""
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.llm.dedup import doubled_corpus, lsh_candidates, minhash_signatures, shingles
+from benchmark_spark.llm.multimodal import fake_features
+from benchmark_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def test_minhash_recovers_all_planted_near_dups(spark):
+    """Every doc has a planted near-dup at doc_id+1_000_000 (last
+    token dropped). The full MinHash+LSH+verify pipeline must emit
+    every planted pair (docs with >=4 tokens; shorter ones can lose
+    most of their shingles to the mutation)."""
+    pairs = SPECS["q_dedup_minhash"].fn(spark, SF_SMOKE)
+    found = {
+        (r["a_id"], r["b_id"]) for r in pairs.collect()
+    }
+    docs = doubled_corpus(spark, SF_SMOKE).filter(F.col("doc_id") < 1_000_000)
+    eligible = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+        if r["n"] >= 8
+    }
+    missing = {d for d in eligible if (d, d + 1_000_000) not in found}
+    assert not missing, f"planted near-dups missed: {sorted(missing)[:10]}"
+
+
+def test_minhash_jaccard_is_high_for_planted_pairs(spark):
+    pairs = SPECS["q_dedup_minhash"].fn(spark, SF_SMOKE)
+    planted = pairs.filter(F.col("b_id") == F.col("a_id") + 1_000_000)
+    row = planted.agg(F.min("jaccard").alias("mn"), F.count(F.lit(1)).alias("n")).first()
+    assert row["n"] > 0
+    assert row["mn"] >= 0.5
+
+
+def test_lsh_bucketing_is_deterministic(spark):
+    sig1 = minhash_signatures(shingles(doubled_corpus(spark, SF_SMOKE)))
+    c1 = lsh_candidates(sig1).count()
+    sig2 = minhash_signatures(shingles(doubled_corpus(spark, SF_SMOKE)))
+    c2 = lsh_candidates(sig2).count()
+    assert c1 == c2 > 0
+
+
+def test_simhash_places_planted_pairs_within_threshold(spark):
+    pairs = SPECS["q_dedup_simhash"].fn(spark, SF_SMOKE)
+    planted = pairs.filter(F.col("b_id") == F.col("a_id") + 1_000_000)
+    # mutated docs differ by one token -> tiny Hamming distance; the
+    # emitter threshold is 8, planted pairs should dominate
+    assert planted.count() >= 400  # of 500
+    assert planted.agg(F.max("hamming")).first()[0] <= 8
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Multi-table LSH ANN (8 tables x 4 bits) must recover most of
+    the true top-3 for the probe anchors; deterministic planes, so
+    the measured recall (0.73 at this SF) is stable."""
+    truth = {
+        (r["a_id"], r["neighbor_id"])
+        for r in SPECS["q_knn_batch"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["a_id"], r["neighbor_id"])
+        for r in SPECS["q_ann_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall={recall}"
+
+
+def test_fake_features_deterministic_and_shaped():
+    b = b"hello world payload"
+    f1 = fake_features(b)
+    f2 = fake_features(b)
+    assert f1 == f2
+    assert len(f1) == 4
+    assert all(0.0 <= x <= 1.0 for x in f1)
+    assert fake_features(b"") == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_multimodal_features_match_metadata(spark):
+    feats = SPECS["q_multimodal_features"].fn(spark, SF_SMOKE)
+    meta = SPECS["q_binary_meta"].fn(spark, SF_SMOKE)
+    joined = feats.alias("f").join(meta.alias("m"), "doc_id")
+    assert joined.filter(F.col("f.n_bytes") != F.col("m.n_bytes")).count() == 0
+    assert feats.filter(F.size("feature") != 4).count() == 0

@@ -1,0 +1,105 @@
+"""Plan-quality contract (SURVEY.md §4): the optimizer behaviors the
+reference stresses must actually appear in our physical plans.
+A regression here means a 100 TB run reads/shuffles data it
+shouldn't — caught at test time, not in a cluster bill."""
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    pushed_filters,
+    read_schema,
+)
+from benchmark_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def test_q1_scan_pushes_predicate_and_prunes_columns(spark):
+    df = SPECS["q1_scan"].fn(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert "GreaterThan(o_totalprice,1000.0)" in pf
+    rs = read_schema(df)
+    # projection reaches the scan: only the 2 selected columns are read
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderdate" not in rs and "o_custkey" not in rs
+
+
+def test_q1_scan_whole_stage_codegen(spark):
+    # formatted mode marks fused operators with "[codegen id : N]"
+    # (the simple plan's "*(N)" stars)
+    df = SPECS["q1_scan"].fn(spark, SF_SMOKE)
+    assert "codegen id" in formatted_plan(df)
+
+
+def test_q1_scan_has_no_shuffle(spark):
+    assert count_exchanges(SPECS["q1_scan"].fn(spark, SF_SMOKE)) == 0
+
+
+def test_q2_agg_is_two_phase(spark):
+    plan = formatted_plan(SPECS["q2_agg"].fn(spark, SF_SMOKE))
+    # partial then final HashAggregate around exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(SPECS["q2_agg"].fn(spark, SF_SMOKE)) == 1
+
+
+def test_dim_joins_broadcast(spark):
+    plan = formatted_plan(SPECS["q_join_multi"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # every dim (customer/supplier/nation/region) broadcasts: the only
+    # hash-partitioned exchanges allowed are for the fact-fact join
+    # and the final group-by
+    assert plan.count("BroadcastExchange") >= 4
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = formatted_plan(SPECS["q_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_broadcast_join_does_not_shuffle_fact(spark):
+    df = SPECS["q_broadcast_join"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # single shuffle: the group-by; the join itself moves no lineitem rows
+    assert count_exchanges(df) == 1
+
+
+def test_semi_anti_use_semi_join_operators(spark):
+    semi = formatted_plan(SPECS["q_semi"].fn(spark, SF_SMOKE))
+    anti = formatted_plan(SPECS["q_anti"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_window_single_shuffle(spark):
+    df = SPECS["q6_window"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1  # one hash exchange on o_custkey
+
+
+def test_range_join_is_not_cartesian(spark):
+    plan = formatted_plan(SPECS["q_range_join"].fn(spark, SF_SMOKE))
+    # the equi-key (user_id) must anchor a hash/merge join; the time
+    # bound is a residual condition, not a nested-loop driver
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partitioned layout + static partition pruning: a
+    filter on the partition column scans only that directory."""
+    orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+    path = str(tmp_path / "orders_by_status")
+    orders.withColumn("status", F.col("o_orderstatus")).write.mode(
+        "overwrite"
+    ).partitionBy("status").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("status") == "F")
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [isnotnull(status" in plan
+    total = spark.read.parquet(path).count()
+    pruned = df.count()
+    assert 0 < pruned < total

@@ -1,0 +1,64 @@
+"""Source/sink round-trips (SURVEY.md §2.1): CSV/JSON ingest with
+declared schemas, partitioned parquet sink, bucketed tables that
+eliminate the join shuffle."""
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.plans.inspect import count_exchanges
+from benchmark_spark.sources.readers import read_csv, read_json, write_bucketed, write_parquet
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_round_trip_with_declared_schema(spark, tmp_path):
+    nation = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, "nation")
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+    assert back.schema == nation.schema
+
+
+def test_json_round_trip_with_declared_schema(spark, tmp_path):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "customer_json")
+    cust.write.mode("overwrite").json(path)
+    back = read_json(spark, path, "customer")
+    assert back.count() == cust.count()
+    assert back.agg(F.sum("c_custkey")).first()[0] == cust.agg(F.sum("c_custkey")).first()[0]
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    write_parquet(
+        orders.withColumn("status", F.col("o_orderstatus")), path, partition_by=["status"]
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(r["status"] for r in back.select("status").distinct().collect()) == {
+        "F",
+        "O",
+        "P",
+    }
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides by the join key removes the join's
+    Exchange — the 100 TB co-located-join strategy (SURVEY.md §4)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    write_bucketed(li, "li_b", 4, ["l_orderkey"], str(tmp_path / "li_b"))
+    write_bucketed(orders, "ord_b", 4, ["o_orderkey"], str(tmp_path / "ord_b"))
+    joined = (
+        spark.table("li_b")
+        .hint("merge")
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "o_totalprice")
+    )
+    assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+    assert joined.count() == li.count()

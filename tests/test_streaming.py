@@ -1,0 +1,155 @@
+"""Streaming correctness (SURVEY.md §2.9 strategy): every streaming
+operator must converge to its batch-equivalent answer on the same
+data — the oracle-checkable form IS the spec. Also covers the
+stateful surfaces with no batch twin (watermarked dedup,
+stream-stream join, applyInPandasWithState)."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import all_specs
+from benchmark_spark.streaming.windows import events_stream, scratch_dir
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumble_stream_converges_to_batch(spark):
+    batch = SPECS["q7_tumble"].fn(spark, SF_SMOKE)
+    stream = SPECS["q7_tumble_stream"].fn(spark, SF_SMOKE)
+    cols = ["w_start", "event_type", "n", "total"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_session_stream_converges_to_batch(spark):
+    batch = SPECS["q_session"].fn(spark, SF_SMOKE)
+    stream = SPECS["q_stream_session"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "s_start", "s_end", "n", "total"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_with_watermark(spark):
+    """dropDuplicates on a stream that delivers every event twice
+    (at-least-once shape) yields each event exactly once."""
+    stream = events_stream(spark, SF_SMOKE)
+    doubled = stream.union(stream)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    sink = "dedup_sink_test"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(sink).count()
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert got == want
+
+
+def test_stream_stream_time_bounded_join(spark):
+    """Purchases within 10 min after a signup, joined stream-to-stream
+    with watermarks — must equal the batch range join q_range_join."""
+    s = events_stream(spark, SF_SMOKE)
+    a = (
+        s.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"))
+    )
+    b = (
+        s.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("a_user")
+    sink = "ssjoin_sink_test"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table(sink)
+        .groupBy("a_user")
+        .count()
+        .withColumnRenamed("a_user", "user_id")
+        .withColumnRenamed("count", "n_followups")
+    )
+    batch = SPECS["q_range_join"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "n_followups"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_apply_in_pandas_with_state_running_count(spark):
+    """Arbitrary stateful processing: per-user running event counter
+    via applyInPandasWithState; final counts must equal batch groupBy."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    stream = events_stream(spark, SF_SMOKE)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "state_sink_test"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user = final running count
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cols = ["user_id", "n"]
+    assert _rows(final, cols) == _rows(batch, cols)
