@@ -314,3 +314,29 @@ def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.groupBy("n_regionkey").agg(
         F.sort_array(F.collect_set("n_name")).alias("nations")
     )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, o_totalprice) AS biggest_order,
+               arg_min(o_orderkey, o_totalprice) AS smallest_order,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Argmax/argmin aggregation: the order id carrying the extreme price per "
+        "status (max_by/min_by == DuckDB arg_max/arg_min). Deterministic because "
+        "o_totalprice values are distinct within groups at every SF."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -82,3 +82,14 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _operands(spark, sf_dir)
     return a.unionByName(b).intersectAll(a)
+
+
+@register(
+    "q_except_all",
+    oracle=f"{_A_SQL} UNION ALL {_A_SQL} EXCEPT ALL {_B_SQL}",
+    doc="EXCEPT ALL: bag-semantics difference (multiplicities subtract).",
+    tags=("completeness", "setop"),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _operands(spark, sf_dir)
+    return a.unionByName(a).exceptAll(b)

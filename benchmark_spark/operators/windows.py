@@ -216,3 +216,36 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(100)
     )
+
+
+@register(
+    "q_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               COUNT(*) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice
+                   RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+               ) AS n_near
+        FROM orders
+        WHERE o_orderkey < 2000
+    """,
+    doc=(
+        "Value-based RANGE frame (SURVEY.md §2.5 frame spec): per status, how many "
+        "orders fall within +/-5000 of this order's price — a windowed band count "
+        "ROWS frames cannot express."
+    ),
+    tags=("completeness", "window"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "benchmark_spark.operators.joins",
     "benchmark_spark.operators.windows",
     "benchmark_spark.operators.setops",
+    "benchmark_spark.operators.skew",
     "benchmark_spark.operators.wordcount",
     "benchmark_spark.functions.scalars",
     "benchmark_spark.llm.dedup",
