@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 from benchmark_spark.catalog import load_table
 from benchmark_spark.registry import register
 
+# 16 minhashes banded 8x2: P(candidate) = 1-(1-j^2)^8 — 0.89 at
+# jaccard 0.7, 0.985 at 0.8 (vs 0.57/0.88 for 4x4). Wider bands
+# trade more false candidates (killed by the exact-Jaccard verify
+# join) for near-dup recall, the right trade for dedup.
 NUM_HASHES = 16
-BANDS = 4
-ROWS_PER_BAND = 4
+BANDS = 8
+ROWS_PER_BAND = 2
 
 _DOUBLED_SQL = "(SELECT * FROM documents UNION ALL SELECT * FROM documents)"
 
@@ -159,13 +163,18 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """k-permutation MinHash via seeded xxhash64: sig_i = min over shingles
-    of xxhash64(shingle, i). One groupBy, k aggregates, all JVM-side."""
+    """k-permutation MinHash: sig_i = min over shingles of the i-th
+    derived hash. The variable-length shingle STRING is hashed once
+    (xxhash64), then the k permutations derive from the 64-bit base
+    (xxhash64 over two longs) — k-1 string hashes cheaper per shingle,
+    which dominates at corpus scale. One groupBy, k aggregates, all
+    JVM-side."""
+    based = sh.withColumn("_h", F.xxhash64(F.col("shingle")))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(

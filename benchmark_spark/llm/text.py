@@ -102,7 +102,13 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
-    profile = spark.createDataFrame(LANG_PROFILE, ["p_lang", "p_tok", "w"])
+    # SQL VALUES literal, not createDataFrame: a local Python->JVM
+    # DataFrame costs seconds of serialization setup; an inline
+    # relation is free and stays a broadcastable LocalRelation
+    profile = spark.sql(
+        "SELECT p_lang, p_tok, CAST(w AS DOUBLE) AS w "
+        f"FROM (VALUES {_PROFILE_VALUES}) AS profile(p_lang, p_tok, w)"
+    )
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     scores = (
         toks.join(F.broadcast(profile), F.col("tok") == F.col("p_tok"))

@@ -340,3 +340,64 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '3' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "PIVOT: order counts per status x priority as columns, compiled as "
+        "conditional aggregation (SUM(CASE WHEN ...)) — ONE shuffle. Spark's "
+        "native pivot() plans (status, prio) agg -> shuffle -> pivotfirst -> "
+        "shuffle, i.e. twice the exchanges for a known value list; with the "
+        "values declared up front the conditional form is the plan you want at "
+        "100 TB. tests/test_plans.py pins the single-Exchange property."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    prio = F.substring("o_orderpriority", 1, 1)
+    return orders.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(prio == p, 1).otherwise(0)).cast("long").alias(f"p{p}")
+            for p in "12345"
+        ]
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount
+            FROM lineitem WHERE l_orderkey < 50
+        )
+        UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    doc="UNPIVOT/melt: wide metric columns to (metric, value) rows — the inverse reshape, zero-shuffle.",
+    tags=("completeness", "agg"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    return (
+        li.filter(F.col("l_orderkey") < 50)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+    )

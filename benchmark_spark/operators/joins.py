@@ -375,3 +375,53 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r2.r_name").alias("to_region"),
         )
     )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc=(
+        "Uncorrelated scalar subquery (the Query-3 subquery shape [P]): filter "
+        "against a computed global — one aggregation broadcast into the scan's "
+        "filter, not a per-row re-evaluation."
+    ),
+    tags=("completeness", "join"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)"
+    )
+
+
+@register(
+    "q_corr_subquery",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        FROM customer
+    """,
+    doc=(
+        "Correlated scalar subquery: per-customer max order price. Catalyst "
+        "decorrelates it (RewriteCorrelatedScalarSubquery, SURVEY.md §4) into an "
+        "aggregate + left outer join — no per-row subquery execution; FKs are "
+        "orphan-free so no NULLs appear (FIXTURES.md)."
+    ),
+    tags=("completeness", "join"),
+)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    customer.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT c_custkey, "
+        "(SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price "
+        "FROM customer"
+    )

@@ -103,3 +103,22 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     total = spark.read.parquet(path).count()
     pruned = df.count()
     assert 0 < pruned < total
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join (no per-row subquery execution)."""
+    df = SPECS["q_corr_subquery"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" in plan  # decorrelated into a join
+    from benchmark_spark.plans.inspect import simple_plan
+
+    assert "InSubquery" not in simple_plan(df)
+
+
+def test_pivot_has_no_value_discovery_job(spark):
+    """pivot() with explicit values compiles to a single conditional
+    aggregation — two HashAggregates around one Exchange, no extra
+    distinct-values pass."""
+    df = SPECS["q_pivot"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
