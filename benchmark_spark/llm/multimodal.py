@@ -138,3 +138,76 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL RESIZE STUB: `PIL.Image.open(...).resize((width, height))`
+    on a production cluster — no codecs in this container."""
+    raise NotImplementedError("no media codecs in this environment; see fake_resize")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in with a real extractor's contract: output
+    length scales with the requested dimensions (repeat/truncate the
+    payload to width*height bytes)."""
+    target = max(1, width * height)
+    if not payload:
+        return b"\x00" * target
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL FRAME-SAMPLE STUB: ffmpeg/decord keyframe sampling on a
+    production cluster."""
+    raise NotImplementedError("no media codecs in this environment; see fake_sample_frames")
+
+
+def fake_sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in: n_frames evenly spaced byte windows —
+    the (video -> list<binary> frames) column shape downstream
+    per-frame operators consume via explode."""
+    if not payload:
+        return [b""] * n_frames
+    chunk = max(1, len(payload) // n_frames)
+    return [payload[i * chunk : (i + 1) * chunk] or payload[-chunk:] for i in range(n_frames)]
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+@register(
+    "q_frame_sample",
+    oracle=None,  # Python frame extractor -> rows-only
+    doc=(
+        "Video-style frame sampling over binary payloads: mapInPandas explodes "
+        "each payload into 3 fixed-stride frames (decode stubbed: sample_frames "
+        "-> fake_sample_frames), yielding the (doc, frame_id, frame) layout that "
+        "per-frame feature extraction then consumes. Batch shape and determinism "
+        "pinned in tests/test_llm.py."
+    ),
+    tags=("extension", "multimodal", "rows-only"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    n_frames = 3
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "frame": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(fake_sample_frames(bytes(payload), n_frames)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(i)
+                    out["frame"].append(fr)
+                    out["frame_bytes"].append(len(fr))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(explode_frames, schema=FRAMES_SCHEMA)

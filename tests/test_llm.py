@@ -90,3 +90,34 @@ def test_multimodal_features_match_metadata(spark):
     joined = feats.alias("f").join(meta.alias("m"), "doc_id")
     assert joined.filter(F.col("f.n_bytes") != F.col("m.n_bytes")).count() == 0
     assert feats.filter(F.size("feature") != 4).count() == 0
+
+
+def test_fake_resize_contract():
+    from benchmark_spark.llm.multimodal import fake_resize
+
+    out = fake_resize(b"abcdef", 8, 4)
+    assert len(out) == 32
+    assert out[:6] == b"abcdef"
+    assert fake_resize(b"", 2, 2) == b"\x00" * 4
+
+
+def test_frame_sample_plumbing(spark):
+    frames = SPECS["q_frame_sample"].fn(spark, SF_SMOKE)
+    assert frames.count() == 500 * 3
+    assert frames.filter(F.col("frame_bytes") != F.length("frame")).count() == 0
+    per_doc = frames.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") != 3).count() == 0
+
+
+def test_real_decode_stubs_raise():
+    import pytest as _pytest
+
+    from benchmark_spark.llm.multimodal import decode_image, resize_image, sample_frames
+
+    for fn, args in [
+        (decode_image, (b"x",)),
+        (resize_image, (b"x", 2, 2)),
+        (sample_frames, (b"x", 3)),
+    ]:
+        with _pytest.raises(NotImplementedError):
+            fn(*args)

@@ -153,3 +153,76 @@ def test_apply_in_pandas_with_state_running_count(spark):
     )
     cols = ["user_id", "n"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: dedup state expires with the
+    watermark instead of growing forever — the unbounded-stream form."""
+    stream = events_stream(spark, SF_SMOKE)
+    doubled = stream.union(stream)
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    sink = "dedup_wm_sink_test"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.table(sink).count() == want
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-DataFrame sink logic (e.g. upsert
+    into parquet) — per-microbatch exactly-once with AvailableNow."""
+    stream = events_stream(spark, SF_SMOKE)
+    out = str(tmp_path / "fb_out")
+    agg = stream.groupBy("event_type").count()
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["count"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF_SMOKE, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_converges_to_batch(spark):
+    """Sliding windows on a real stream == the batch q_sliding answer."""
+    stream = events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+    sink = "slide_sink_test"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = SPECS["q_sliding"].fn(spark, SF_SMOKE)
+    cols = ["w_start", "event_type", "n", "total"]
+    assert _rows(spark.table(sink), cols) == _rows(batch, cols)
