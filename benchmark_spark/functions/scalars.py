@@ -174,7 +174,7 @@ def q_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)        AS n_uniq,
                list_contains(string_split(text, ' '), 'data')                     AS has_data,
                string_split(text, ' ')[1]                                         AS first_tok,
-               list_sort(string_split(text, ' '))[1:3]                            AS sorted3,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], '|')      AS sorted3,
                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long
         FROM documents
     """,
@@ -194,7 +194,9 @@ def q_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
         F.array_contains(toks, "data").alias("has_data"),
         F.element_at(toks, 1).alias("first_tok"),
-        F.slice(F.sort_array(toks), 1, 3).alias("sorted3"),
+        # serialized (not a raw array) so the cross-engine hash compares
+        # scalars rather than engine-specific array renderings
+        F.concat_ws("|", F.slice(F.sort_array(toks), 1, 3)).alias("sorted3"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
     )
 

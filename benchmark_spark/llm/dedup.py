@@ -310,3 +310,84 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("long").alias("hamming"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node adopts the smallest doc_id reachable so far; iterate
+    to fixpoint. Returns (doc_id, cluster_id).
+
+    This is the standard large-graph CC (Pregel-style supersteps as
+    driver-coordinated join rounds — the one sanctioned driver loop
+    in the engine, because iterative algorithms ARE supersteps).
+    Convergence needs O(log(diameter)) rounds with the
+    neighbor-of-neighbor shortcut below; dedup graphs are
+    near-cliques, so 2-3 rounds in practice. Each round is two
+    shuffles; at 100 TB, checkpoint every few rounds to cut lineage.
+    """
+    nodes = (
+        edges.select(F.col("a_id").alias("doc_id"))
+        .unionByName(edges.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    # symmetric edge list (including self-loops keeps singletons stable)
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    for _ in range(max_iters):
+        # candidate label per node: min over neighbors' current labels
+        prop = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("new_id"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.src)
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.col("new_id")).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per superstep
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=None,  # builds on minhash candidate pairs -> rows-only
+    doc=(
+        "Near-dup CLUSTERING: MinHash+LSH pairs -> connected components "
+        "(iterative min-label propagation, Pregel-style supersteps) -> one "
+        "row per cluster with the kept representative (min doc_id) and size. "
+        "The step that turns pairwise near-dup hits into actual dedup decisions "
+        "in a training-data pipeline; planted pairs make every original+mutant "
+        "pair share a cluster (tests/test_llm.py)."
+    ),
+    tags=("extension", "dedup", "rows-only"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )

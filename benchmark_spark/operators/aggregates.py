@@ -302,17 +302,21 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(DISTINCT n_name)) AS nations
+               array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
-    doc="collect_set/sort_array: assemble per-group value lists (order-canonicalized for comparability).",
+    doc=(
+        "collect_set/sort_array: assemble per-group value lists, order-"
+        "canonicalized and serialized to a string so the cross-engine hash "
+        "compares scalars, not engine-specific array renderings."
+    ),
     tags=("completeness", "agg"),
 )
 def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation", assert_schema=False)
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.concat_ws("|", F.sort_array(F.collect_set("n_name"))).alias("nations")
     )
 
 

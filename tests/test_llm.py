@@ -121,3 +121,23 @@ def test_real_decode_stubs_raise():
     ]:
         with _pytest.raises(NotImplementedError):
             fn(*args)
+
+
+def test_dedup_clusters_group_planted_pairs(spark):
+    """Every planted (doc, doc+1M) near-dup pair must land in one
+    cluster with keep_id == the original doc (or a smaller doc merged
+    into the same component)."""
+    from benchmark_spark.llm.dedup import connected_components
+
+    clusters = SPECS["q_dedup_clusters"].fn(spark, SF_SMOKE)
+    rows = clusters.collect()
+    assert len(rows) > 0
+    assert all(r["cluster_size"] >= 2 for r in rows)
+    assert all(r["keep_id"] < 1_000_000 for r in rows)
+    # labels of both endpoints of a planted pair agree
+    pairs = SPECS["q_dedup_minhash"].fn(spark, SF_SMOKE).select("a_id", "b_id")
+    labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    planted = [r for r in pairs.collect() if r["b_id"] == r["a_id"] + 1_000_000]
+    assert planted
+    for r in planted:
+        assert labels[r["a_id"]] == labels[r["b_id"]]

@@ -122,3 +122,20 @@ def test_pivot_has_no_value_discovery_job(spark):
     distinct-values pass."""
     df = SPECS["q_pivot"].fn(spark, SF_SMOKE)
     assert count_exchanges(df) == 1
+
+
+def test_join_strategy_hints(spark):
+    """The engine exposes all three equi-join strategies via hints
+    (SURVEY.md §2.3: broadcast / sort-merge / shuffled-hash) and
+    Catalyst honors them."""
+    from benchmark_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cond = li.l_orderkey == orders.o_orderkey
+    merge = formatted_plan(li.hint("merge").join(orders, cond))
+    assert "SortMergeJoin" in merge
+    shuffle_hash = formatted_plan(li.hint("shuffle_hash").join(orders, cond))
+    assert "ShuffledHashJoin" in shuffle_hash
+    bcast = formatted_plan(li.join(orders.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in bcast
