@@ -246,8 +246,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Rolling-hash document fingerprint (SURVEY.md §2.10): order-sensitive "
         "fold over token hashes via aggregate() — unlike md5-of-text (q_hash), "
-        "the fold shape generalizes to windowed/chunked fingerprints. Rows-only: "
-        "the per-token hash is engine-specific xxhash64."
+        "the fold shape generalizes to windowed/chunked fingerprints. The fold "
+        "step is a hash chain (xxhash64(acc, token_hash)), not multiply-add: "
+        "arithmetic folds overflow BIGINT and Spark 4's default ANSI mode makes "
+        "that a runtime error. Rows-only: xxhash64 is engine-specific."
     ),
     tags=("extension", "text", "rows-only"),
 )
@@ -257,6 +259,6 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.aggregate(
         toks,
         F.lit(7).cast("long"),
-        lambda acc, t: acc * F.lit(1_000_003).cast("long") + F.xxhash64(t),
+        lambda acc, t: F.xxhash64(acc, F.xxhash64(t)),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))

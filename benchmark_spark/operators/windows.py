@@ -249,3 +249,39 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_near"),
     )
+
+
+@register(
+    "q_value_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               first_value(o_orderkey) OVER w AS dearest,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS cheapest,
+               nth_value(o_orderkey, 2) OVER w AS runner_up
+        FROM orders
+        WHERE o_totalprice > 450000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc=(
+        "Value window functions: first_value / last_value (explicit full frame — "
+        "the default frame ends at CURRENT ROW, a classic cross-engine trap) / "
+        "nth_value."
+    ),
+    tags=("completeness", "window"),
+)
+def q_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("dearest"),
+        F.last("o_orderkey").over(w_full).alias("cheapest"),
+        F.nth_value("o_orderkey", 2).over(w).alias("runner_up"),
+    )

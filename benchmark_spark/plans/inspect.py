@@ -34,10 +34,6 @@ def read_schema(df: DataFrame) -> str:
     return "\n".join(line for line in plan.splitlines() if "ReadSchema" in line)
 
 
-def has_node(df: DataFrame, node: str) -> bool:
-    return node in formatted_plan(df)
-
-
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan.
 

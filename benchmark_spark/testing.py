@@ -22,9 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from benchmark_spark.catalog import TABLES, table_path
 
-FLOAT_REL_TOL = 1e-9
-
-
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -109,7 +106,10 @@ def compare(
 
 
 def run_rows_only(name: str, spark_df: DataFrame) -> CompareResult:
-    n = spark_df.count()
+    # collect, not count: count() lets the optimizer prune columns, so
+    # an expression that errors at runtime (e.g. ANSI overflow) would
+    # never execute and the check would pass vacuously
+    n = len(spark_df.collect())
     return CompareResult(name, n >= 0, n, -1)
 
 
