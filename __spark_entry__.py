@@ -9,9 +9,17 @@ commit as each operator (SURVEY.md §7 build principle).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may import this module from any CWD; the package lives
+# next to this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from benchmark_spark import all_oracles, all_queries
 from benchmark_spark.registry import get_query

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import rnd
 from benchmark_spark.registry import register
 
 # Deterministic language profile over the fixture vocabulary:
@@ -55,9 +56,9 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               round(AVG(n_chars), 4) AS avg_chars,
+               (floor((AVG(n_chars)) * 10000 + 0.5) / 10000) AS avg_chars,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-               round(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+               (floor((AVG(len(string_split(text, ' ')))) * 10000 + 0.5) / 10000) AS avg_tokens
         FROM documents
         GROUP BY lang
     """,
@@ -69,9 +70,9 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split("text", " ")).cast("long")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        rnd(F.avg("n_chars")).alias("avg_chars"),
         F.sum(n_tok).cast("long").alias("total_tokens"),
-        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        rnd(F.avg(n_tok)).alias("avg_tokens"),
     )
 
 
@@ -129,10 +130,10 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-               round(len(list_distinct(string_split(text, ' '))) * 1.0
-                     / len(string_split(text, ' ')), 4) AS ttr,
-               round(length(replace(text, ' ', '')) * 1.0
-                     / len(string_split(text, ' ')), 4) AS avg_tok_len,
+               (floor(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) * 10000 + 0.5) / 10000) AS ttr,
+               (floor(length(replace(text, ' ', '')) * 1.0
+                     / len(string_split(text, ' ')) * 10000 + 0.5) / 10000) AS avg_tok_len,
                round(len(list_filter(string_split(text, ' '),
                                      t -> t IN ({_STOP_SQL}))) * 1.0
                      / len(string_split(text, ' ')), 4) AS stop_ratio,
@@ -165,10 +166,10 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_uniq"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(avg_len, 4).alias("avg_tok_len"),
-        F.round(stop, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        rnd(ttr).alias("ttr"),
+        rnd(avg_len).alias("avg_tok_len"),
+        rnd(stop).alias("stop_ratio"),
+        rnd(quality).alias("quality"),
     )
 
 

@@ -56,6 +56,28 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     return f"(CAST(SUM(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE) / {m})"
 
 
+def rnd(c: Column, scale: int = 4) -> Column:
+    """Tie-deterministic rounding: floor(x*10^k + 0.5)/10^k.
+
+    Spark's round() converts the double to its SHORTEST DECIMAL REPR
+    and applies HALF_UP; DuckDB rounds the binary double — they
+    disagree whenever a ratio's true value sits exactly on a rounding
+    half (e.g. 0.59625 at 4dp, whose double is 0.59624999...). The
+    explicit floor formula is evaluated on the same double by both
+    engines, so results agree regardless of ties. Use for any rounded
+    RATIO of integers (quality scores, rate columns); plain round()
+    is fine for values whose decimal precision is below the grid.
+    """
+    m = float(10**scale)
+    return F.floor(c * m + F.lit(0.5)) / F.lit(m)
+
+
+def rnd_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`rnd`."""
+    m = 10**scale
+    return f"(floor(({expr}) * {m} + 0.5) / {m})"
+
+
 @register(
     "q2_agg",
     oracle="""

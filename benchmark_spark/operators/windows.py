@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import rnd
 from benchmark_spark.registry import register
 
 
@@ -51,8 +52,8 @@ def q6_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(rank()       OVER w AS BIGINT) AS rnk,
                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
                CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
-               round(percent_rank() OVER w, 6) AS prk,
-               round(cume_dist()    OVER w, 6) AS cd
+               (floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000) AS prk,
+               (floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000) AS cd
         FROM orders
         WHERE o_totalprice > 450000
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
@@ -70,8 +71,8 @@ def q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        rnd(F.percent_rank().over(w), 6).alias("prk"),
+        rnd(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 

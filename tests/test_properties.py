@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the engine's numeric and
+rewrite invariants — inputs the fixtures never produce."""
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.operators.aggregates import dsum
+
+# money-like: up to 2 decimal digits, the catalog's value shape
+money = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(money, min_size=1, max_size=40))
+@_SETTINGS
+def test_dsum_equals_exact_decimal_sum(spark, xs):
+    """dsum over doubles == the exact Decimal sum, for ANY 2dp inputs
+    (the double-sum would drift; the fixed-point sum may not)."""
+    exact = float(sum(xs))
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    got = df.agg(dsum(F.col("x")).alias("s")).first()["s"]
+    assert got == exact
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3_600 * 6), min_size=1, max_size=25
+    )
+)
+@_SETTINGS
+def test_session_window_equals_lag_cumsum_rewrite(spark, offsets):
+    """Native session_window == the lag/gap-flag/cumsum rewrite (the
+    oracle formulation of q_session) for arbitrary event times."""
+    from pyspark.sql import Window
+
+    rows = [(1, f"2024-01-01 00:00:00", s) for s in sorted(set(offsets))]
+    df = (
+        spark.createDataFrame(rows, ["user_id", "base", "off"])
+        .select(
+            "user_id",
+            (F.col("base").cast("timestamp") + F.make_interval(secs=F.col("off"))).alias(
+                "ts"
+            ),
+        )
+    )
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), "n")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = df.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800, 1
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rewritten = (
+        flagged.withColumn("sid", F.sum("new_s").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "s_start", "n")
+    )
+    key = lambda d: sorted((r["user_id"], r["s_start"], r["n"]) for r in d.collect())
+    assert key(native) == key(rewritten)
+
+
+@given(st.data())
+@_SETTINGS
+def test_minhash_lsh_candidates_respect_similarity(spark, data):
+    """High-overlap shingle sets collide in at least one LSH band far
+    more often than disjoint sets: planted pair (j~0.9) must be a
+    candidate, disjoint pair must not."""
+    from benchmark_spark.llm.dedup import lsh_candidates, minhash_signatures
+
+    base = data.draw(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=3, max_size=6),
+            min_size=20,
+            max_size=30,
+            unique=True,
+        )
+    )
+    near = base[:-1]  # drop one shingle -> jaccard ~0.95
+    disjoint = [s + "zz" for s in base]  # no shared shingles
+    rows = (
+        [(0, s) for s in base]
+        + [(1, s) for s in near]
+        + [(2, s) for s in disjoint]
+    )
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidates(minhash_signatures(sh)).collect()
+    }
+    assert (0, 1) in cand
+    assert (0, 2) not in cand
