@@ -254,3 +254,37 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cosine"),
         )
     )
+
+
+@register(
+    "q_centroid",
+    oracle="""
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               (floor(AVG(val) * 1000000 + 0.5) / 1000000) AS c
+        FROM (
+            SELECT label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    doc=(
+        "Per-label embedding centroids via posexplode + group-avg — the "
+        "cluster-center primitive behind IVF index construction and k-means "
+        "steps. Long layout (label, dim, value) keeps the aggregation a plain "
+        "two-phase groupBy at any dimensionality; the 64-dim float arrays are "
+        "cast to double BEFORE the explode so both engines average identical "
+        "doubles."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.operators.aggregates import rnd
+
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+    ).select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
+    return exploded.groupBy("label", "pos").agg(rnd(F.avg("val"), 6).alias("c"))
