@@ -288,3 +288,119 @@ def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
     ).select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
     return exploded.groupBy("label", "pos").agg(rnd(F.avg("val"), 6).alias("c"))
+
+
+def kmeans_lite(
+    emb: DataFrame, k: int = 10, iters: int = 2
+) -> DataFrame:
+    """Deterministic spherical-k-means-lite over embedding arrays:
+    init = the k lowest vec_ids, then Lloyd supersteps (assign to
+    max-dot centroid -> re-average per cluster -> L2-NORMALIZE: the
+    spherical-k-means update; an unnormalized mean of unit vectors
+    shrinks toward 0 and dot scores with it), all native DataFrame
+    ops — posexplode to (cid, pos, val), two-phase avg, re-assemble
+    via sorted collect_list. Returns (cid, cvec array<double>).
+
+    The driver loop is supersteps (like connected_components);
+    at 100 TB each round is one broadcast join + one shuffle, and the
+    centroid table (k x dim doubles) always broadcasts.
+    """
+    centroids = emb.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        mean_vec = (
+            assigned.join(vecs, "vec_id")
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.c,
+                ).alias("mvec")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("mvec"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        centroids = mean_vec.select(
+            "cid",
+            F.transform(F.col("mvec"), lambda x: x / F.greatest(norm, F.lit(1e-12))).alias(
+                "cvec"
+            ),
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid) of each vector's max-dot centroid (deterministic
+    tiebreak on cid)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", dot(F.col("v"), F.col("cvec")).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # index construction is iterative -> rows-only
+    doc=(
+        "Approximate NN via an IVF index: k-means-lite partitions the corpus "
+        "into 10 inverted lists; each anchor (vec_id<5) probes its nprobe=3 "
+        "nearest lists and exactly re-scores only their members — the other "
+        "100 TB ANN path next to q_ann_lsh (coarse quantizer + inverted lists, "
+        "the FAISS IVF-flat shape). At scale the lists are the write-time "
+        "partition key, so a probe reads nprobe partitions, not the corpus. "
+        "Recall vs brute force asserted in tests/test_llm.py."
+    ),
+    tags=("extension", "similarity", "rows-only"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    nprobe = 3
+    centroids = kmeans_lite(emb, k=10, iters=2)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    lists = _assign(vecs, centroids)  # inverted lists: (vec_id, cid)
+    anchors = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    # probe: each anchor's nprobe nearest centroids
+    a_scored = anchors.crossJoin(F.broadcast(centroids)).select(
+        "a_id", "a_v", "cid", dot(F.col("a_v"), F.col("cvec")).alias("s")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("s"), F.asc("cid"))
+    probes = (
+        a_scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= nprobe)
+        .select("a_id", "a_v", "cid")
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .join(vecs, "vec_id")
+        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("raw", 4).alias("score"),
+        )
+    )

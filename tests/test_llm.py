@@ -141,3 +141,41 @@ def test_dedup_clusters_group_planted_pairs(spark):
     assert planted
     for r in planted:
         assert labels[r["a_id"]] == labels[r["b_id"]]
+
+
+def test_kmeans_lite_improves_assignment_similarity(spark):
+    """One Lloyd iteration must not decrease the mean max-dot
+    similarity of vectors to their assigned centroid."""
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.llm.similarity import _assign, dot, kmeans_lite
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def mean_sim(centroids):
+        a = _assign(vecs, centroids)
+        joined = (
+            a.join(vecs, "vec_id")
+            .join(centroids, "cid")
+            .select(dot(F.col("v"), F.col("cvec")).alias("s"))
+        )
+        return joined.agg(F.avg("s")).first()[0]
+
+    c0 = kmeans_lite(emb, k=10, iters=0)
+    c2 = kmeans_lite(emb, k=10, iters=2)
+    assert mean_sim(c2) >= mean_sim(c0) - 1e-9
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=3 of 10 lists must recover a solid share of the
+    true top-3 (deterministic index -> stable measured recall)."""
+    truth = {
+        (r["a_id"], r["neighbor_id"])
+        for r in SPECS["q_knn_batch"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["a_id"], r["neighbor_id"])
+        for r in SPECS["q_ann_ivf"].fn(spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"recall={recall}"
