@@ -107,16 +107,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("a_id"))
         .select("a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw"))
     )
-    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "a_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("raw", 4).alias("score"),
-        )
-    )
+    return topk_per_anchor(scored, 3)
 
 
 LSH_TABLES = 8
@@ -204,16 +195,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw")
     )
-    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "a_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("raw", 4).alias("score"),
-        )
-    )
+    return topk_per_anchor(scored, 3)
 
 
 @register(
@@ -293,13 +275,21 @@ def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_lite(
     emb: DataFrame, k: int = 10, iters: int = 2
 ) -> DataFrame:
-    """Deterministic spherical-k-means-lite over embedding arrays:
-    init = the k lowest vec_ids, then Lloyd supersteps (assign to
-    max-dot centroid -> re-average per cluster -> L2-NORMALIZE: the
-    spherical-k-means update; an unnormalized mean of unit vectors
-    shrinks toward 0 and dot scores with it), all native DataFrame
-    ops — posexplode to (cid, pos, val), two-phase avg, re-assemble
-    via sorted collect_list. Returns (cid, cvec array<double>).
+    """Spherical-k-means-lite over embedding arrays: init = the k
+    lowest vec_ids, then Lloyd supersteps (assign to max-dot centroid
+    -> re-average per cluster -> L2-NORMALIZE: the spherical update;
+    an unnormalized mean of unit vectors shrinks toward 0 and dot
+    scores with it), all native DataFrame ops — posexplode to
+    (cid, pos, val), two-phase avg, re-assemble via sorted
+    collect_list. Returns (cid, cvec array<double>).
+
+    Determinism: F.avg's combine order over doubles is not fixed
+    across shuffles, so the per-dimension means are rounded to 6
+    decimals (well above float-combine noise, well below signal)
+    before normalization — downstream assignments and the IVF index
+    are then stable across runs and partition counts. Clusters that
+    receive no members in an iteration drop out (their cid simply has
+    no rows), so the result can hold FEWER than k centroids.
 
     The driver loop is supersteps (like connected_components);
     at 100 TB each round is one broadcast join + one shuffle, and the
@@ -311,12 +301,11 @@ def kmeans_lite(
     )
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
+        assigned = _assign(vecs, centroids, keep_vec=True)
         mean_vec = (
-            assigned.join(vecs, "vec_id")
-            .select("cid", F.posexplode("v").alias("pos", "val"))
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("c"))
+            .agg((F.floor(F.avg("val") * 1e6 + F.lit(0.5)) / 1e6).alias("c"))
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -341,17 +330,32 @@ def kmeans_lite(
     return centroids
 
 
-def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cid) of each vector's max-dot centroid (deterministic
-    tiebreak on cid)."""
+def _assign(
+    vecs: DataFrame, centroids: DataFrame, n: int = 1, keep_vec: bool = False
+) -> DataFrame:
+    """Each vector's n max-dot centroids (deterministic tiebreak on
+    cid): (vec_id, cid[, v])."""
     scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cid", dot(F.col("v"), F.col("cvec")).alias("s")
+        "vec_id", "v", "cid", dot(F.col("v"), F.col("cvec")).alias("s")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+    cols = ["vec_id", "cid"] + (["v"] if keep_vec else [])
+    return out.select(*cols)
+
+
+def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every ANN tier: per-anchor top-k by raw score
+    with deterministic tiebreak, rounded for output."""
+    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .filter(F.col("rn") <= k)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("raw", 4).alias("score"),
+        )
     )
 
 
@@ -360,8 +364,9 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     oracle=None,  # index construction is iterative -> rows-only
     doc=(
         "Approximate NN via an IVF index: k-means-lite partitions the corpus "
-        "into 10 inverted lists; each anchor (vec_id<5) probes its nprobe=3 "
-        "nearest lists and exactly re-scores only their members — the other "
+        "into up to 10 inverted lists (empty clusters drop out); each anchor "
+        "(vec_id<5) probes its nprobe=3 nearest surviving lists and exactly "
+        "re-scores only their members — the other "
         "100 TB ANN path next to q_ann_lsh (coarse quantizer + inverted lists, "
         "the FAISS IVF-flat shape). At scale the lists are the write-time "
         "partition key, so a probe reads nprobe partitions, not the corpus. "
@@ -374,33 +379,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = 3
     centroids = kmeans_lite(emb, k=10, iters=2)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    lists = _assign(vecs, centroids)  # inverted lists: (vec_id, cid)
-    anchors = vecs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
-    )
-    # probe: each anchor's nprobe nearest centroids
-    a_scored = anchors.crossJoin(F.broadcast(centroids)).select(
-        "a_id", "a_v", "cid", dot(F.col("a_v"), F.col("cvec")).alias("s")
-    )
-    wa = Window.partitionBy("a_id").orderBy(F.desc("s"), F.asc("cid"))
-    probes = (
-        a_scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= nprobe)
-        .select("a_id", "a_v", "cid")
+    # inverted lists carry the vector, so probing needs no corpus re-join
+    lists = _assign(vecs, centroids, keep_vec=True)
+    anchors = vecs.filter(F.col("vec_id") < 5)
+    probes = _assign(anchors, centroids, n=nprobe, keep_vec=True).select(
+        F.col("vec_id").alias("a_id"), "cid", F.col("v").alias("a_v")
     )
     cand = (
         probes.join(lists, "cid")
         .filter(F.col("vec_id") != F.col("a_id"))
-        .join(vecs, "vec_id")
         .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
     )
-    w = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "a_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("raw", 4).alias("score"),
-        )
-    )
+    return topk_per_anchor(cand, 3)

@@ -24,10 +24,16 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
-    spark = get_spark("check-oracle", shuffle_partitions=8)
     specs = all_specs()
     if names:
+        # validate before paying JVM startup; exit 2 = usage error,
+        # distinct from the "number of failing queries" contract
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            print(f"unknown queries: {unknown}; known: {sorted(specs)}", file=sys.stderr)
+            return 2
         specs = {n: specs[n] for n in names}
+    spark = get_spark("check-oracle", shuffle_partitions=8)
     con = duckdb_connection(sf_dir)
     failures = 0
     for name, spec in specs.items():
