@@ -425,3 +425,45 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price "
         "FROM customer"
     )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        )
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+        )
+    """,
+    doc=(
+        "IN / NOT IN subqueries: Catalyst plans IN as a left-semi join and "
+        "NOT IN as a null-aware left-anti join — the predicate-subquery forms "
+        "complementing EXISTS (q_semi) / NOT EXISTS (q_anti). No NULLs in the "
+        "fixture keys, so NOT IN's three-valued-logic trap stays inert "
+        "(tests/test_scalars.py covers the NULL cases with literals)."
+    ),
+    tags=("completeness", "join"),
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    orders.createOrReplaceTempView("orders")
+    customer.createOrReplaceTempView("customer")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        )
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+        )
+        """
+    )
