@@ -59,13 +59,18 @@ BENCH_CONF = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # the reference reports separate "disk" (buffer cache cleared) and
+    # "mem" (pre-cached) rows [P]; default mirrors its mem protocol,
+    # SPARK_GRAFT_BENCH_MODE=disk skips the cache (parquet re-scanned
+    # per trial — OS page cache still applies, as in any warm rerun)
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mem")
     spark = get_spark("bench", shuffle_partitions=4, extra_conf=BENCH_CONF)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # pre-cache the working set (the reference's "mem" runs [P]);
-    # identical scans inside the queries hit the cached relation
-    for t in CACHE_TABLES:
-        load_table(spark, sf_dir, t, assert_schema=False).cache().count()
+    if mode == "mem":
+        # identical scans inside the queries hit the cached relation
+        for t in CACHE_TABLES:
+            load_table(spark, sf_dir, t, assert_schema=False).cache().count()
 
     specs = all_specs()
     dfs = {name: specs[name].fn(spark, sf_dir) for name in HEADLINE}
