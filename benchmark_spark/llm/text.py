@@ -263,3 +263,83 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: F.xxhash64(acc, F.xxhash64(t)),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# Character-trigram profile (lang, trigram, weight): the classic
+# n-gram langid signal (cf. Cavnar-Trenkle), sized to the fixture
+# vocabulary. Trigrams include spaces, as real profiles do.
+CHAR_PROFILE: list[tuple[str, str, float]] = [
+    ("en", "the", 1.0),
+    ("en", "he ", 0.6),
+    ("en", "ta ", 0.3),
+    ("en", "dat", 0.5),
+    ("de", "der", 1.0),
+    ("de", "er ", 0.6),
+    ("de", "ind", 0.4),
+    ("es", "col", 0.6),
+    ("es", "umn", 0.5),
+    ("es", "tab", 0.6),
+    ("fr", "que", 0.8),
+    ("fr", "uer", 0.5),
+    ("fr", "vec", 0.6),
+    ("zh", "big", 0.7),
+    ("zh", "str", 0.6),
+    ("zh", "eam", 0.5),
+]
+
+_CHAR_PROFILE_VALUES = ", ".join(f"('{l}', '{t}', {w})" for l, t, w in CHAR_PROFILE)
+
+
+@register(
+    "q_langid_chargram",
+    oracle=f"""
+        WITH profile(p_lang, p_tri, w) AS (VALUES {_CHAR_PROFILE_VALUES}),
+        tris AS (
+            SELECT doc_id, substring(text, CAST(i AS INTEGER), 3) AS tri
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - 1, 2))) AS t(i)
+        ),
+        scores AS (
+            SELECT doc_id, p_lang, round(CAST(SUM(w) AS DOUBLE), 4) AS score
+            FROM tris JOIN profile ON tri = p_tri
+            GROUP BY doc_id, p_lang
+        )
+        SELECT doc_id, p_lang AS lang_pred, score
+        FROM scores
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, p_lang
+        ) = 1
+    """,
+    doc=(
+        "Language ID via CHARACTER trigrams (the Cavnar-Trenkle n-gram-profile "
+        "shape, SURVEY.md §2.10): slide a 3-char window over the raw text "
+        "(spaces included), join a broadcast trigram-weight profile, argmax per "
+        "doc. Complements token-profile q_langid; the extraction is a native "
+        "transform/sequence explode — one shuffle, no UDF."
+    ),
+    tags=("extension", "text"),
+)
+def q_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    profile = spark.sql(
+        "SELECT p_lang, p_tri, CAST(w AS DOUBLE) AS w "
+        f"FROM (VALUES {_CHAR_PROFILE_VALUES}) AS profile(p_lang, p_tri, w)"
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.substring(F.col("text"), i, 3))
+        ).alias("tri"),
+    )
+    scores = (
+        tris.join(F.broadcast(profile), F.col("tri") == F.col("p_tri"))
+        .groupBy("doc_id", "p_lang")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("lang_pred"), "score")
+    )

@@ -226,3 +226,15 @@ def test_sliding_stream_converges_to_batch(spark):
     batch = SPECS["q_sliding"].fn(spark, SF_SMOKE)
     cols = ["w_start", "event_type", "n", "total"]
     assert _rows(spark.table(sink), cols) == _rows(batch, cols)
+
+
+
+# NOTE: transformWithStateInPandas (Spark 4's successor state API) is
+# NOT exercised here: in this container its driver worker crashes at
+# bootstrap inside Spark's own embedded Python
+# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
+# /opt/spark/python/lib/pyspark.zip before user code runs — an
+# environment-level client/JVM Python mismatch, independent of engine
+# code). Arbitrary stateful processing is covered by the stable
+# applyInPandasWithState test above; revisit TWS when the runtime's
+# embedded Python matches the pip client.
