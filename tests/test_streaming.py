@@ -238,3 +238,32 @@ def test_sliding_stream_converges_to_batch(spark):
 # code). Arbitrary stateful processing is covered by the stable
 # applyInPandasWithState test above; revisit TWS when the runtime's
 # embedded Python matches the pip client.
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting an AvailableNow query on the SAME checkpoint must
+    process nothing new (source offsets are committed): the
+    exactly-once contract a 100 TB pipeline restarts rely on."""
+    stream = events_stream(spark, SF_SMOKE)
+    out = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+
+    def run_once():
+        q = (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: no new input -> no new rows
+    n2 = spark.read.parquet(out).count()
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert n1 == want
+    assert n2 == n1
