@@ -427,3 +427,34 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+
+
+@register(
+    "q2_agg_highcard",
+    oracle="""
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+               round(SUM(o_totalprice), 2) AS rev,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_custkey, date_trunc('month', o_orderdate)
+    """,
+    doc=(
+        "Query-2c-style HIGH-CARDINALITY aggregation: (customer, month) keys "
+        "produce a group count of the same order as the input rows — the shape "
+        "that stresses two-phase hash aggregation hardest (~254M groups in the "
+        "reference's 2c [P]): partial agg barely collapses, the shuffle carries "
+        "nearly every row, and the final agg's hash table is the cost. At 100 TB "
+        "this is where spill-to-sort-based aggregation and AQE partition sizing "
+        "earn their keep."
+    ),
+    tags=("reference", "agg"),
+)
+def q2_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -139,3 +139,20 @@ def test_join_strategy_hints(spark):
     assert "ShuffledHashJoin" in shuffle_hash
     bcast = formatted_plan(li.join(orders.hint("broadcast"), cond))
     assert "BroadcastHashJoin" in bcast
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS populates catalog row counts —
+    the prerequisite for CostBasedJoinReorder on multi-way joins
+    (SURVEY.md §4 'run ANALYZE after load')."""
+    from benchmark_spark.catalog import load_table
+
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    load_table(spark, SF_SMOKE, "nation").write.mode("overwrite").option(
+        "path", str(tmp_path / "nation_stats")
+    ).saveAsTable("nation_stats")
+    spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats").collect()
+    stats_row = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats_row, "ANALYZE produced no Statistics entry"
+    assert "25 rows" in stats_row[0]["data_type"]
