@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
-from benchmark_spark.operators.aggregates import dsum
+from benchmark_spark.operators.aggregates import dsum, dsum_sql
 from benchmark_spark.registry import register
 
 
@@ -466,4 +466,100 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
         )
         """
+    )
+
+
+@register(
+    "q_ship_priority",
+    oracle=f"""
+        SELECT o_orderkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3-shaped shipping-priority report: segment-filtered customers "
+        "joined through orders into lineitem with opposing date predicates, "
+        "top-10 unshipped orders by revenue. Dim (customer) broadcasts; the "
+        "fact-fact join carries both date filters pushed to their scans."
+    ),
+    tags=("completeness", "join"),
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10-shaped returned-items report: customers who returned goods "
+        "in a half-year window, ranked by lost revenue, with their nation — "
+        "fact-fact join plus two broadcast dims, top-20."
+    ),
+    tags=("completeness", "join"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    nation = load_table(spark, sf_dir, "nation", assert_schema=False)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
