@@ -458,3 +458,77 @@ def q2_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("rev"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_bool_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000)   AS all_over_1k,
+               bool_or(o_totalprice > 490000)  AS any_jumbo,
+               count_if(o_totalprice > 250000) AS n_big,
+               bit_and(o_orderkey % 256) AS band,
+               bit_or(o_orderkey % 256)  AS bor,
+               bit_xor(o_orderkey % 256) AS bxor
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Boolean + bitwise aggregate battery: bool_and/bool_or/count_if and bit_and/bit_or/bit_xor (SURVEY.md §2.4 completeness).",
+    tags=("completeness", "agg"),
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    b = F.col("o_orderkey") % 256
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 490000).alias("any_jumbo"),
+        F.count_if(F.col("o_totalprice") > 250000).alias("n_big"),
+        F.bit_and(b).alias("band"),
+        F.bit_or(b).alias("bor"),
+        F.bit_xor(b).alias("bxor"),
+    )
+
+
+@register(
+    "q_corr",
+    oracle="""
+        SELECT l_returnflag,
+               (floor(
+                 (COUNT(*) * (CAST(SUM(CAST(round(l_quantity * l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                  - (CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                    * (CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100))
+                 / sqrt(
+                     (COUNT(*) * (CAST(SUM(CAST(round(l_quantity * l_quantity * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000)
+                      - (CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                        * (CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100))
+                     * (COUNT(*) * (CAST(SUM(CAST(round(l_extendedprice * l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                      - (CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                        * (CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100))
+                   ) * 1000000 + 0.5) / 1000000) AS corr_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Pearson correlation via the product-moment identity over EXACT "
+        "fixed-point sums (Sx, Sy, Sxy, Sxx, Syy) — the same strategy as "
+        "variance: built-in corr() implementations differ across engines, the "
+        "identical double formula cannot. Products of 2dp values are exact at "
+        "4dp (qty*qty) / 2dp-x-2dp money scaled at 100 (headroom); native "
+        "F.corr is tolerance-tested against this in tests/test_aggregates.py."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    n = F.count(F.lit(1))
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def fsum(expr, scale):
+        m = 10**scale
+        return F.sum(F.round(expr * m, 0).cast("long")) / F.lit(float(m))
+
+    sx, sy = fsum(q, 2), fsum(p, 2)
+    sxy = fsum(q * p, 2)
+    sxx, syy = fsum(q * q, 4), fsum(p * p, 2)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(rnd(corr, 6).alias("corr_qty_price"))

@@ -72,3 +72,21 @@ def test_grouping_sets_sql_surface(spark):
     grand = [r for r in rows if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
     assert len(statuses) == 3 and len(prios) == 5 and len(grand) == 1
     assert grand[0]["n"] == 1500
+
+
+def test_native_corr_matches_exact_formula(spark):
+    from benchmark_spark.registry import all_specs
+
+    manual = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in all_specs()["q_corr"].fn(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    native = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    for k in native:
+        assert math.isclose(native[k], manual[k], rel_tol=1e-4, abs_tol=1e-6)
