@@ -249,3 +249,45 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink)
+
+
+@register(
+    "q_funnel",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS s_ts,
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_p
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(s_ts) AS n_signup,
+               count_if(last_p > s_ts) AS n_converted,
+               (floor(count_if(last_p > s_ts) * 1.0 / COUNT(s_ts) * 1000000 + 0.5)
+                / 1000000) AS conv_rate
+        FROM per_user
+    """,
+    doc=(
+        "Conversion funnel over the events table: users who signed up, users "
+        "whose latest purchase follows their first signup, and the conversion "
+        "rate — the canonical product-analytics two-step funnel as one grouped "
+        "aggregation plus a global rollup (no self-join: per-user conditional "
+        "MIN/MAX carry both funnel stages through a single shuffle)."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_p"),
+    )
+    converted = F.col("last_p") > F.col("s_ts")
+    n_signup = F.count("s_ts")
+    n_conv = F.count_if(converted)
+    rate = F.floor(n_conv * 1.0 / n_signup * 1e6 + F.lit(0.5)) / 1e6
+    return per_user.agg(
+        n_signup.alias("n_signup"),
+        n_conv.alias("n_converted"),
+        rate.alias("conv_rate"),
+    )
