@@ -162,10 +162,10 @@ def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price,
                (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) AS avg_price,
-               sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               sqrt(((CAST(SUM(CAST(floor(o_totalprice * o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
                      - (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) * (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*))
                     / (COUNT(*) - 1)) AS sd_price,
-               (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               ((CAST(SUM(CAST(floor(o_totalprice * o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
                      - (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) * (CAST(SUM(CAST(round((o_totalprice) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*))
                     / (COUNT(*) - 1) AS var_price
         FROM orders
@@ -174,19 +174,22 @@ def q5_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Aggregate-function battery: COUNT/MIN/MAX/AVG/STDDEV/VARIANCE "
         "(SURVEY.md §2.4). Variance/stddev use the sum-of-squares identity over "
-        "EXACT decimal sums so both engines evaluate the identical double formula "
-        "(built-in stddev_samp implementations differ, e.g. Welford vs naive); "
-        "the native fns are property-tested in tests/test_aggregates.py."
+        "EXACT fixed-point sums in the floor(x*10^k+0.5) form — both engines "
+        "floor the IDENTICAL double, so the integer sums match bit-for-bit even "
+        "when x*x*100 lands on a rounding half (the earlier DECIMAL(38,6) cast "
+        "diverged because Spark and DuckDB round double->decimal differently). "
+        "Headroom: max(price^2)*100 ~ 4e13/row -> BIGINT overflows past ~2e5 "
+        "rows/group at sf>=10; switch to DECIMAL(38,0) sums there. Built-in "
+        "stddev_samp/var_samp are property-tested in tests/test_aggregates.py."
     ),
     tags=("completeness", "agg"),
 )
 def q_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
     n = F.count(F.lit(1))
-    s1 = dsum(F.col("o_totalprice"))
-    s2 = F.sum(
-        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,6)")
-    ).cast("double")
+    p = F.col("o_totalprice")
+    s1 = dsum(p)
+    s2 = F.sum(F.floor(p * p * 100 + F.lit(0.5))) / F.lit(100.0)
     var = (s2 - s1 * s1 / n) / (n - 1)
     return orders.groupBy("o_orderstatus").agg(
         n.alias("n"),
@@ -464,8 +467,8 @@ def q2_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bool_agg",
     oracle="""
         SELECT o_orderstatus,
-               bool_and(o_totalprice > 1000)   AS all_over_1k,
-               bool_or(o_totalprice > 490000)  AS any_jumbo,
+               CAST(bool_and(o_totalprice > 1000) AS INTEGER)  AS all_over_1k,
+               CAST(bool_or(o_totalprice > 490000) AS INTEGER) AS any_jumbo,
                count_if(o_totalprice > 250000) AS n_big,
                bit_and(o_orderkey % 256) AS band,
                bit_or(o_orderkey % 256)  AS bor,
@@ -473,15 +476,21 @@ def q2_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderstatus
     """,
-    doc="Boolean + bitwise aggregate battery: bool_and/bool_or/count_if and bit_and/bit_or/bit_xor (SURVEY.md §2.4 completeness).",
+    doc=(
+        "Boolean + bitwise aggregate battery: bool_and/bool_or/count_if and "
+        "bit_and/bit_or/bit_xor (SURVEY.md §2.4 completeness). The boolean "
+        "aggregate outputs are cast to INT on BOTH engines: values are "
+        "bit-identical but the driver's value-hash serializes Spark vs DuckDB "
+        "booleans differently (same dodge as q_collect's array rendering)."
+    ),
     tags=("completeness", "agg"),
 )
 def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
     b = F.col("o_orderkey") % 256
     return orders.groupBy("o_orderstatus").agg(
-        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-        F.bool_or(F.col("o_totalprice") > 490000).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 490000).cast("int").alias("any_jumbo"),
         F.count_if(F.col("o_totalprice") > 250000).alias("n_big"),
         F.bit_and(b).alias("band"),
         F.bit_or(b).alias("bor"),

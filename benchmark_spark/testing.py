@@ -40,10 +40,12 @@ def _norm(v: object) -> object:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse float noise below relative 1e-9 by rounding to 9
-        # significant-ish digits; queries additionally round on both
-        # sides so this is belt-and-braces
-        return float(f"{v:.10g}")
+        # EXACT comparison: the driver hashes full-precision values, so a
+        # last-ulp divergence the round-1 10-significant-digit collapse
+        # hid here still failed the driver (q_agg_funcs). Queries must
+        # produce bit-identical doubles (fixed-point sums / floor-form
+        # rounding on both engines), and the gate must prove it.
+        return v
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):
