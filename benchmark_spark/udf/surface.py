@@ -4,6 +4,7 @@ The reference's only extensibility point is Hive TRANSFORM: a child
 process fed rows on stdin, emitting typed rows on stdout [P]. Spark
 offers a ladder of better options, all covered here:
 
+  * row-at-a-time scalar @udf (slow path, contrast) — q_scalar_udf
   * vectorized scalar pandas_udf (Arrow batches)   — q_pandas_udf
   * grouped-agg pandas_udf (custom UDAF)           — q_grouped_agg_udf
   * applyInPandas (grouped map)                    — q_apply_in_pandas
@@ -35,10 +36,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import rnd, rnd_sql
 from benchmark_spark.operators.wordcount import WORDCOUNT_ORACLE
 from benchmark_spark.registry import register
 
 _CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "wordcount_child.py")
+
+
+@register(
+    "q_scalar_udf",
+    oracle="""
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 1)
+                 || CASE WHEN o_totalprice > 300000 THEN ':BIG' ELSE ':STD' END AS tag
+        FROM orders
+        WHERE o_totalprice > 200000
+    """,
+    doc=(
+        "Row-at-a-time scalar Python @udf (SURVEY.md §2.10 'Scalar Python UDF') "
+        "— registered ONLY to prove the extension point and for contrast with "
+        "q_pandas_udf: each row crosses the JVM<->Python boundary individually "
+        "(pickled, no Arrow), ~10-100x slower than the vectorized ladder above. "
+        "Never use in a hot path; the idiomatic surface expresses this tag as "
+        "pure SQL (the oracle)."
+    ),
+    tags=("udf",),
+)
+def q_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("string")
+    def tag(prio: str, price: float) -> str:
+        return prio[0] + (":BIG" if price > 300000 else ":STD")
+
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", tag("o_orderpriority", "o_totalprice").alias("tag")
+    )
 
 
 @register(
@@ -67,11 +99,16 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouped_agg_udf",
     oracle="""
         SELECT l_returnflag,
-               round(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_disc
+               {wavg} AS wavg_disc
         FROM lineitem
         GROUP BY l_returnflag
-    """,
-    doc="Custom UDAF via grouped-agg pandas_udf: quantity-weighted average discount per return flag.",
+    """.format(wavg=rnd_sql("SUM(l_discount * l_quantity) / SUM(l_quantity)", 6)),
+    doc=(
+        "Custom UDAF via grouped-agg pandas_udf: quantity-weighted average "
+        "discount per return flag. The ratio is rounded via the tie-deterministic "
+        "floor(x*1e6+0.5)/1e6 form on BOTH engines (plain round() diverges on "
+        "half-way ratios — see operators/aggregates.rnd)."
+    ),
     tags=("udf",),
 )
 def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +118,7 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
     return li.groupBy("l_returnflag").agg(
-        F.round(wavg("l_discount", "l_quantity"), 6).alias("wavg_disc")
+        rnd(wavg("l_discount", "l_quantity"), 6).alias("wavg_disc")
     )
 
 
