@@ -214,7 +214,7 @@ def lsh_candidates(
     oracle=None,  # xxhash64-seeded permutations are engine-specific -> rows-only
     doc=(
         "MinHash+LSH near-dup detection over the planted-near-dup corpus: "
-        "3-gram shingles -> 16 seeded minhashes -> 4 bands x 4 rows -> bucket join "
+        "3-gram shingles -> 16 seeded minhashes -> 8 bands x 2 rows -> bucket join "
         "-> exact-Jaccard verification of candidates only; emits pairs with "
         "verified shingle-Jaccard >= 0.5. tests/test_llm.py asserts every planted "
         "pair (doc, doc+1M) is recovered. Rows-only: minhash values depend on the "

@@ -82,7 +82,7 @@ def q4_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTAS analogue: register the intermediate as a view; the second
     # step re-aggregates from it (Catalyst still fuses unless a real
     # write sink is requested — the sink variant is exercised in
-    # tests/test_sinks.py with an actual parquet round-trip).
+    # tests/test_sources.py with an actual parquet round-trip).
     partial.createOrReplaceTempView("url_counts_partial")
     return spark.table("url_counts_partial").groupBy("word").agg(
         F.sum("cnt").cast("long").alias("total")

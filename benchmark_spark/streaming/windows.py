@@ -76,6 +76,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
+    # re-create rather than reuse a stale link: the stage dir is keyed
+    # by basename(sf_dir), so a link left by a run against a different
+    # parent directory (or a since-removed fixture) would silently feed
+    # the stream old data
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.remove(link)
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
