@@ -258,10 +258,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # engine-specific 64-bit hash -> rows-only
     doc=(
         "SimHash near-dup: 64-bit signature per doc (sign of per-bit vote over "
-        "token hashes), then Hamming-distance pairs within `source` blocks. "
-        "Emits (a_id, b_id, hamming) for distance <= 8. tests/test_llm.py asserts "
-        "planted near-dups land within the threshold. At 100 TB the pair join "
-        "blocks on signature prefixes instead of `source` (multi-probe)."
+        "token hashes), candidate pairs blocked on SIGNATURE BANDS (Manku-style "
+        "block permutation): the 64 bits split into 9 disjoint bands (8x7 + 1x8 "
+        "bits); any pair at Hamming distance <= 8 flips bits in at most 8 bands, "
+        "so by pigeonhole it collides on at least one band — EXACT recall at the "
+        "threshold, with the join touching only same-band-value buckets "
+        "(~n/128 docs each) rather than all pairs in a `source` block (the "
+        "round-1 blocking, quadratic when source cardinality is low). Emits "
+        "(a_id, b_id, hamming) for distance <= 8; tests/test_llm.py asserts the "
+        "planted near-dups land within threshold. At 100 TB: hot buckets (e.g. "
+        "boilerplate-heavy corpora) skew the band join — AQE skew-join handles "
+        "moderate skew; beyond that, widen bands and add rotated-signature "
+        "probes (multi-probe) to keep buckets selective."
     ),
     tags=("extension", "dedup", "rows-only"),
 )
@@ -294,21 +302,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    # 9 disjoint bands: i=0..7 -> bits [7i, 7i+7) (7-bit mask 127),
+    # i=8 -> bits [56, 64) (8-bit mask 255). Hamming <= 8 flips <= 8
+    # bands, so every qualifying pair shares >= 1 (band, band_val) key.
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 8),"
+                " i -> shiftright(simhash, i * 7)"
+                "      & (case when i = 8 then 255 else 127 end))"
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= 8)
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            hamming.cast("long").alias("hamming"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= 8).select(
+        "a_id", "b_id", hamming.cast("long").alias("hamming")
     )
 
 
