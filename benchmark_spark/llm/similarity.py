@@ -272,11 +272,89 @@ def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(rnd(F.avg("val"), 6).alias("c"))
 
 
-def kmeans_lite(
-    emb: DataFrame, k: int = 10, iters: int = 2
+def kmeans_parallel_init(
+    vecs: DataFrame, k: int, rounds: int = 2, oversample: int | None = None
 ) -> DataFrame:
-    """Spherical-k-means-lite over embedding arrays: init = the k
-    lowest vec_ids, then Lloyd supersteps (assign to max-dot centroid
+    """k-means|| seeding (Bahmani et al., VLDB 2012), deterministic.
+
+    Instead of k arbitrary rows, oversample candidates proportional to
+    their angular cost against the centers chosen so far, over a few
+    supersteps, then reduce the small candidate set to k driver-side:
+
+      1. seed with the lowest vec_id;
+      2. each round: cost(x) = 1 - max_dot(x, C) vs a BROADCAST candidate
+         table, phi = total cost (one scalar to the driver), keep x with
+         u(x) < oversample * cost(x) / phi where u(x) is a deterministic
+         uniform derived from xxhash64(vec_id, round) — reproducible
+         "randomness", no RNG state;
+      3. weight every candidate by how many points it is nearest to, then
+         greedy max-min (k-center sweep, heaviest first) over the <=
+         ~2*k*rounds candidates in numpy — tiny, deterministic, and
+         spreads seeds instead of stacking them in dense regions.
+
+    Each round is one broadcast join + one scalar agg — no all-pairs
+    work, so the shape survives 100 TB (candidates stay O(k*rounds)).
+    Returns (cid, cvec array<double>) with cid = the candidate's vec_id.
+    """
+    import numpy as np
+
+    if oversample is None:
+        oversample = 2 * k
+    cand = vecs.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    for r in range(rounds):
+        cost = (
+            vecs.crossJoin(F.broadcast(cand))
+            .groupBy("vec_id")
+            .agg(F.first("v").alias("v"), F.max(dot(F.col("v"), F.col("cvec"))).alias("best"))
+            .select("vec_id", "v", F.greatest(F.lit(0.0), 1 - F.col("best")).alias("cost"))
+        )
+        phi = cost.agg(F.sum("cost")).first()[0]
+        if not phi or phi <= 0:
+            break  # every point already coincides with a candidate
+        # u ~ Uniform[0,1): low 53 bits of a seeded hash — deterministic
+        u = (
+            F.shiftrightunsigned(F.xxhash64(F.col("vec_id"), F.lit(r)), 11)
+            / F.lit(float(1 << 53))
+        )
+        picked = cost.filter(u < F.lit(float(oversample)) * F.col("cost") / F.lit(float(phi)))
+        cand = (
+            cand.unionByName(
+                picked.select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+            )
+            .dropDuplicates(["cid"])
+            .localCheckpoint(eager=True)
+        )
+    weights = {
+        r["cid"]: r["w"]
+        for r in _assign(vecs, cand).groupBy("cid").agg(F.count(F.lit(1)).alias("w")).collect()
+    }
+    cand_rows = sorted(cand.collect(), key=lambda r: r["cid"])
+    ids = [r["cid"] for r in cand_rows]
+    mat = np.array([r["cvec"] for r in cand_rows])
+    order = sorted(range(len(ids)), key=lambda i: (-weights.get(ids[i], 0), ids[i]))
+    chosen = [order[0]]
+    while len(chosen) < min(k, len(ids)):
+        sel = mat[chosen]
+        # min angular distance to already-chosen seeds, weight-blind:
+        # max-min spread matters more than mass once the heaviest leads
+        d = 1.0 - (mat @ sel.T).max(axis=1)
+        d[chosen] = -1.0
+        best = max(range(len(ids)), key=lambda i: (d[i], -ids[i]))
+        if d[best] <= 0:
+            break
+        chosen.append(best)
+    keep = sorted(ids[i] for i in chosen)
+    return cand.filter(F.col("cid").isin(keep))
+
+
+def kmeans_lite(
+    emb: DataFrame, k: int = 10, iters: int = 2, init: str = "parallel"
+) -> DataFrame:
+    """Spherical-k-means-lite over embedding arrays: init = k-means||
+    seeding (kmeans_parallel_init; init='first' falls back to the k
+    lowest vec_ids), then Lloyd supersteps (assign to max-dot centroid
     -> re-average per cluster -> L2-NORMALIZE: the spherical update;
     an unnormalized mean of unit vectors shrinks toward 0 and dot
     scores with it), all native DataFrame ops — posexplode to
@@ -295,11 +373,14 @@ def kmeans_lite(
     at 100 TB each round is one broadcast join + one shuffle, and the
     centroid table (k x dim doubles) always broadcasts.
     """
-    centroids = emb.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("cvec"),
-    )
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if init == "parallel":
+        centroids = kmeans_parallel_init(vecs, k)
+    else:
+        centroids = emb.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
     for _ in range(iters):
         assigned = _assign(vecs, centroids, keep_vec=True)
         mean_vec = (
@@ -363,20 +444,22 @@ def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
     "q_ann_ivf",
     oracle=None,  # index construction is iterative -> rows-only
     doc=(
-        "Approximate NN via an IVF index: k-means-lite partitions the corpus "
-        "into up to 10 inverted lists (empty clusters drop out); each anchor "
-        "(vec_id<5) probes its nprobe=3 nearest surviving lists and exactly "
-        "re-scores only their members — the other "
+        "Approximate NN via an IVF index: k-means-lite (k-means|| seeded) "
+        "partitions the corpus into up to 10 inverted lists (empty clusters "
+        "drop out); each anchor (vec_id<5) probes its nprobe=4 nearest "
+        "surviving lists and exactly re-scores only their members — the other "
         "100 TB ANN path next to q_ann_lsh (coarse quantizer + inverted lists, "
-        "the FAISS IVF-flat shape). At scale the lists are the write-time "
-        "partition key, so a probe reads nprobe partitions, not the corpus. "
-        "Recall vs brute force asserted in tests/test_llm.py."
+        "the FAISS IVF-flat shape). k-means|| seeding spreads the coarse "
+        "centroids (no first-k clumping), which partitions the space more "
+        "finely — nprobe=4 buys the recall back (recall/cost tradeoff measured "
+        "in tests/test_llm.py). At scale the lists are the write-time "
+        "partition key, so a probe reads nprobe partitions, not the corpus."
     ),
     tags=("extension", "similarity", "rows-only"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    nprobe = 3
+    nprobe = 4
     centroids = kmeans_lite(emb, k=10, iters=2)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # inverted lists carry the vector, so probing needs no corpus re-join

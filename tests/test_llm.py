@@ -166,9 +166,35 @@ def test_kmeans_lite_improves_assignment_similarity(spark):
     assert mean_sim(c2) >= mean_sim(c0) - 1e-9
 
 
+def test_kmeans_parallel_init_is_deterministic_and_spread(spark):
+    """k-means|| seeding must reproduce bit-identically across runs
+    (hash-derived sampling, no RNG state) and pick k distinct,
+    non-clumped seeds: pairwise dot < 1 means no duplicate vectors."""
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.llm.similarity import dot, kmeans_parallel_init
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    c1 = kmeans_parallel_init(vecs, k=10)
+    c2 = kmeans_parallel_init(vecs, k=10)
+    ids1 = sorted(r["cid"] for r in c1.collect())
+    ids2 = sorted(r["cid"] for r in c2.collect())
+    assert ids1 == ids2
+    assert len(ids1) == len(set(ids1)) == 10
+    a, b = c1.alias("a"), c1.alias("b")
+    max_pair = (
+        a.join(b, F.col("a.cid") < F.col("b.cid"))
+        .select(dot(F.col("a.cvec"), F.col("b.cvec")).alias("s"))
+        .agg(F.max("s"))
+        .first()[0]
+    )
+    assert max_pair < 0.999
+
+
 def test_ann_ivf_recall_vs_brute_force(spark):
-    """IVF with nprobe=3 of 10 lists must recover a solid share of the
-    true top-3 (deterministic index -> stable measured recall)."""
+    """IVF with nprobe=4 of 10 k-means||-seeded lists must recover a
+    solid share of the true top-3 (deterministic index -> stable
+    measured recall)."""
     truth = {
         (r["a_id"], r["neighbor_id"])
         for r in SPECS["q_knn_batch"].fn(spark, SF_SMOKE).collect()
