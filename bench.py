@@ -64,7 +64,8 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_MODE=disk skips the cache (parquet re-scanned
     # per trial — OS page cache still applies, as in any warm rerun)
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mem")
-    spark = get_spark("bench", shuffle_partitions=4, extra_conf=BENCH_CONF)
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
+    spark = get_spark("bench", shuffle_partitions=shuffle, extra_conf=BENCH_CONF)
     spark.sparkContext.setLogLevel("ERROR")
 
     if mode == "mem":
@@ -74,10 +75,16 @@ def main() -> None:
 
     specs = all_specs()
     dfs = {name: specs[name].fn(spark, sf_dir) for name in HEADLINE}
+    # per-action fixed-cost probe: a one-row single-partition action
+    # carries zero query work, so its time is pure py4j round-trip +
+    # job/task scheduling + Arrow collection — the floor under every
+    # headline number (see BENCH_NOTES.md)
+    floor_df = spark.range(0, 1, 1, 1)
 
     # global warm-up: JIT/codegen/broadcasts reach steady state before
     # any measurement (first executions are 2-3x slower)
     for _ in range(WARMUP_ROUNDS):
+        floor_df.toPandas()
         for df in dfs.values():
             df.toPandas()
 
@@ -85,7 +92,11 @@ def main() -> None:
     # round, median across rounds — drift (GC, JIT recompiles, OS
     # noise) hits all queries equally instead of one query's trials
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    floor_samples: list[float] = []
     for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        floor_df.toPandas()
+        floor_samples.append(time.perf_counter() - t0)
         for name, df in dfs.items():
             t0 = time.perf_counter()
             df.toPandas()  # Arrow-batched result materialization
@@ -101,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "floor_sec": round(statistics.median(floor_samples), 4),
             }
         )
     )
