@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import rnd, rnd_sql
 from benchmark_spark.registry import register
 
 # 16 minhashes banded 8x2: P(candidate) = 1-(1-j^2)^8 — 0.89 at
@@ -164,63 +165,141 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """k-permutation MinHash: sig_i = min over shingles of the i-th
-    derived hash. The variable-length shingle STRING is hashed once
-    (xxhash64), then the k permutations derive from the 64-bit base
-    (xxhash64 over two longs) — k-1 string hashes cheaper per shingle,
-    which dominates at corpus scale. One groupBy, k aggregates, all
-    JVM-side."""
-    based = sh.withColumn("_h", F.xxhash64(F.col("shingle")))
+    derived hash, where hash_i(s) = the first 60 bits of
+    md5("i|" || s) as a BIGINT. md5 (not xxhash64) so the ENTIRE
+    pipeline is expressible identically in the DuckDB oracle —
+    cross-engine hash-verified, not rows-only. One groupBy, k
+    aggregates, all JVM-side codegen. At 100 TB swap the md5 base for
+    xxhash64-derived permutations (one line here, ~3x cheaper per
+    shingle) once an oracle is no longer in the loop."""
     aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return based.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(
     sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:
-    """Band the signature, bucket-join within (band, band_hash): only
-    documents agreeing on a full band meet — the quadratic step never
-    sees the whole corpus."""
+    """Band the signature, bucket-join within a band on the RAW row
+    values (portable join key — no engine hash in the bucket id):
+    only documents agreeing on a full band meet, so the quadratic
+    step never sees the whole corpus."""
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
+            *[
+                F.col(f"h{j * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ],
         )
         for j in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+        "doc_id",
+        F.col("b.band").alias("band"),
+        *[F.col(f"b.r{r}").alias(f"r{r}") for r in range(rows_per_band)],
     )
     x = banded.alias("x")
     y = banded.alias("y")
+    cond = (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+    for r in range(rows_per_band):
+        cond = cond & (F.col(f"x.r{r}") == F.col(f"y.r{r}"))
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        x.join(y, cond)
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
 
 
+# The oracle replays the ENTIRE pipeline in DuckDB: the md5-derived
+# permutation hashes are bit-identical across engines (60-bit hex
+# prefix -> BIGINT), so signatures, banding, candidate pairs, and the
+# exact-Jaccard verdict all hash-match — a full cross-engine proof of
+# an approximate-dedup pipeline, not a rows-only count.
+_MINHASH_SIG_COLS = ",\n               ".join(
+    f"MIN(CAST('0x' || substring(md5('{i}|' || shingle), 1, 15) AS BIGINT)) AS h{i}"
+    for i in range(NUM_HASHES)
+)
+_MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, h{ROWS_PER_BAND * j} AS r0,"
+    f" h{ROWS_PER_BAND * j + 1} AS r1 FROM sigs"
+    for j in range(BANDS)
+)
+_MINHASH_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                   greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2), ' ')
+                   ))) AS shingle
+            FROM corpus
+        )
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {_MINHASH_SIG_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {_MINHASH_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1
+         AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a_id, b_id, COUNT(*) AS isect
+        FROM cand
+        JOIN sh pa ON pa.doc_id = a_id
+        JOIN sh pb ON pb.doc_id = b_id AND pb.shingle = pa.shingle
+        GROUP BY a_id, b_id
+    )
+    SELECT a_id, b_id,
+           {rnd_sql("isect * 1.0 / (sa.n + sb.n - isect)", 4)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.5
+"""
+
+
 @register(
     "q_dedup_minhash",
-    oracle=None,  # xxhash64-seeded permutations are engine-specific -> rows-only
+    oracle=_MINHASH_ORACLE,
     doc=(
         "MinHash+LSH near-dup detection over the planted-near-dup corpus: "
-        "3-gram shingles -> 16 seeded minhashes -> 8 bands x 2 rows -> bucket join "
-        "-> exact-Jaccard verification of candidates only; emits pairs with "
-        "verified shingle-Jaccard >= 0.5. tests/test_llm.py asserts every planted "
-        "pair (doc, doc+1M) is recovered. Rows-only: minhash values depend on the "
-        "engine's xxhash64."
+        "3-gram shingles -> 16 md5-derived minhashes -> 8 bands x 2 rows -> "
+        "bucket join -> exact-Jaccard verification of candidates only; emits "
+        "pairs with verified shingle-Jaccard >= 0.5. The md5 permutation base "
+        "makes every stage bit-identical in DuckDB, so the driver HASH-checks "
+        "the whole approximate pipeline (upgraded from rows-only in round 2). "
+        "tests/test_llm.py asserts every planted pair (doc, doc+1M) is "
+        "recovered."
     ),
-    tags=("extension", "dedup", "rows-only"),
+    tags=("extension", "dedup"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = doubled_corpus(spark, sf_dir)
@@ -249,7 +328,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
         .join(sb, F.col("sb.doc_id") == F.col("b_id"))
         .filter(jac >= 0.5)
-        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
     )
 
 

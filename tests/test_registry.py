@@ -54,6 +54,5 @@ def test_rows_only_in_window_are_all_by_design():
     # each is a non-SQL-expressible approximate/stateful operator with
     # its own dedicated recall/shape tests (tests/test_llm.py etc.)
     assert rows_only == {
-        "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-        "q_multimodal_features",
+        "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_multimodal_features",
     }
