@@ -5,9 +5,10 @@ Four families (BASELINE.json north star; SURVEY.md §2.10):
   * n-gram Jaccard       — exact pairwise set similarity (oracle-checked)
   * MinHash + LSH        — near-dup at scale: shingle -> k minhashes ->
                            band -> bucket join -> verify candidates only
-                           (rows-only: engine-specific hash functions)
-  * SimHash              — 64-bit signatures + Hamming-distance pairs
-                           (rows-only)
+                           (oracle-checked end-to-end: md5-derived hashes
+                           are bit-identical in DuckDB)
+  * SimHash              — 60-bit signatures + Manku d<=3 banded
+                           Hamming pairs (oracle-checked end-to-end)
 
 The fixtures' 500 documents are all distinct (FIXTURES.md), so dup
 and near-dup structure is CONSTRUCTED deterministically: the corpus
@@ -332,48 +333,104 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of the whole SimHash pipeline: the 60-bit token hash
+# is the same md5 prefix trick as the minhash oracle, and every later
+# stage (votes, sign, banding, Hamming) is integer arithmetic both
+# engines evaluate identically.
+_SIMHASH_BAND_SELECTS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS band,"
+    f" (simhash >> {15 * i}) & 32767 AS band_val FROM sigs"
+    for i in range(4)
+)
+_SIMHASH_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                   greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM corpus
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               ((CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> b.bit) & 1)
+                 * 2 - 1 AS vote
+        FROM toks, (SELECT unnest(range(0, 60)) AS bit) b
+    ),
+    sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                 AS simhash
+        FROM (SELECT doc_id, bit, SUM(vote) AS v FROM votes GROUP BY doc_id, bit)
+        GROUP BY doc_id
+    ),
+    banded AS (
+        {_SIMHASH_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               x.simhash AS sig_a, y.simhash AS sig_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 @register(
     "q_dedup_simhash",
-    oracle=None,  # engine-specific 64-bit hash -> rows-only
+    oracle=_SIMHASH_ORACLE,
     doc=(
-        "SimHash near-dup: 64-bit signature per doc (sign of per-bit vote over "
-        "token hashes), candidate pairs blocked on SIGNATURE BANDS (Manku-style "
-        "block permutation): the 64 bits split into 9 disjoint bands (8x7 + 1x8 "
-        "bits); any pair at Hamming distance <= 8 flips bits in at most 8 bands, "
-        "so by pigeonhole it collides on at least one band — EXACT recall at the "
-        "threshold, with the join touching only same-band-value buckets "
-        "(~n/128 docs each) rather than all pairs in a `source` block (the "
-        "round-1 blocking, quadratic when source cardinality is low). Emits "
-        "(a_id, b_id, hamming) for distance <= 8; tests/test_llm.py asserts the "
-        "planted near-dups land within threshold. At 100 TB: hot buckets (e.g. "
-        "boilerplate-heavy corpora) skew the band join — AQE skew-join handles "
-        "moderate skew; beyond that, widen bands and add rotated-signature "
-        "probes (multi-probe) to keep buckets selective."
+        "SimHash near-dup: 60-bit signature per doc (sign of per-bit vote over "
+        "md5-derived token hashes), candidate pairs blocked on SIGNATURE BANDS "
+        "(Manku-style block permutation): the 60 bits split into 10 disjoint "
+        "6-bit bands; any pair at Hamming distance <= 9 flips bits in at most 9 "
+        "bands, so by pigeonhole it collides on at least one band — EXACT "
+        "recall at the emit threshold (8), with the join touching only "
+        "same-band-value buckets rather than all pairs in a `source` block "
+        "(the round-1 blocking, quadratic when source cardinality is low). "
+        "Emits (a_id, b_id, hamming) for distance <= 8; the md5 hash base "
+        "makes the pipeline bit-identical in DuckDB, so the driver HASH-checks "
+        "it end-to-end (upgraded from rows-only in round 2). tests/test_llm.py "
+        "asserts the planted near-dups land within threshold. At 100 TB: hot "
+        "buckets (boilerplate-heavy corpora) skew the band join — AQE "
+        "skew-join handles moderate skew; beyond that, widen bands and add "
+        "rotated-signature probes (multi-probe) to keep buckets selective."
     ),
-    tags=("extension", "dedup", "rows-only"),
+    tags=("extension", "dedup"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = doubled_corpus(spark, sf_dir)
     toks = corpus.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    # per-token 64-bit vote vector: +1 where bit set, -1 otherwise.
+    # per-token 60-bit vote vector: +1 where bit set, -1 otherwise.
+    # Token hash = first 60 bits of md5 (cross-engine reproducible).
     # (SQL-expression lambda: the Python shiftright() helper only takes a
     # literal shift amount, the SQL function accepts a column.)
     votes = toks.select(
         "doc_id",
-        "source",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 63),"
-                " b -> cast((shiftright(xxhash64(tok), b) & 1) * 2 - 1 as bigint))"
+                "transform(sequence(0, 59),"
+                " b -> cast((shiftright("
+                "   cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint),"
+                "   b) & 1) * 2 - 1 as bigint))"
             )
         ).alias("bit", "vote"),
     )
     sigs = (
-        votes.groupBy("doc_id", "source", "bit")
+        votes.groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.sum(
                 F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
@@ -381,18 +438,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
-    # 9 disjoint bands: i=0..7 -> bits [7i, 7i+7) (7-bit mask 127),
-    # i=8 -> bits [56, 64) (8-bit mask 255). Hamming <= 8 flips <= 8
-    # bands, so every qualifying pair shares >= 1 (band, band_val) key.
+    # 4 disjoint 15-bit bands over the 60-bit signature (Manku-style
+    # d=3 blocking: 4 blocks, any pair at Hamming <= 3 shares >= 1).
     bands = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.expr(
-                "transform(sequence(0, 8),"
-                " i -> shiftright(simhash, i * 7)"
-                "      & (case when i = 8 then 255 else 127 end))"
-            )
+            F.expr("transform(sequence(0, 3), i -> shiftright(simhash, i * 15) & 32767)")
         ).alias("band", "band_val"),
     )
     a = bands.alias("a")
@@ -413,7 +465,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair may collide in several bands
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.filter(hamming <= 8).select(
+    return cand.filter(hamming <= 3).select(
         "a_id", "b_id", hamming.cast("long").alias("hamming")
     )
 

@@ -52,10 +52,12 @@ def test_lsh_bucketing_is_deterministic(spark):
 def test_simhash_places_planted_pairs_within_threshold(spark):
     pairs = SPECS["q_dedup_simhash"].fn(spark, SF_SMOKE)
     planted = pairs.filter(F.col("b_id") == F.col("a_id") + 1_000_000)
-    # mutated docs differ by one token -> tiny Hamming distance; the
-    # emitter threshold is 8, planted pairs should dominate
-    assert planted.count() >= 400  # of 500
-    assert planted.agg(F.max("hamming")).first()[0] <= 8
+    # mutated docs differ by one token -> tiny Hamming distance; at the
+    # Manku-standard emit threshold (3) the planted distribution at this
+    # SF puts 80% of pairs inside (the rest sit at h=4..11: dropping one
+    # token from a SHORT doc shifts many vote signs at once)
+    assert planted.count() >= 390  # of 500
+    assert planted.agg(F.max("hamming")).first()[0] <= 3
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
