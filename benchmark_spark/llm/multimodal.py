@@ -110,16 +110,67 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "media_type", "n_bytes", "content_hash")
 
 
+# DuckDB replay of the deterministic fake extractor: payload bytes are
+# recovered by hex-ing the utf-8 blob and parsing 2-char windows, then
+# checksum and the 4 byte-window means are plain integer/double math
+# both engines evaluate identically — so even the stubbed multimodal
+# path is hash-verified end-to-end, not rows-only. (A real decoder
+# would be rows-only again; the plumbing under it stays proven.)
+_FEATURES_ORACLE = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+               hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, t.i AS i,
+               CAST('0x' || substring(hx, CAST(2 * t.i + 1 AS INT), 2) AS BIGINT) AS b
+        FROM media, unnest(range(0, n)) AS t(i)
+    ),
+    chk AS (SELECT doc_id, SUM(b) % 997 AS checksum FROM bytes GROUP BY doc_id),
+    dims AS (
+        SELECT doc_id, n, greatest(n // 4, 1) AS chunk, d.d AS dim
+        FROM media, unnest(range(0, 4)) AS d(d)
+    ),
+    win AS (
+        -- python: window = payload[dim*chunk:(dim+1)*chunk] or payload[-chunk:]
+        SELECT doc_id, dim,
+               CASE WHEN dim * chunk < n THEN dim * chunk ELSE n - chunk END AS lo,
+               CASE WHEN dim * chunk < n THEN least((dim + 1) * chunk, n) ELSE n END AS hi
+        FROM dims
+    ),
+    feat AS (
+        SELECT w.doc_id, w.dim,
+               SUM(b.b) * 1.0 / (255.0 * (w.hi - w.lo)) AS m
+        FROM win w
+        JOIN bytes b ON b.doc_id = w.doc_id AND b.i >= w.lo AND b.i < w.hi
+        GROUP BY w.doc_id, w.dim, w.hi, w.lo
+    ),
+    feats AS (SELECT doc_id, list(m ORDER BY dim) AS feature FROM feat GROUP BY doc_id)
+    SELECT m.doc_id, m.media_type, m.n AS n_bytes,
+           COALESCE(c.checksum, 0) AS checksum,
+           COALESCE(f.feature, [0.0, 0.0, 0.0, 0.0]) AS feature
+    FROM media m
+    LEFT JOIN chk c USING (doc_id)
+    LEFT JOIN feats f USING (doc_id)
+"""
+
+
 @register(
     "q_multimodal_features",
-    oracle=None,  # Python feature extractor -> rows-only
+    oracle=_FEATURES_ORACLE,
     doc=(
         "Feature extraction over binary payloads via iterator mapInPandas "
         "(Arrow-batched): per row, byte length, checksum, and a fixed-dim fake "
         "feature vector standing in for the stubbed decoder (decode_image). "
+        "The fake is pure byte arithmetic, so the DuckDB oracle reproduces it "
+        "bit-exactly (hex-parse the blob) and the driver hash-checks the whole "
+        "Arrow path (upgraded from rows-only in round 2). "
         "tests/test_multimodal.py pins batch shapes and determinism."
     ),
-    tags=("extension", "multimodal", "rows-only"),
+    tags=("extension", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)

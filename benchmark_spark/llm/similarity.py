@@ -114,21 +114,36 @@ LSH_TABLES = 8
 LSH_BITS = 4
 
 
-def _plane_dot(emb_col: Column, p: int) -> Column:
-    """v · plane_p where plane_p's d-th component is a pseudo-random
-    ±1 derived from xxhash64(p, d) — data-independent, identical on
-    every executor, no driver-side randomness."""
-    prods = F.zip_with(
-        emb_col,
-        F.sequence(F.lit(0), F.size(emb_col) - 1),
-        lambda x, d: x.cast("double")
-        * ((F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")),
+def _plane_sign(p: int, d: int) -> int:
+    """±1 component d of hyperplane p: parity of the md5 of "p|d".
+
+    hashlib.md5 == Spark md5 == DuckDB md5, so the identical plane is
+    available to the engine (inlined literals below), to any executor,
+    and to the SQL oracle (computed in-query) — data-independent, no
+    driver-side randomness, no engine-specific hash.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
+    return (h & 1) * 2 - 1
+
+
+def _fixed_embedding(emb_col: Column) -> Column:
+    """Embedding components as fixed-point BIGINTs: floor(x*1e7+0.5).
+
+    Plane dots over these are EXACT integer sums, so the bucket bit
+    (sign) is bit-identical on every engine — the floating dot's
+    accumulation order would not be. 1e7 swallows all of float32's
+    precision for L2-normalized components; |Σ ±r_d| <= 64e7 is far
+    inside BIGINT.
+    """
+    return F.transform(
+        emb_col, lambda x: F.floor(x.cast("double") * 1e7 + F.lit(0.5)).cast("long")
     )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def lsh_buckets(
-    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS
+    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
 ) -> Column:
     """Multi-table random-hyperplane LSH: an array of (table, bucket)
     structs, one per hash table.
@@ -141,14 +156,19 @@ def lsh_buckets(
     constants, so at 100 TB the (table, bucket) pair is a write-time
     partition key and probes touch L partitions, not the corpus.
     """
+    rfix = _fixed_embedding(emb_col)
     structs = []
     for t in range(tables):
-        bit_terms = [
-            F.when(_plane_dot(emb_col, t * bits + j) >= 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
+        bit_terms = []
+        for j in range(bits):
+            p = t * bits + j
+            signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
+            pdot = F.aggregate(
+                F.zip_with(rfix, signs, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             )
-            for j in range(bits)
-        ]
+            bit_terms.append(F.when(pdot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         bucket = bit_terms[0]
         for b in bit_terms[1:]:
             bucket = bucket + b
@@ -158,18 +178,73 @@ def lsh_buckets(
     return F.array(*structs)
 
 
+# DuckDB replay of the bucket pipeline: the ±1 planes come from the
+# same md5 parity, the plane dots are the same exact integer sums, and
+# the re-score + top-k mirrors the q8_knn oracle.
+_ANN_LSH_ORACLE = """
+    WITH rfix AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS r
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT pp.p AS p,
+               list_transform(range(0, 64),
+                   d -> (CAST('0x' || substring(md5(pp.p || '|' || d), 1, 15)
+                         AS BIGINT) & 1) * 2 - 1) AS s
+        FROM (SELECT unnest(range(0, 32)) AS p) pp
+    ),
+    sgn AS (
+        SELECT r.vec_id, pl.p,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                                                 i -> r.r[i] * pl.s[i])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM rfix r, planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, p // 4 AS t,
+               SUM(CASE WHEN bit = 1
+                        THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bucket
+        FROM sgn GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS vec_id
+        FROM buckets a JOIN buckets b
+          ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ),
+    scored AS (
+        SELECT c.a_id, c.vec_id,
+               list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS raw
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.vec_id
+    )
+    SELECT a_id, vec_id AS neighbor_id, round(raw, 4) AS score
+    FROM (SELECT a_id, vec_id, raw,
+                 row_number() OVER (PARTITION BY a_id
+                                    ORDER BY raw DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+"""
+
+
 @register(
     "q_ann_lsh",
-    oracle=None,  # bucket membership depends on engine hash -> rows-only
+    oracle=_ANN_LSH_ORACLE,
     doc=(
         "Approximate NN via multi-table random-hyperplane LSH (8 tables x 4 bits, "
-        "deterministic hash-derived planes): anchors (vec_id<5) probe their bucket "
-        "in each table, candidates are the union across tables, and only those are "
-        "exactly re-scored. Linear candidate generation — the 100 TB scale path "
-        "where brute force is quadratic. Recall vs q_knn_batch asserted in "
-        "tests/test_llm.py."
+        "md5-parity ±1 planes, fixed-point integer plane dots): anchors (vec_id<5) "
+        "probe their bucket in each table, candidates are the union across tables, "
+        "and only those are exactly re-scored. Linear candidate generation — the "
+        "100 TB scale path where brute force is quadratic. Bucket membership is "
+        "integer-exact and the planes derive from md5, so the DuckDB oracle "
+        "replays the whole index and the driver HASH-checks it (upgraded from "
+        "rows-only in round 2). Recall vs q_knn_batch asserted in tests/test_llm.py."
     ),
-    tags=("extension", "similarity", "rows-only"),
+    tags=("extension", "similarity"),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
