@@ -8,6 +8,10 @@ Dialect-parity rules (SURVEY.md §5.2): engine-generated integers are
 cast to BIGINT on the Spark side (DuckDB's length/strpos/year/...
 return BIGINT); TIMESTAMP literals, never DATE casts, for the
 ms/ns-granular timestamp columns; doubles rounded on both sides.
+BOOLEAN outputs are cast to INT and bare DATE outputs to STRING on
+BOTH engines — values are identical but the external harness's
+value-hash serializes those types engine-specifically (the round-1
+q_bool_agg failure mode; the computation under the cast is unchanged).
 All functions here run JVM-side inside whole-stage codegen — no
 Python boundary anywhere in this module.
 """
@@ -34,7 +38,7 @@ from benchmark_spark.registry import register
                CAST(strpos(n_name, 'A') AS BIGINT)    AS a_pos,
                lpad(n_name, 12, '*')                  AS padded,
                reverse(n_name)                        AS rev,
-               (n_name LIKE '%A%')                    AS has_a
+               CAST(n_name LIKE '%A%' AS INTEGER)     AS has_a
         FROM nation
     """,
     doc="String battery: substr (reference Q2 surface) + lower/upper/length/trim/concat/regexp/instr/lpad/reverse/LIKE.",
@@ -53,7 +57,7 @@ def q_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("n_name"), "A").cast("long").alias("a_pos"),
         F.lpad("n_name", 12, "*").alias("padded"),
         F.reverse("n_name").alias("rev"),
-        F.col("n_name").like("%A%").alias("has_a"),
+        F.col("n_name").like("%A%").cast("int").alias("has_a"),
     )
 
 
@@ -68,7 +72,7 @@ def q_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since,
                o_orderdate + INTERVAL 30 DAY        AS due,
                epoch_us(o_orderdate)                AS us,
-               CAST(o_orderdate AS DATE)            AS d
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
         FROM orders
         WHERE o_orderkey < 500
     """,
@@ -90,7 +94,7 @@ def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due"),
         F.unix_micros("o_orderdate").alias("us"),
-        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderdate").cast("date").cast("string").alias("d"),
     )
 
 
@@ -172,7 +176,7 @@ def q_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT)                       AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)        AS n_uniq,
-               list_contains(string_split(text, ' '), 'data')                     AS has_data,
+               CAST(list_contains(string_split(text, ' '), 'data') AS INTEGER)    AS has_data,
                string_split(text, ' ')[1]                                         AS first_tok,
                array_to_string(list_sort(string_split(text, ' '))[1:3], '|')      AS sorted3,
                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long
@@ -192,7 +196,7 @@ def q_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
-        F.array_contains(toks, "data").alias("has_data"),
+        F.array_contains(toks, "data").cast("int").alias("has_data"),
         F.element_at(toks, 1).alias("first_tok"),
         # serialized (not a raw array) so the cross-engine hash compares
         # scalars rather than engine-specific array renderings
