@@ -236,8 +236,9 @@ _MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
     f" h{ROWS_PER_BAND * j + 1} AS r1 FROM sigs"
     for j in range(BANDS)
 )
-_MINHASH_ORACLE = f"""
-    WITH corpus AS (
+# CTE body + final select split so q_dedup_clusters can extend the
+# same pipeline with a recursive connected-components closure.
+_MINHASH_CTES = f"""corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
@@ -277,13 +278,43 @@ _MINHASH_ORACLE = f"""
         JOIN sh pa ON pa.doc_id = a_id
         JOIN sh pb ON pb.doc_id = b_id AND pb.shingle = pa.shingle
         GROUP BY a_id, b_id
-    )
+    )"""
+
+_MINHASH_FINAL = f"""
     SELECT a_id, b_id,
            {rnd_sql("isect * 1.0 / (sa.n + sb.n - isect)", 4)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id
     WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.5
+"""
+
+_MINHASH_ORACLE = f"WITH {_MINHASH_CTES}{_MINHASH_FINAL}"
+
+# Connected components over the verified minhash pairs via a recursive
+# transitive closure: reach(node, lab) enumerates every doc reachable
+# from `node` (UNION dedup terminates the recursion), and the cluster
+# label is the minimum reachable doc_id — exactly the fixpoint the
+# Spark-side min-label-propagation supersteps converge to.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    nodes AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+    sym AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+        UNION SELECT doc_id, doc_id FROM nodes
+    ),
+    reach(node, lab) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+    ),
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(node) AS keep_id
+    FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
 """
 
 
@@ -527,16 +558,19 @@ def connected_components(
 
 @register(
     "q_dedup_clusters",
-    oracle=None,  # builds on minhash candidate pairs -> rows-only
+    oracle=_CLUSTERS_ORACLE,
     doc=(
         "Near-dup CLUSTERING: MinHash+LSH pairs -> connected components "
         "(iterative min-label propagation, Pregel-style supersteps) -> one "
         "row per cluster with the kept representative (min doc_id) and size. "
         "The step that turns pairwise near-dup hits into actual dedup decisions "
         "in a training-data pipeline; planted pairs make every original+mutant "
-        "pair share a cluster (tests/test_llm.py)."
+        "pair share a cluster (tests/test_llm.py). The oracle reaches the same "
+        "fixpoint with a recursive transitive-closure CTE over the (already "
+        "hash-verified) pair pipeline, so even this iterative operator is "
+        "hash-checked (upgraded from rows-only in round 2)."
     ),
-    tags=("extension", "dedup", "rows-only"),
+    tags=("extension", "dedup"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")

@@ -243,25 +243,33 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fingerprint",
-    oracle=None,  # xxhash64-based rolling fold is engine-specific -> rows-only
+    oracle="""
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend('7', string_split(text, ' ')),
+                    (acc, x) -> CAST(CAST('0x' || substring(md5(acc || '|' || x), 1, 15)
+                                     AS BIGINT) AS VARCHAR)) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
     doc=(
         "Rolling-hash document fingerprint (SURVEY.md §2.10): order-sensitive "
-        "fold over token hashes via aggregate() — unlike md5-of-text (q_hash), "
-        "the fold shape generalizes to windowed/chunked fingerprints. The fold "
-        "step is a hash chain (xxhash64(acc, token_hash)), not multiply-add: "
+        "fold over tokens via aggregate() — unlike md5-of-text (q_hash), the "
+        "fold shape generalizes to windowed/chunked fingerprints. The fold step "
+        "is a hash chain (md5 of 'acc|token', 60-bit prefix), not multiply-add: "
         "arithmetic folds overflow BIGINT and Spark 4's default ANSI mode makes "
-        "that a runtime error. Rows-only: xxhash64 is engine-specific."
+        "that a runtime error — and md5 makes the chain bit-identical in "
+        "DuckDB's list_reduce, so the fold is hash-verified (upgraded from "
+        "rows-only in round 2)."
     ),
-    tags=("extension", "text", "rows-only"),
+    tags=("extension", "text"),
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
     toks = F.split("text", " ")
     fp = F.aggregate(
         toks,
-        F.lit(7).cast("long"),
-        lambda acc, t: F.xxhash64(acc, F.xxhash64(t)),
-    )
+        F.lit("7"),
+        lambda acc, t: F.conv(F.substring(F.md5(F.concat_ws("|", acc, t)), 1, 15), 16, 10),
+    ).cast("long")
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
