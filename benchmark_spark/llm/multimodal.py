@@ -234,17 +234,46 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
+# Frame oracle: the fake sampler is pure byte slicing, so DuckDB
+# reproduces each frame with blob substring over the utf-8 payload.
+_FRAMES_ORACLE = """
+    WITH media AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, n, greatest(n // 3, 1) AS c, f.f AS frame_id
+        FROM media, unnest(range(0, 3)) AS f(f)
+    )
+    SELECT doc_id,
+           CAST(frame_id AS INTEGER) AS frame_id,
+           CASE WHEN frame_id * c < n
+                THEN from_hex(substring(hx, CAST(2 * frame_id * c + 1 AS INT),
+                         CAST(2 * (least((frame_id + 1) * c, n) - frame_id * c) AS INT)))
+                ELSE from_hex(substring(hx, CAST(2 * (n - c) + 1 AS INT),
+                                        CAST(2 * c AS INT)))
+           END AS frame,
+           CAST(CASE WHEN frame_id * c < n
+                     THEN least((frame_id + 1) * c, n) - frame_id * c
+                     ELSE c END AS BIGINT) AS frame_bytes
+    FROM dims
+"""
+
+
 @register(
     "q_frame_sample",
-    oracle=None,  # Python frame extractor -> rows-only
+    oracle=_FRAMES_ORACLE,
     doc=(
         "Video-style frame sampling over binary payloads: mapInPandas explodes "
         "each payload into 3 fixed-stride frames (decode stubbed: sample_frames "
         "-> fake_sample_frames), yielding the (doc, frame_id, frame) layout that "
-        "per-frame feature extraction then consumes. Batch shape and determinism "
-        "pinned in tests/test_llm.py."
+        "per-frame feature extraction then consumes. The fake sampler is pure "
+        "byte slicing, so the DuckDB oracle reproduces every frame bit-exactly "
+        "via blob substring (upgraded from rows-only in round 2). Batch shape "
+        "and determinism pinned in tests/test_llm.py."
     ),
-    tags=("extension", "multimodal", "rows-only"),
+    tags=("extension", "multimodal"),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)

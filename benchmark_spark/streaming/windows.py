@@ -148,9 +148,7 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_session",
-    oracle="""
+_SESSION_ORACLE = """
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -174,7 +172,12 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(SUM(value), 2) AS total
         FROM sessions
         GROUP BY user_id, session_id
-    """,
+"""
+
+
+@register(
+    "q_session",
+    oracle=_SESSION_ORACLE,
     doc=(
         "Session windows (30-minute gap) per user, batch form via native "
         "session_window (SURVEY.md §2.9); oracle is the classical "
@@ -221,14 +224,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_session",
-    oracle=None,  # live streaming run -> rows-only (batch twin q_session is oracle-checked)
+    oracle=_SESSION_ORACLE,
     doc=(
         "Session windows executed as a REAL stream: readStream -> "
         "withWatermark(10 min) -> session_window agg -> complete-mode memory "
-        "sink, Trigger.AvailableNow. Rows-only by design; its batch twin "
-        "q_session is the oracle-checked form (SURVEY.md §2.9 strategy)."
+        "sink, Trigger.AvailableNow. The static source arrives as one "
+        "microbatch, so complete-mode state equals the batch answer and the "
+        "stream HASH-matches the same session oracle as q_session "
+        "(streaming-to-batch convergence, the q7_tumble_stream pattern — "
+        "upgraded from rows-only in round 2)."
     ),
-    tags=("extension", "streaming", "rows-only"),
+    tags=("extension", "streaming"),
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
