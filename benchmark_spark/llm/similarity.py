@@ -208,11 +208,19 @@ _ANN_LSH_ORACLE = """
                         THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bucket
         FROM sgn GROUP BY vec_id, p // 4
     ),
+    probes AS (
+        -- multi-probe: the anchor's own bucket plus the 4 buckets at
+        -- Hamming distance 1 (one sign bit flipped)
+        SELECT vec_id, t,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS probe
+        FROM buckets WHERE vec_id < 5
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS vec_id
-        FROM buckets a JOIN buckets b
-          ON a.t = b.t AND a.bucket = b.bucket
-        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        FROM probes a JOIN buckets b
+          ON a.t = b.t AND a.probe = b.bucket
+        WHERE b.vec_id <> a.vec_id
     ),
     scored AS (
         SELECT c.a_id, c.vec_id,
@@ -235,14 +243,18 @@ _ANN_LSH_ORACLE = """
     "q_ann_lsh",
     oracle=_ANN_LSH_ORACLE,
     doc=(
-        "Approximate NN via multi-table random-hyperplane LSH (8 tables x 4 bits, "
-        "md5-parity ±1 planes, fixed-point integer plane dots): anchors (vec_id<5) "
-        "probe their bucket in each table, candidates are the union across tables, "
-        "and only those are exactly re-scored. Linear candidate generation — the "
-        "100 TB scale path where brute force is quadratic. Bucket membership is "
-        "integer-exact and the planes derive from md5, so the DuckDB oracle "
-        "replays the whole index and the driver HASH-checks it (upgraded from "
-        "rows-only in round 2). Recall vs q_knn_batch asserted in tests/test_llm.py."
+        "Approximate NN via MULTI-PROBE multi-table random-hyperplane LSH "
+        "(8 tables x 4 bits, md5-parity ±1 planes, fixed-point integer plane "
+        "dots): anchors (vec_id<5) probe their own bucket plus the 4 "
+        "Hamming-distance-1 buckets in each table (flip one sign bit — the "
+        "classic multi-probe recall boost without more tables or a bigger "
+        "index), candidates are the union across tables/probes, and only those "
+        "are exactly re-scored. The probe list is exploded on the anchor side, "
+        "so the join stays an equi-join on (table, bucket) — linear candidate "
+        "generation, the 100 TB scale path where brute force is quadratic. "
+        "Bucket membership is integer-exact and the planes derive from md5, so "
+        "the DuckDB oracle replays the whole index and the driver HASH-checks "
+        "it. Recall vs q_knn_batch asserted in tests/test_llm.py."
     ),
     tags=("extension", "similarity"),
 )
@@ -251,11 +263,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = emb.select(
         "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
     ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    anchors = signed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("t").alias("a_t"),
-        F.col("bucket").alias("a_bucket"),
+    probe_vals = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in (0, 1, 2, 4, 8)]
+    )
+    anchors = (
+        signed.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("t").alias("a_t"),
+            F.explode(probe_vals).alias("a_bucket"),
+        )
     )
     cand = (
         signed.join(

@@ -61,9 +61,10 @@ def test_simhash_places_planted_pairs_within_threshold(spark):
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
-    """Multi-table LSH ANN (8 tables x 4 bits) must recover most of
-    the true top-3 for the probe anchors; deterministic planes, so
-    the measured recall (0.73 at this SF) is stable."""
+    """Multi-probe LSH ANN (8 tables x 4 bits, 5 probes/table) must
+    recover most of the true top-3 for the probe anchors;
+    deterministic planes, so the measured recall (1.0 at this SF,
+    0.93 at sf0.01) is stable."""
     truth = {
         (r["a_id"], r["neighbor_id"])
         for r in SPECS["q_knn_batch"].fn(spark, SF_SMOKE).collect()
@@ -73,7 +74,7 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         for r in SPECS["q_ann_lsh"].fn(spark, SF_SMOKE).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.5, f"recall={recall}"
+    assert recall >= 0.8, f"recall={recall}"
 
 
 def test_fake_features_deterministic_and_shaped():
