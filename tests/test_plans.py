@@ -201,3 +201,35 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim, fact.status == dim.d_status).select("o_orderkey")
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_llm_native_pipelines_have_no_python_boundary(spark):
+    """The dedup/ANN/text pipelines are pure JVM DataFrame plans: a
+    BatchEvalPython / ArrowEvalPython / mapInPandas operator appearing
+    here would put a Python worker in a 100 TB hot path."""
+    for name in ("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+                 "q_fingerprint", "q_tfidf"):
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+        for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                   "MapInPandas"):
+            assert op not in plan, f"{name}: {op} in plan"
+
+
+def test_llm_candidate_joins_are_not_cartesian(spark):
+    """Band/bucket candidate generation must stay an equi-join: a
+    CartesianProduct or BroadcastNestedLoopJoin here is the quadratic
+    blow-up the LSH design exists to avoid. (The ANN tiers' single
+    broadcast cross joins are anchor-sized by construction and are
+    checked separately below.)"""
+    for name in ("q_dedup_minhash", "q_dedup_simhash"):
+        plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_lsh_candidate_join_broadcasts_anchors(spark):
+    """The multi-probe candidate join must broadcast the (tiny,
+    exploded) anchor probe list, never shuffle the bucketed corpus."""
+    plan = formatted_plan(SPECS["q_ann_lsh"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
