@@ -273,6 +273,87 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+_CHUNK = 32  # tokens per fingerprint chunk
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, c.c AS chunk_id,
+                   list_slice(string_split(text, ' '),
+                              c.c * {_CHUNK} + 1,
+                              least((c.c + 1) * {_CHUNK},
+                                    len(string_split(text, ' ')))) AS toks
+            FROM corpus,
+                 unnest(range(0, (len(string_split(text, ' ')) + {_CHUNK - 1})
+                                 // {_CHUNK})) AS c(c)
+        ),
+        fps AS (
+            SELECT doc_id, chunk_id,
+                   CAST(list_reduce(list_prepend('7', toks),
+                        (acc, x) -> CAST(CAST('0x' || substring(md5(acc || '|' || x), 1, 15)
+                                         AS BIGINT) AS VARCHAR)) AS BIGINT) AS fp
+            FROM chunks
+        )
+        SELECT fp,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS keep_doc
+        FROM fps
+        GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    doc=(
+        "CHUNK-level dedup over the planted-near-dup corpus: documents split "
+        "into 32-token chunks, each chunk fingerprinted with the md5 rolling "
+        "chain (q_fingerprint's fold per chunk), duplicate chunks grouped by "
+        "fingerprint with a deterministic survivor. Catches passage-level "
+        "duplication that document-level fingerprints miss — the planted "
+        "mutants (last token dropped) share every full chunk with their "
+        "original, so each surfaces here even though whole-document hashes "
+        "differ. Scale shape: one explode to ~n_tokens/32 rows, fingerprints "
+        "shuffled (8 bytes each), never the text. Hash-verified end-to-end "
+        "(md5 chain replayed by DuckDB list_reduce)."
+    ),
+    tags=("extension", "dedup", "text"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.llm.dedup import doubled_corpus
+
+    corpus = doubled_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_chunks = (F.size(toks) + F.lit(_CHUNK - 1)) / F.lit(_CHUNK)
+    chunk_arrays = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda c: F.slice(toks, c * _CHUNK + 1, _CHUNK),
+    )
+    chunks = corpus.select(
+        "doc_id", F.posexplode(chunk_arrays).alias("chunk_id", "ctoks")
+    )
+    fp = F.aggregate(
+        F.col("ctoks"),
+        F.lit("7"),
+        lambda acc, t: F.conv(F.substring(F.md5(F.concat_ws("|", acc, t)), 1, 15), 16, 10),
+    ).cast("long")
+    return (
+        chunks.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # Character-trigram profile (lang, trigram, weight): the classic
 # n-gram langid signal (cf. Cavnar-Trenkle), sized to the fixture
 # vocabulary. Trigrams include spaces, as real profiles do.

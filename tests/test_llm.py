@@ -208,3 +208,18 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.4, f"recall={recall}"
+
+
+def test_chunk_dedup_surfaces_planted_passage_dups(spark):
+    """Docs longer than one 32-token chunk share their leading chunks
+    with their planted mutant (only the final chunk differs), so the
+    chunk-level dedup must surface a healthy share of the corpus and
+    every group must name a pre-mutation survivor."""
+    groups = SPECS["q_chunk_dedup"].fn(spark, SF_SMOKE).collect()
+    assert len(groups) > 100
+    assert all(r["n_docs"] >= 2 for r in groups)
+    # most groups pair an original with its mutant; a small tail is
+    # mutant-only (two mutants' truncated FINAL chunks can coincide
+    # while the originals' longer final chunks differ)
+    with_original = sum(1 for r in groups if r["keep_doc"] < 1_000_000)
+    assert with_original / len(groups) > 0.8
