@@ -567,3 +567,83 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
     )
     return topk_per_anchor(cand, 3)
+
+
+@register(
+    "q_knn_sq8",
+    oracle="""
+        WITH quant AS (
+            SELECT vec_id, embedding,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        anchor AS (SELECT q AS aq, embedding AS a_emb FROM quant WHERE vec_id = 0),
+        coarse AS (
+            SELECT c.vec_id, c.embedding, a.a_emb,
+                   list_sum(list_transform(range(1, 65), i -> c.q[i] * a.aq[i])) AS iscore
+            FROM quant c, anchor a
+            WHERE c.vec_id <> 0
+        ),
+        shortlist AS (
+            SELECT vec_id, embedding, a_emb
+            FROM coarse
+            QUALIFY row_number() OVER (ORDER BY iscore DESC, vec_id) <= 30
+        )
+        SELECT vec_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(a_emb AS DOUBLE[])), 4) AS score
+        FROM shortlist
+        QUALIFY row_number() OVER (
+            ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(a_emb AS DOUBLE[])) DESC, vec_id) <= 10
+    """,
+    doc=(
+        "Scalar-quantized (SQ8) kNN: embeddings quantized to int8-range "
+        "integers (floor(x*127+0.5)), the corpus scanned with pure INTEGER "
+        "dot products to shortlist 3x the requested k, then only the "
+        "shortlist re-ranked with exact double dots — the FAISS SQ8 shape. "
+        "At 100 TB the quantized copy is 4x smaller than float32 (scan "
+        "bandwidth, the brute-force bottleneck, drops with it) and the "
+        "exact re-rank touches 30 rows. Integer math is engine-exact, so "
+        "the DuckDB oracle replays the quantized scan and the driver "
+        "hash-checks shortlist and final ranking end-to-end. Top-10 equals "
+        "q8_knn's exact answer at this SF (tests/test_llm.py)."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    quant = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127.0 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    anchor = quant.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("aq"), F.col("embedding").alias("a_emb")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("aq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", "embedding", "a_emb", idot.alias("iscore"))
+    )
+    wi = Window.orderBy(F.desc("iscore"), F.asc("vec_id"))
+    shortlist = (
+        coarse.withColumn("rn", F.row_number().over(wi)).filter(F.col("rn") <= 30)
+    )
+    exact = dot(F.col("embedding"), F.col("a_emb"))
+    we = Window.orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        shortlist.select("vec_id", "embedding", "a_emb", exact.alias("raw"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.round("raw", 4).alias("score"))
+    )

@@ -432,3 +432,40 @@ def q_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("p_lang").alias("lang_pred"), "score")
     )
+
+
+@register(
+    "q_split_sample",
+    oracle="""
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 100 AS bucket,
+               CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc=(
+        "Deterministic stratifiable train/val/test split (80/10/10): the "
+        "assignment is md5(doc_id) % 100 — a pure function of the KEY, so it "
+        "is reproducible across runs, engines, partitionings, and additions "
+        "to the corpus (a doc's split never changes when other docs arrive), "
+        "which is how 100 TB pipelines must split (rand() is none of those). "
+        "Hash-verified against DuckDB computing the identical buckets."
+    ),
+    tags=("extension", "text"),
+)
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -223,3 +223,12 @@ def test_chunk_dedup_surfaces_planted_passage_dups(spark):
     # while the originals' longer final chunks differ)
     with_original = sum(1 for r in groups if r["keep_doc"] < 1_000_000)
     assert with_original / len(groups) > 0.8
+
+
+def test_knn_sq8_matches_exact_topk(spark):
+    """The int8-shortlist + exact-rerank pipeline must return the same
+    top-10 as the full-precision brute-force scan at this SF (the 3x
+    shortlist gives the re-rank enough slack)."""
+    exact = [(r["vec_id"], r["score"]) for r in SPECS["q8_knn"].fn(spark, SF_SMOKE).collect()]
+    sq8 = [(r["vec_id"], r["score"]) for r in SPECS["q_knn_sq8"].fn(spark, SF_SMOKE).collect()]
+    assert sorted(sq8) == sorted(exact)
