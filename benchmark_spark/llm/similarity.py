@@ -647,3 +647,88 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("vec_id", F.round("raw", 4).alias("score"))
     )
+
+
+@register(
+    "q_dedup_embed_lsh",
+    oracle="""
+        WITH rfix AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS r
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT pp.p AS p,
+                   list_transform(range(0, 64),
+                       d -> (CAST('0x' || substring(md5(pp.p || '|' || d), 1, 15)
+                             AS BIGINT) & 1) * 2 - 1) AS s
+            FROM (SELECT unnest(range(0, 32)) AS p) pp
+        ),
+        sgn AS (
+            SELECT r.vec_id, pl.p,
+                   CASE WHEN list_sum(list_transform(range(1, 65),
+                                                     i -> r.r[i] * pl.s[i])) >= 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM rfix r, planes pl
+        ),
+        buckets AS (
+            SELECT vec_id, p // 4 AS t,
+                   SUM(CASE WHEN bit = 1
+                            THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bucket
+            FROM sgn GROUP BY vec_id, p // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM buckets a JOIN buckets b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.a_id, c.b_id,
+               round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+        WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) > 0.3
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs blocked by LSH BUCKETS — the 100 TB "
+        "form q_dedup_embed's docstring promises (SemDeDup shape): candidate "
+        "pairs are vectors sharing any (table, bucket) of the 8x4-bit "
+        "hyperplane index, the exact double cosine is computed only for "
+        "those, and pairs above 0.3 emit. No label key needed and no "
+        "all-pairs join anywhere; the same md5-parity planes and fixed-point "
+        "plane dots as q_ann_lsh keep the whole pipeline hash-verifiable in "
+        "DuckDB."
+    ),
+    tags=("extension", "similarity", "dedup"),
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    signed = emb.select(
+        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select(
+        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cos = dot(F.col("ea"), F.col("eb"))
+    return cand.filter(cos > 0.3).select(
+        "a_id", "b_id", F.round(cos, 4).alias("cosine")
+    )

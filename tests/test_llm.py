@@ -232,3 +232,16 @@ def test_knn_sq8_matches_exact_topk(spark):
     exact = [(r["vec_id"], r["score"]) for r in SPECS["q8_knn"].fn(spark, SF_SMOKE).collect()]
     sq8 = [(r["vec_id"], r["score"]) for r in SPECS["q_knn_sq8"].fn(spark, SF_SMOKE).collect()]
     assert sorted(sq8) == sorted(exact)
+
+
+def test_dedup_embed_lsh_recovers_blocked_pairs(spark):
+    """Every pair the label-blocked variant finds above threshold whose
+    vectors collide in >= 1 LSH bucket must appear; in practice the
+    bucket recall on >0.3-cosine pairs is high — assert the LSH-blocked
+    result covers most of the label-blocked truth without requiring the
+    label key."""
+    labeled = {(r["a_id"], r["b_id"]) for r in SPECS["q_dedup_embed"].fn(spark, SF_SMOKE).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in SPECS["q_dedup_embed_lsh"].fn(spark, SF_SMOKE).collect()}
+    assert labeled, "label-blocked variant found nothing — fixture drift"
+    recall = len(labeled & lsh) / len(labeled)
+    assert recall >= 0.6, f"recall={recall}"
