@@ -5,15 +5,20 @@ cosine similarity == dot product. All dot products are computed in
 DOUBLE precision via higher-order functions (zip_with + aggregate)
 — JVM-side, no UDF, deterministic accumulation order.
 
-Three tiers:
+Tiers:
   * q8_knn        — brute-force top-k for one anchor: broadcast the
                     anchor, one pass over the table (oracle-checked)
   * q_knn_batch   — top-k for a set of anchors: broadcast the anchor
                     set, score all pairs, per-anchor window top-k
-                    (oracle-checked)
-  * q_ann_lsh     — the 100 TB path: random-hyperplane LSH buckets,
-                    exact re-score only within buckets (rows-only;
-                    recall vs brute force asserted in tests/test_llm.py)
+  * q_knn_sq8     — int8 scalar-quantized scan + exact re-rank (the
+                    FAISS SQ8 shape; 4x less scan bandwidth)
+  * q_ann_lsh     — multi-probe random-hyperplane LSH buckets, exact
+                    re-score only within buckets (hash-verified:
+                    md5-parity planes + fixed-point integer plane dots)
+  * q_ann_ivf     — IVF inverted lists over k-means||-seeded spherical
+                    k-means (rows-only: iterative index construction)
+  * q_dedup_embed[_lsh] — cosine near-dup pairs, label- or
+                    LSH-bucket-blocked
 
 Scale posture: brute force is O(n·q) dot products — fine for one
 anchor over any corpus (a single scan), dead for all-pairs. The LSH
