@@ -469,3 +469,73 @@ def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source, text,
+                   0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')))
+                 + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                              t -> t IN ({_STOP_SQL}))) * 1.0
+                          / len(string_split(text, ' ')))
+                 + 0.2 * least(len(string_split(text, ' ')) / 50.0, 1.0) AS quality
+            FROM documents
+        ),
+        survivors AS (
+            SELECT doc_id, lang, source, quality,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS copy_rank
+            FROM scored
+            WHERE quality >= 0.5
+        )
+        SELECT doc_id, lang, source,
+               (floor(quality * 10000 + 0.5) / 10000) AS quality,
+               CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM survivors
+        WHERE copy_rank = 1
+    """,
+    doc=(
+        "End-to-end curation pipeline as ONE composed plan: quality scoring "
+        "(q_quality's composite) -> threshold filter -> exact-dedup "
+        "survivorship (first doc_id per content md5) -> deterministic split "
+        "assignment (q_split_sample's hash buckets). The whole flow is three "
+        "narrow shuffles (fingerprint dedup, nothing else wide) over one "
+        "corpus scan — the shape a 100 TB pre-training data build runs "
+        "nightly, and Catalyst fuses the scalar stages into the scan. "
+        "Hash-verified end-to-end."
+    ),
+    tags=("extension", "text", "dedup"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    quality = 0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    scored = docs.select(
+        "doc_id", "lang", "source", "text", quality.alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        scored.withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            rnd(F.col("quality")).alias("quality"),
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        )
+    )

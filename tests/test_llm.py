@@ -245,3 +245,16 @@ def test_dedup_embed_lsh_recovers_blocked_pairs(spark):
     assert labeled, "label-blocked variant found nothing — fixture drift"
     recall = len(labeled & lsh) / len(labeled)
     assert recall >= 0.6, f"recall={recall}"
+
+
+def test_curation_pipeline_properties(spark):
+    """Survivors are unique docs above the quality bar with a valid
+    deterministic split; pipeline output is stable across runs."""
+    out1 = SPECS["q_curation_pipeline"].fn(spark, SF_SMOKE).collect()
+    assert len(out1) > 0
+    assert all(r["quality"] >= 0.5 for r in out1)
+    assert {r["split"] for r in out1} <= {"train", "val", "test"}
+    ids = [r["doc_id"] for r in out1]
+    assert len(ids) == len(set(ids))
+    out2 = SPECS["q_curation_pipeline"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
