@@ -539,3 +539,59 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
         )
     )
+
+
+# Per-source mixture rates: the data-mixing knob of a pre-training
+# build (upsample curated sources, downsample crawl-like ones).
+MIXTURE_RATES: list[tuple[str, float]] = [
+    # fixture sources are src0..src19; rates sweep 0.05-0.95 so the
+    # sample exercises every regime from near-drop to near-keep
+    (f"src{i}", round(0.05 + 0.9 * i / 19, 4)) for i in range(20)
+]
+_MIXTURE_VALUES = ", ".join(f"('{s}', {r})" for s, r in MIXTURE_RATES)
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+        WITH rates(r_source, rate) AS (VALUES {_MIXTURE_VALUES})
+        SELECT d.doc_id, d.source,
+               CAST('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 AS u
+        FROM documents d
+        JOIN rates ON d.source = r_source
+        WHERE CAST('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 < CAST(rate * 1000000 AS BIGINT)
+    """,
+    doc=(
+        "Deterministic MIXTURE sampling: each source is kept at its own rate "
+        "(the per-source mixing knob of a pre-training data build), decided by "
+        "md5('mix'|doc_id) % 1e6 < rate*1e6 — a pure function of the key, so "
+        "the sample is reproducible across runs/engines/partitionings and "
+        "stable under corpus growth, and independent of q_split_sample's "
+        "buckets (different hash salt). The rates table is broadcast; one "
+        "scan, no shuffle. Hash-verified against DuckDB computing the "
+        "identical draws."
+    ),
+    tags=("extension", "text"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    rates = spark.sql(
+        "SELECT r_source, CAST(rate AS DOUBLE) AS rate "
+        f"FROM (VALUES {_MIXTURE_VALUES}) AS rates(r_source, rate)"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(rates), docs["source"] == rates["r_source"])
+        .withColumn("u", u)
+        .filter(F.col("u") < (F.col("rate") * 1000000).cast("long"))
+        .select("doc_id", "source", "u")
+    )

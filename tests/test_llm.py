@@ -258,3 +258,22 @@ def test_curation_pipeline_properties(spark):
     assert len(ids) == len(set(ids))
     out2 = SPECS["q_curation_pipeline"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_mixture_sample_tracks_rates(spark):
+    """Kept fraction per source must track its configured rate (hash
+    uniforms are ~uniform; 25 docs/source at this SF -> loose bound),
+    and the draw must be reproducible."""
+    from benchmark_spark.llm.text import MIXTURE_RATES
+
+    rates = dict(MIXTURE_RATES)
+    out = SPECS["q_mixture_sample"].fn(spark, SF_SMOKE)
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # high-rate sources keep far more than low-rate ones
+    assert kept.get("src19", 0) > kept.get("src0", 0)
+    for s, n in kept.items():
+        assert n <= 25
+        assert rates[s] > 0.0
+    c1 = out.count()
+    c2 = SPECS["q_mixture_sample"].fn(spark, SF_SMOKE).count()
+    assert c1 == c2
