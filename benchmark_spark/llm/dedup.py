@@ -583,3 +583,67 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") >= 2)
     )
+
+
+@register(
+    "q_jaccard_chargram",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> substring(text, CAST(i AS INT), 5)))) AS g
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS isect
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id,
+               (floor(isect * 1.0 / (sa.n + sb.n - isect) * 10000 + 0.5) / 10000)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.6
+    """,
+    doc=(
+        "CHARACTER 5-gram Jaccard near-dup pairs, blocked by `source` — the "
+        "char-level complement of the token-set q_jaccard_pairs (robust to "
+        "tokenization differences; standard for code/CJK-ish text where word "
+        "boundaries lie). Same scale posture: the pair join runs only inside "
+        "blocks; at corpus scale swap the block for MinHash banding over the "
+        "same 5-gram shingles."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+    grams_arr = F.transform(idx, lambda i: F.substring(F.col("text"), i, 5))
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams_arr)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.6)
+        .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
+    )

@@ -737,3 +737,95 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(cos > 0.3).select(
         "a_id", "b_id", F.round(cos, 4).alias("cosine")
     )
+
+
+@register(
+    "q_knn_graph",
+    oracle="""
+        WITH rfix AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS r
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT pp.p AS p,
+                   list_transform(range(0, 64),
+                       d -> (CAST('0x' || substring(md5(pp.p || '|' || d), 1, 15)
+                             AS BIGINT) & 1) * 2 - 1) AS s
+            FROM (SELECT unnest(range(0, 32)) AS p) pp
+        ),
+        sgn AS (
+            SELECT r.vec_id, pl.p,
+                   CASE WHEN list_sum(list_transform(range(1, 65),
+                                                     i -> r.r[i] * pl.s[i])) >= 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM rfix r, planes pl
+        ),
+        buckets AS (
+            SELECT vec_id, p // 4 AS t,
+                   SUM(CASE WHEN bit = 1
+                            THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bucket
+            FROM sgn GROUP BY vec_id, p // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS vec_id
+            FROM buckets a JOIN buckets b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+            SELECT c.a_id, c.vec_id,
+                   list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS raw
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.vec_id
+        )
+        SELECT a_id, vec_id AS neighbor_id, round(raw, 4) AS score
+        FROM (SELECT a_id, vec_id, raw,
+                     row_number() OVER (PARTITION BY a_id
+                                        ORDER BY raw DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """,
+    doc=(
+        "kNN GRAPH construction: approximate top-3 neighbors for EVERY vector "
+        "(not just probe anchors) — the input artifact for SemDeDup-style "
+        "semantic pruning and graph clustering. Candidates are LSH bucket "
+        "co-occupants (8x4-bit hyperplane tables, both directions), exactly "
+        "re-scored, per-vector window top-k. Candidate generation is linear "
+        "in corpus size x bucket occupancy — never all-pairs; at 100 TB the "
+        "bucketed table is written partitioned by (table, bucket) so graph "
+        "builds shuffle candidates, not the corpus. Hash-verified: same "
+        "md5-parity planes and fixed-point plane dots as q_ann_lsh."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    signed = emb.select(
+        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select(
+        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.embedding").alias("a_emb"),
+            F.col("b.embedding").alias("n_emb"),
+        )
+        .dropDuplicates(["a_id", "vec_id"])
+    )
+    scored = cand.select(
+        "a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw")
+    )
+    return topk_per_anchor(scored, 3)
