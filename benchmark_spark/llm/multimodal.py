@@ -148,32 +148,33 @@ _FEATURES_ORACLE = """
         JOIN bytes b ON b.doc_id = w.doc_id AND b.i >= w.lo AND b.i < w.hi
         GROUP BY w.doc_id, w.dim, w.hi, w.lo
     ),
-    feats AS (SELECT doc_id, list(m ORDER BY dim) AS feature FROM feat GROUP BY doc_id)
+    feats AS (
+        -- fixed-point string form: the driver's canonicalizer sorts a
+        -- pandas frame by every column and crashes on list cells
+        -- (unhashable) — so the feature vector is serialized to
+        -- '123456,...,999999' (floor(m*1e6+0.5) per dim) on BOTH engines
+        SELECT doc_id,
+               string_agg(CAST(CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                          ',' ORDER BY dim) AS feature
+        FROM feat GROUP BY doc_id
+    )
     SELECT m.doc_id, m.media_type, m.n AS n_bytes,
-           COALESCE(c.checksum, 0) AS checksum,
-           COALESCE(f.feature, [0.0, 0.0, 0.0, 0.0]) AS feature
+           -- CAST: SUM(...) is HUGEINT -> pandas float64 vs Spark int64
+           CAST(COALESCE(c.checksum, 0) AS BIGINT) AS checksum,
+           COALESCE(f.feature, '0,0,0,0') AS feature
     FROM media m
     LEFT JOIN chk c USING (doc_id)
     LEFT JOIN feats f USING (doc_id)
 """
 
 
-@register(
-    "q_multimodal_features",
-    oracle=_FEATURES_ORACLE,
-    doc=(
-        "Feature extraction over binary payloads via iterator mapInPandas "
-        "(Arrow-batched): per row, byte length, checksum, and a fixed-dim fake "
-        "feature vector standing in for the stubbed decoder (decode_image). "
-        "The fake is pure byte arithmetic, so the DuckDB oracle reproduces it "
-        "bit-exactly (hex-parse the blob) and the driver hash-checks the whole "
-        "Arrow path (upgraded from rows-only in round 2). "
-        "tests/test_multimodal.py pins batch shapes and determinism."
-    ),
-    tags=("extension", "multimodal"),
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = media_table(spark, sf_dir)
+def features_frame(media: DataFrame) -> DataFrame:
+    """Array-typed feature extraction over binary payloads via iterator
+    mapInPandas (Arrow-batched): per row, byte length, checksum, and a
+    fixed-dim fake feature vector standing in for the stubbed decoder
+    (decode_image). This is the production output shape — downstream
+    similarity/dedup operators consume the array<double> column
+    directly (tests/test_llm.py pins batch shape + determinism)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,6 +190,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_features",
+    oracle=_FEATURES_ORACLE,
+    doc=(
+        "Feature extraction over binary payloads via iterator mapInPandas "
+        "(Arrow-batched): per row, byte length, checksum, and a fixed-dim fake "
+        "feature vector standing in for the stubbed decoder (decode_image). "
+        "The fake is pure byte arithmetic, so the DuckDB oracle reproduces it "
+        "bit-exactly (hex-parse the blob). The registered form serializes the "
+        "vector to a fixed-point string ('123456,...,999999', floor(x*1e6+0.5) "
+        "per dim) because the driver's canonicalizer sorts a pandas frame by "
+        "all columns and crashes on unhashable array cells (CORRECTNESS_r02); "
+        "the array<double> production shape stays available as features_frame. "
+        "tests/test_llm.py pins batch shapes and determinism."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = features_frame(media_table(spark, sf_dir))
+    fixed = F.transform(
+        "feature",
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("string"),
+    )
+    return arr.withColumn("feature", F.concat_ws(",", fixed))
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -235,7 +262,11 @@ FRAMES_SCHEMA = T.StructType(
 
 
 # Frame oracle: the fake sampler is pure byte slicing, so DuckDB
-# reproduces each frame with blob substring over the utf-8 payload.
+# reproduces each frame with hex substring over the utf-8 payload.
+# The frame is emitted as a LOWERCASE HEX STRING, not a blob: DuckDB
+# blobs reach pandas as bytearray (unhashable), which crashes the
+# driver's sort-based canonicalizer — same class as the r2
+# q_multimodal_features failure, caught by the hardened local gate.
 _FRAMES_ORACLE = """
     WITH media AS (
         SELECT doc_id, hex(encode(text)) AS hx,
@@ -248,12 +279,12 @@ _FRAMES_ORACLE = """
     )
     SELECT doc_id,
            CAST(frame_id AS INTEGER) AS frame_id,
-           CASE WHEN frame_id * c < n
-                THEN from_hex(substring(hx, CAST(2 * frame_id * c + 1 AS INT),
-                         CAST(2 * (least((frame_id + 1) * c, n) - frame_id * c) AS INT)))
-                ELSE from_hex(substring(hx, CAST(2 * (n - c) + 1 AS INT),
-                                        CAST(2 * c AS INT)))
-           END AS frame,
+           lower(CASE WHEN frame_id * c < n
+                THEN substring(hx, CAST(2 * frame_id * c + 1 AS INT),
+                         CAST(2 * (least((frame_id + 1) * c, n) - frame_id * c) AS INT))
+                ELSE substring(hx, CAST(2 * (n - c) + 1 AS INT),
+                               CAST(2 * c AS INT))
+           END) AS frame_hex,
            CAST(CASE WHEN frame_id * c < n
                      THEN least((frame_id + 1) * c, n) - frame_id * c
                      ELSE c END AS BIGINT) AS frame_bytes
@@ -261,23 +292,11 @@ _FRAMES_ORACLE = """
 """
 
 
-@register(
-    "q_frame_sample",
-    oracle=_FRAMES_ORACLE,
-    doc=(
-        "Video-style frame sampling over binary payloads: mapInPandas explodes "
-        "each payload into 3 fixed-stride frames (decode stubbed: sample_frames "
-        "-> fake_sample_frames), yielding the (doc, frame_id, frame) layout that "
-        "per-frame feature extraction then consumes. The fake sampler is pure "
-        "byte slicing, so the DuckDB oracle reproduces every frame bit-exactly "
-        "via blob substring (upgraded from rows-only in round 2). Batch shape "
-        "and determinism pinned in tests/test_llm.py."
-    ),
-    tags=("extension", "multimodal"),
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = media_table(spark, sf_dir)
-    n_frames = 3
+def frames_frame(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Binary-typed frame sampling: mapInPandas explodes each payload
+    into n_frames fixed-stride frames (decode stubbed: sample_frames ->
+    fake_sample_frames), yielding the (doc, frame_id, frame binary)
+    layout per-frame feature extraction consumes. Production shape."""
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,3 +310,29 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(explode_frames, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "q_frame_sample",
+    oracle=_FRAMES_ORACLE,
+    doc=(
+        "Video-style frame sampling over binary payloads: mapInPandas explodes "
+        "each payload into 3 fixed-stride frames (decode stubbed: sample_frames "
+        "-> fake_sample_frames). The fake sampler is pure byte slicing, so the "
+        "DuckDB oracle reproduces every frame bit-exactly via hex substring. "
+        "The registered form emits the frame as a lowercase hex STRING: DuckDB "
+        "blobs reach the driver's pandas canonicalizer as unhashable bytearray "
+        "cells and crash its sort (the r2 q_multimodal_features class); the "
+        "binary production shape stays available as frames_frame. Batch shape "
+        "and determinism pinned in tests/test_llm.py."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = frames_frame(media_table(spark, sf_dir), n_frames=3)
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+        "frame_bytes",
+    )

@@ -469,19 +469,21 @@ def q2_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus,
                CAST(bool_and(o_totalprice > 1000) AS INTEGER)  AS all_over_1k,
                CAST(bool_or(o_totalprice > 490000) AS INTEGER) AS any_jumbo,
-               count_if(o_totalprice > 250000) AS n_big,
-               bit_and(o_orderkey % 256) AS band,
-               bit_or(o_orderkey % 256)  AS bor,
-               bit_xor(o_orderkey % 256) AS bxor
+               CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
+               CAST(bit_and(o_orderkey % 256) AS BIGINT) AS band,
+               CAST(bit_or(o_orderkey % 256) AS BIGINT)  AS bor,
+               CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS bxor
         FROM orders
         GROUP BY o_orderstatus
     """,
     doc=(
         "Boolean + bitwise aggregate battery: bool_and/bool_or/count_if and "
         "bit_and/bit_or/bit_xor (SURVEY.md §2.4 completeness). The boolean "
-        "aggregate outputs are cast to INT on BOTH engines: values are "
-        "bit-identical but the driver's value-hash serializes Spark vs DuckDB "
-        "booleans differently (same dodge as q_collect's array rendering)."
+        "aggregate outputs are cast to INT on BOTH engines (driver serializes "
+        "booleans engine-specifically), and every integer aggregate is cast "
+        "BIGINT in the oracle: DuckDB's count_if returns HUGEINT, which "
+        "pandas materializes as float64 (2487.0) while Spark emits int64 "
+        "(2487) — the round-1/round-2 driver hash failures were exactly this."
     ),
     tags=("completeness", "agg"),
 )
@@ -491,10 +493,10 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 490000).cast("int").alias("any_jumbo"),
-        F.count_if(F.col("o_totalprice") > 250000).alias("n_big"),
-        F.bit_and(b).alias("band"),
-        F.bit_or(b).alias("bor"),
-        F.bit_xor(b).alias("bxor"),
+        F.count_if(F.col("o_totalprice") > 250000).cast("long").alias("n_big"),
+        F.bit_and(b).cast("long").alias("band"),
+        F.bit_or(b).cast("long").alias("bor"),
+        F.bit_xor(b).cast("long").alias("bxor"),
     )
 
 

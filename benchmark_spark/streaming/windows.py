@@ -274,7 +274,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY user_id
         )
         SELECT COUNT(s_ts) AS n_signup,
-               count_if(last_p > s_ts) AS n_converted,
+               -- CAST: DuckDB count_if yields HUGEINT -> pandas float64,
+               -- which the driver hash serializes as '150.0' vs Spark '150'
+               CAST(count_if(last_p > s_ts) AS BIGINT) AS n_converted,
                (floor(count_if(last_p > s_ts) * 1.0 / COUNT(s_ts) * 1000000 + 0.5)
                 / 1000000) AS conv_rate
         FROM per_user

@@ -1,9 +1,21 @@
 """Local mimic of the driver's correctness gate (SURVEY.md §5.2).
 
 Runs a registered query on Spark and its oracle on DuckDB over the
-same parquet, then compares row count, column-name set, and an
-order-insensitive multiset of normalized rows — a strictly
-tougher check than a hash (it reports the first differing rows).
+same parquet, then compares them at TWO levels:
+
+1. An order-insensitive multiset of normalized rows (collect() vs
+   fetchall()) — tougher than a hash, reports the first differing rows.
+2. A driver-serialization mimic: Spark ``toPandas()`` vs DuckDB
+   ``fetchdf()``, sorted by all columns and string-serialized per cell.
+   Level 1 is structurally blind to dtype divergence — ``fetchall()``
+   materializes DuckDB HUGEINT as a plain Python int that compares
+   equal to Spark's int64, while the driver's pandas path turns the
+   same HUGEINT into float64 (``2487.0`` vs ``2487``) and the value
+   hash diverges. That blindness shipped two driver-red rounds
+   (r1 q_agg_funcs, r2 q_bool_agg); level 2 closes it, and also
+   reproduces the driver canonicalizer's sort_values crash on
+   unhashable cells (array columns — r2 q_multimodal_features).
+
 Used by tests/test_correctness.py and tools/check_oracle.py so every
 oracle mismatch is caught locally before the driver sees it.
 """
@@ -17,6 +29,7 @@ from collections import Counter
 from dataclasses import dataclass, field
 
 import duckdb
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -80,6 +93,49 @@ class CompareResult:
         return msg
 
 
+def _canon_strings(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Mimic the driver's canonicalizer: columns ordered by name, rows
+    sorted by all columns, every cell string-serialized from its
+    pandas-dtyped value (so int64 2487 -> '2487' but float64 -> '2487.0').
+    Raises TypeError on unsortable cells exactly like the driver does."""
+    cols = sorted(pdf.columns)
+    out = pdf[cols]
+    if len(out):
+        out = out.sort_values(cols, kind="mergesort")
+    return out.reset_index(drop=True).astype(str)
+
+
+def _pandas_mimic_mismatches(
+    spark_pdf: "pd.DataFrame", oracle_pdf: "pd.DataFrame"
+) -> list[str]:
+    """Driver-serialization check over toPandas()/fetchdf() frames."""
+    try:
+        s = _canon_strings(spark_pdf)
+    except TypeError as e:
+        return [f"driver canonicalizer would CRASH on the Spark frame: {e}"]
+    try:
+        o = _canon_strings(oracle_pdf)
+    except TypeError as e:
+        return [f"driver canonicalizer would CRASH on the oracle frame: {e}"]
+    if s.equals(o):
+        return []
+    mismatches = []
+    sd = list(zip(sorted(spark_pdf.columns), [str(t) for t in spark_pdf[sorted(spark_pdf.columns)].dtypes]))
+    od = list(zip(sorted(oracle_pdf.columns), [str(t) for t in oracle_pdf[sorted(oracle_pdf.columns)].dtypes]))
+    if sd != od:
+        mismatches.append(f"pandas dtypes differ: spark={sd} oracle={od}")
+    neq = (s != o)
+    bad_cols = [c for c in s.columns if neq[c].any()]
+    for c in bad_cols[:3]:
+        i = int(neq[c].idxmax())
+        mismatches.append(
+            f"serialized cell differs col={c!r} row={i}: spark={s[c][i]!r} oracle={o[c][i]!r}"
+        )
+    if not mismatches:
+        mismatches.append("serialized frames differ (shape mismatch)")
+    return mismatches
+
+
 def compare(
     name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, oracle: str
 ) -> CompareResult:
@@ -102,6 +158,11 @@ def compare(
             only_o = list((o - s).items())[:3]
             mismatches.append(f"spark-only rows: {only_s}")
             mismatches.append(f"oracle-only rows: {only_o}")
+    if not mismatches:
+        # level 2: driver-serialization mimic (dtype-sensitive)
+        mismatches.extend(
+            _pandas_mimic_mismatches(spark_df.toPandas(), con.execute(oracle).fetchdf())
+        )
     return CompareResult(
         name, not mismatches, len(spark_rows), len(oracle_rows), mismatches
     )

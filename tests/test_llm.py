@@ -88,11 +88,17 @@ def test_fake_features_deterministic_and_shaped():
 
 
 def test_multimodal_features_match_metadata(spark):
-    feats = SPECS["q_multimodal_features"].fn(spark, SF_SMOKE)
+    from benchmark_spark.llm.multimodal import features_frame, media_table
+
+    feats = features_frame(media_table(spark, SF_SMOKE))
     meta = SPECS["q_binary_meta"].fn(spark, SF_SMOKE)
     joined = feats.alias("f").join(meta.alias("m"), "doc_id")
     assert joined.filter(F.col("f.n_bytes") != F.col("m.n_bytes")).count() == 0
     assert feats.filter(F.size("feature") != 4).count() == 0
+    # registered (driver) form: fixed-point string, 4 comma-joined dims
+    reg = SPECS["q_multimodal_features"].fn(spark, SF_SMOKE)
+    assert dict(reg.dtypes)["feature"] == "string"
+    assert reg.filter(F.size(F.split("feature", ",")) != 4).count() == 0
 
 
 def test_fake_resize_contract():
@@ -105,11 +111,17 @@ def test_fake_resize_contract():
 
 
 def test_frame_sample_plumbing(spark):
-    frames = SPECS["q_frame_sample"].fn(spark, SF_SMOKE)
+    from benchmark_spark.llm.multimodal import frames_frame, media_table
+
+    frames = frames_frame(media_table(spark, SF_SMOKE))
     assert frames.count() == 500 * 3
     assert frames.filter(F.col("frame_bytes") != F.length("frame")).count() == 0
     per_doc = frames.groupBy("doc_id").count()
     assert per_doc.filter(F.col("count") != 3).count() == 0
+    # registered (driver) form: hex string, 2 chars per byte
+    reg = SPECS["q_frame_sample"].fn(spark, SF_SMOKE)
+    assert dict(reg.dtypes)["frame_hex"] == "string"
+    assert reg.filter(F.length("frame_hex") != 2 * F.col("frame_bytes")).count() == 0
 
 
 def test_real_decode_stubs_raise():
