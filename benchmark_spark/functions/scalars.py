@@ -226,6 +226,48 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(len(json_keys(props)) AS BIGINT)            AS n_keys,
+               array_to_string(json_keys(props), ',')           AS keys_csv,
+               array_to_string(list_transform(json_keys(props),
+                   kk -> json_extract_string(props, '$.' || kk)), ',') AS vals_csv,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CAST(json_extract(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
+        FROM events
+        WHERE event_id < 2000
+    """,
+    doc=(
+        "Map-function battery (SURVEY.md §2.8 Map row): from_json(props, "
+        "'map<string,int>') then map_keys / map_values / element_at / "
+        "map_contains_key / size, the map-typed column surface. Array-valued "
+        "keys/values are serialized to CSV strings (driver canonicalizer "
+        "cannot sort list cells); DuckDB replays via json_keys/json_extract. "
+        "map_from_entries/to_json round-trips stay in tests/test_scalars.py."
+    ),
+    tags=("completeness", "scalar"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    m = F.from_json("props", "map<string,int>")
+    return (
+        events.filter(F.col("event_id") < 2000)
+        .select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.size("m").cast("long").alias("n_keys"),
+            F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+            F.concat_ws(
+                ",", F.transform(F.map_values("m"), lambda v: v.cast("string"))
+            ).alias("vals_csv"),
+            F.element_at("m", "k").alias("k_val"),
+            F.map_contains_key("m", "k").cast("int").alias("has_k"),
+        )
+    )
+
+
+@register(
     "q_cast",
     oracle="""
         SELECT o_orderkey,

@@ -422,13 +422,13 @@ _SIMHASH_ORACLE = f"""
     doc=(
         "SimHash near-dup: 60-bit signature per doc (sign of per-bit vote over "
         "md5-derived token hashes), candidate pairs blocked on SIGNATURE BANDS "
-        "(Manku-style block permutation): the 60 bits split into 10 disjoint "
-        "6-bit bands; any pair at Hamming distance <= 9 flips bits in at most 9 "
-        "bands, so by pigeonhole it collides on at least one band — EXACT "
-        "recall at the emit threshold (8), with the join touching only "
+        "(Manku-style block permutation): the 60 bits split into 4 disjoint "
+        "15-bit bands; any pair at Hamming distance <= 3 flips bits in at most "
+        "3 bands, so by pigeonhole it collides on at least one band — EXACT "
+        "recall at the emit threshold (3), with the join touching only "
         "same-band-value buckets rather than all pairs in a `source` block "
         "(the round-1 blocking, quadratic when source cardinality is low). "
-        "Emits (a_id, b_id, hamming) for distance <= 8; the md5 hash base "
+        "Emits (a_id, b_id, hamming) for distance <= 3; the md5 hash base "
         "makes the pipeline bit-identical in DuckDB, so the driver HASH-checks "
         "it end-to-end (upgraded from rows-only in round 2). tests/test_llm.py "
         "asserts the planted near-dups land within threshold. At 100 TB: hot "

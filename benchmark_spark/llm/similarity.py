@@ -640,16 +640,18 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .select("vec_id", "embedding", "a_emb", idot.alias("iscore"))
     )
-    wi = Window.orderBy(F.desc("iscore"), F.asc("vec_id"))
-    shortlist = (
-        coarse.withColumn("rn", F.row_number().over(wi)).filter(F.col("rn") <= 30)
-    )
+    # top-30 via orderBy+limit, NOT a global row_number window: Catalyst
+    # plans TakeOrderedAndProject (per-partition top-k + driver merge of
+    # 30-row heaps), where an unpartitioned Window would funnel every
+    # scored row through a single partition — the one shape that defeats
+    # the SQ8 scan-bandwidth argument at 100 TB (tests/test_plans.py
+    # pins the plan)
+    shortlist = coarse.orderBy(F.desc("iscore"), F.asc("vec_id")).limit(30)
     exact = dot(F.col("embedding"), F.col("a_emb"))
-    we = Window.orderBy(F.desc("raw"), F.asc("vec_id"))
     return (
         shortlist.select("vec_id", "embedding", "a_emb", exact.alias("raw"))
-        .withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") <= 10)
+        .orderBy(F.desc("raw"), F.asc("vec_id"))
+        .limit(10)
         .select("vec_id", F.round("raw", 4).alias("score"))
     )
 

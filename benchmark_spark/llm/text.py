@@ -561,7 +561,12 @@ _MIXTURE_VALUES = ", ".join(f"('{s}', {r})" for s, r in MIXTURE_RATES)
         FROM documents d
         JOIN rates ON d.source = r_source
         WHERE CAST('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
-                   AS BIGINT) % 1000000 < CAST(rate * 1000000 AS BIGINT)
+                   AS BIGINT) % 1000000
+              -- floor(x+0.5), not CAST (=round-to-nearest) vs Spark's
+              -- truncating cast: the two only agree because today's 20
+              -- rates are exactly representable; the floor form is
+              -- tie-deterministic on both engines for any future rate
+              < CAST(floor(rate * 1000000 + 0.5) AS BIGINT)
     """,
     doc=(
         "Deterministic MIXTURE sampling: each source is kept at its own rate "
@@ -592,6 +597,6 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(rates), docs["source"] == rates["r_source"])
         .withColumn("u", u)
-        .filter(F.col("u") < (F.col("rate") * 1000000).cast("long"))
+        .filter(F.col("u") < F.floor(F.col("rate") * 1000000 + F.lit(0.5)))
         .select("doc_id", "source", "u")
     )

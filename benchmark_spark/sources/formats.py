@@ -17,11 +17,14 @@ readers, write parquet, query parquet.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from benchmark_spark.catalog import SCHEMAS
+from benchmark_spark.registry import register
 
 DELIM = "\x01"  # Hive default field delimiter, as the reference's DDL [P]
 
@@ -87,3 +90,50 @@ def read_format(spark: SparkSession, path: str, table: str, fmt: str) -> DataFra
     else:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     return _decode_rows(lines, table)
+
+
+def _stage_path(sf_dir: str, kind: str, table: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join("/root/repo/.scratch", f"{kind}_{table}_{base}")
+
+
+@register(
+    "q_format_text",
+    oracle="""
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                        % 1000003) AS BIGINT) AS fp
+        FROM documents
+        GROUP BY source
+    """,
+    doc=(
+        "Reference storage-format fidelity as a driver-checked query "
+        "(SURVEY.md §2.1 text/deflate variants [P]): documents is written "
+        "through the \\x01-delimited text codec with DEFLATE compression and "
+        "read back via read_format, then aggregated per source with an "
+        "md5-derived 60-bit content fingerprint summed per group — any byte "
+        "lost or mangled by the codec changes fp, and the DuckDB oracle "
+        "computes the same fingerprint from the parquet original. The other "
+        "two variants (SequenceFile +/- snappy) share the same codec and "
+        "round-trip in tests/test_formats.py."
+    ),
+    tags=("source", "format"),
+)
+def q_format_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.catalog import load_table
+
+    stage = _stage_path(sf_dir, "textfmt", "documents")
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    write_format(docs, stage, "text-deflate")
+    back = read_format(spark, stage, "documents", "text-deflate")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(fp).alias("fp"),
+    )

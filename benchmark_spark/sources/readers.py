@@ -16,9 +16,14 @@ is declared at write time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
 
-from benchmark_spark.catalog import SCHEMAS
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import SCHEMAS, load_table
+from benchmark_spark.operators.aggregates import dsum, dsum_sql
+from benchmark_spark.registry import register
 
 
 def read_csv(
@@ -59,6 +64,71 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def _stage_path(sf_dir: str, kind: str, table: str) -> str:
+    """Deterministic per-SF staging dir under the repo scratch area
+    (keyed like streaming's stream_src so cross-SF runs never collide)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join("/root/repo/.scratch", f"{kind}_{table}_{base}")
+
+
+@register(
+    "q_csv_source",
+    oracle=f"""
+        SELECT c_nationkey, COUNT(*) AS n,
+               {dsum_sql('c_acctbal', 2)} AS bal
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc=(
+        "CSV source fidelity (SURVEY.md §2.1, the reference's delimited-text "
+        "external tables [P]): customer is round-tripped through a real CSV "
+        "write + schema-explicit FAILFAST read (read_csv — never inference), "
+        "then aggregated; the oracle computes the same aggregate from the "
+        "parquet original, so the driver hash proves the text codec is "
+        "lossless including doubles (shortest-repr round trip; the sum is "
+        "fixed-point exact). Ingest posture at 100 TB: read CSV once, "
+        "materialize parquet, query parquet — this query IS that first read."
+    ),
+    tags=("source", "csv"),
+)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_path(sf_dir, "csv", "customer")
+    load_table(spark, sf_dir, "customer", assert_schema=False).write.mode(
+        "overwrite"
+    ).option("header", "true").csv(stage)
+    df = read_csv(spark, stage, "customer")
+    return df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal"), 2).alias("bal")
+    )
+
+
+@register(
+    "q_json_source",
+    oracle=f"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               {dsum_sql('o_totalprice', 2)} AS rev
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "JSON-lines source fidelity (SURVEY.md §2.1): orders round-tripped "
+        "through a JSON write + schema-explicit FAILFAST read (read_json), "
+        "then aggregated; oracle reads the parquet original. Timestamps "
+        "survive via the explicit timestampFormat; doubles via shortest-repr."
+    ),
+    tags=("source", "json"),
+)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_path(sf_dir, "json", "orders")
+    load_table(spark, sf_dir, "orders", assert_schema=False).write.mode(
+        "overwrite"
+    ).option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]").json(stage)
+    df = read_json(spark, stage, "orders")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), 2).alias("rev")
+    )
 
 
 def write_bucketed(

@@ -305,3 +305,102 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conv.alias("n_converted"),
         rate.alias("conv_rate"),
     )
+
+
+def _closed_windows(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Batch equivalence of withWatermark + tumbling window in APPEND
+    mode: the final watermark is max(event time) - delay, and append
+    emits exactly the windows the watermark has closed (window.end <=
+    watermark). A single-batch AvailableNow run drops no individual
+    rows (the watermark only advances between micro-batches), so the
+    emitted counts equal the batch counts over closed windows — the
+    stream twin in tests/test_streaming.py asserts exact equality."""
+    mx = events.agg(F.max("ts").alias("mx"))
+    win = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        win.crossJoin(F.broadcast(mx))
+        .filter(F.col("w.end") <= F.col("mx") - F.expr(f"INTERVAL {delay}"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "q_watermark",
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    doc=(
+        "Watermark / late-data semantics, batch-equivalent form (SURVEY.md "
+        "§2.9): tumbling 1-hour windows restricted to those CLOSED by the "
+        "final watermark max(ts) - 10 minutes, i.e. exactly the append-mode "
+        "output of withWatermark('ts','10 minutes') over the same stream. "
+        "tests/test_streaming.py runs the real stream twin and asserts "
+        "identical rows, plus that a genuinely late row injected in a second "
+        "micro-batch is dropped. The watermark is computed as a broadcast "
+        "1-row aggregate, not a literal — one extra scan-and-reduce stage, "
+        "no shuffle of the fact."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    return _closed_windows(events)
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+        SELECT s.user_id,
+               s.event_id AS signup_id,
+               p.event_id AS purchase_id,
+               CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS lag_us
+        FROM events s
+        JOIN events p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    doc=(
+        "Stream-stream interval join, batch-equivalent form (SURVEY.md §2.9): "
+        "each signup joined to the purchases of the same user within the "
+        "following hour — the canonical two-stream enrichment. The streaming "
+        "twin (two filtered readStream branches, both watermarked, equi-key + "
+        "time-range condition so state is boundable) runs in "
+        "tests/test_streaming.py and must produce these exact rows. At 100 TB "
+        "the equi-key (user_id) anchors the shuffle; the time bound only "
+        "trims state, never drives a nested loop."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    s = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "user_id",
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+    )

@@ -227,6 +227,18 @@ def test_llm_candidate_joins_are_not_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_knn_sq8_shortlist_is_take_ordered(spark):
+    """The SQ8 coarse shortlist must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), not a global-window row_number that
+    funnels every scored row through one partition — the shape that
+    would defeat the quantized scan-bandwidth argument at 100 TB."""
+    df = SPECS["q_knn_sq8"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange singlepartition" not in plan
+
+
 def test_ann_lsh_candidate_join_broadcasts_anchors(spark):
     """The multi-probe candidate join must broadcast the (tiny,
     exploded) anchor probe list, never shuffle the bucketed corpus."""

@@ -102,6 +102,152 @@ def test_stream_stream_time_bounded_join(spark):
     assert _rows(got, cols) == _rows(batch, cols)
 
 
+def test_watermark_stream_twin_matches_registered_batch(spark):
+    """q_watermark's batch form (windows closed by max(ts) - 10 min)
+    must equal the real append-mode withWatermark stream output."""
+    stream = events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+    sink = "wm_sink_test"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = SPECS["q_watermark"].fn(spark, SF_SMOKE)
+    cols = ["w_start", "event_type", "n", "total"]
+    assert _rows(spark.table(sink), cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_genuinely_late_row(spark, tmp_path):
+    """A row older than the watermark, arriving in a SECOND micro-batch
+    after the watermark has advanced past it, must be dropped from the
+    windowed aggregation (the late-data semantics SURVEY §2.9 specs)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_batch(rows, name):
+        # the file stream source lists FILES in src, not subdirs: stage
+        # the parquet write, then drop its part file in as <name>.parquet
+        stage = f"{src}_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    # batch 1: events up to 03:00 -> watermark after it = 02:50
+    write_batch(
+        [(base + dt.timedelta(hours=h), 1) for h in (0, 1, 2, 3)], "b1"
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select(F.col("w.start").alias("w_start"), "s")
+    )
+    def run_once():
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: one in-time row (04:00) and one LATE row (00:30, far
+    # below the 02:50 watermark carried in the checkpoint) — the late
+    # row must be dropped at input, not resurrect the 00:00 window.
+    # (Append emission lags one batch: run 1 only advances the
+    # watermark; run 2 emits the windows it closed.)
+    write_batch(
+        [(base + dt.timedelta(hours=4), 1),
+         (base + dt.timedelta(minutes=30), 100)], "b2"
+    )
+    run_once()
+    out_schema = T.StructType(
+        [T.StructField("w_start", T.TimestampType()), T.StructField("s", T.LongType())]
+    )
+    rows = spark.read.schema(out_schema).parquet(out).collect()
+    got = {r["w_start"]: r["s"] for r in rows}
+    assert got, "no closed windows emitted after second batch"
+    assert got[base] == 1, "late row leaked into an already-closed window"
+    assert all(s == 1 for s in got.values())
+
+
+def test_stream_join_twin_matches_registered_batch(spark):
+    """q_stream_join's batch interval join == the watermarked
+    stream-stream join over the same two event streams."""
+    s = events_stream(spark, SF_SMOKE)
+    a = (
+        s.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    b = (
+        s.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+    )
+    sink = "sjoin_twin_sink_test"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    batch = SPECS["q_stream_join"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "signup_id", "purchase_id", "lag_us"]
+    assert _rows(spark.table(sink), cols) == _rows(batch, cols)
+
+
 def test_apply_in_pandas_with_state_running_count(spark):
     """Arbitrary stateful processing: per-user running event counter
     via applyInPandasWithState; final counts must equal batch groupBy."""
