@@ -370,10 +370,25 @@ def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(rnd(F.avg("val"), 6).alias("c"))
 
 
+def _pydot(a, b) -> float:
+    """Sequential left-fold dot product — the SAME accumulation order as
+    the Spark-side `dot` (F.aggregate left fold) and DuckDB's
+    list_dot_product, so driver-side sweep math is bit-identical to
+    what an in-engine replay computes. (numpy's BLAS ddot uses lane-
+    unrolled accumulation and can differ in the last ulp.)"""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def kmeans_parallel_init(
     vecs: DataFrame, k: int, rounds: int = 2, oversample: int | None = None
 ) -> DataFrame:
-    """k-means|| seeding (Bahmani et al., VLDB 2012), deterministic.
+    """k-means|| seeding (Bahmani et al., VLDB 2012), deterministic and
+    ENGINE-REPLAYABLE (q_ann_ivf's DuckDB oracle unrolls these exact
+    supersteps in SQL — every draw, threshold, and tiebreak below must
+    stay bit-identical across engines).
 
     Instead of k arbitrary rows, oversample candidates proportional to
     their angular cost against the centers chosen so far, over a few
@@ -381,21 +396,23 @@ def kmeans_parallel_init(
 
       1. seed with the lowest vec_id;
       2. each round: cost(x) = 1 - max_dot(x, C) vs a BROADCAST candidate
-         table, phi = total cost (one scalar to the driver), keep x with
-         u(x) < oversample * cost(x) / phi where u(x) is a deterministic
-         uniform derived from xxhash64(vec_id, round) — reproducible
-         "randomness", no RNG state;
+         table, quantized to fixed-point 1e-9 so phi (the total cost,
+         one scalar to the driver) is an exact integer sum — float
+         combine order can never flip a draw; keep x with
+         u(x) < oversample * cost(x) / phi where u(x) is the 60-bit
+         md5('ivf|round|vec_id') uniform — reproducible "randomness"
+         with no RNG state, computable by any engine with md5;
       3. weight every candidate by how many points it is nearest to, then
          greedy max-min (k-center sweep, heaviest first) over the <=
-         ~2*k*rounds candidates in numpy — tiny, deterministic, and
+         ~2*k*rounds candidates driver-side — tiny, deterministic, and
          spreads seeds instead of stacking them in dense regions.
 
     Each round is one broadcast join + one scalar agg — no all-pairs
-    work, so the shape survives 100 TB (candidates stay O(k*rounds)).
+    work, so the shape survives 100 TB (candidates stay O(k*rounds);
+    the fixed-point cost sum needs two-level aggregation beyond ~9e9
+    rows of headroom, same note as dsum).
     Returns (cid, cvec array<double>) with cid = the candidate's vec_id.
     """
-    import numpy as np
-
     if oversample is None:
         oversample = 2 * k
     cand = vecs.orderBy("vec_id").limit(1).select(
@@ -406,17 +423,34 @@ def kmeans_parallel_init(
             vecs.crossJoin(F.broadcast(cand))
             .groupBy("vec_id")
             .agg(F.first("v").alias("v"), F.max(dot(F.col("v"), F.col("cvec"))).alias("best"))
-            .select("vec_id", "v", F.greatest(F.lit(0.0), 1 - F.col("best")).alias("cost"))
+            .select(
+                "vec_id",
+                "v",
+                F.floor(
+                    F.greatest(F.lit(0.0), 1 - F.col("best")) * 1e9 + F.lit(0.5)
+                ).alias("ci"),
+            )
         )
-        phi = cost.agg(F.sum("cost")).first()[0]
-        if not phi or phi <= 0:
+        phi_int = cost.agg(F.sum("ci")).first()[0]
+        if not phi_int:
             break  # every point already coincides with a candidate
-        # u ~ Uniform[0,1): low 53 bits of a seeded hash — deterministic
+        phi = phi_int / 1e9
+        # u ~ Uniform[0,1): 60-bit md5 uniform — engine-independent
         u = (
-            F.shiftrightunsigned(F.xxhash64(F.col("vec_id"), F.lit(r)), 11)
-            / F.lit(float(1 << 53))
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"ivf|{r}|"), F.col("vec_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 60))
         )
-        picked = cost.filter(u < F.lit(float(oversample)) * F.col("cost") / F.lit(float(phi)))
+        picked = cost.filter(
+            u < F.lit(float(oversample)) * (F.col("ci").cast("double") / F.lit(1e9)) / F.lit(phi)
+        )
         cand = (
             cand.unionByName(
                 picked.select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
@@ -430,15 +464,18 @@ def kmeans_parallel_init(
     }
     cand_rows = sorted(cand.collect(), key=lambda r: r["cid"])
     ids = [r["cid"] for r in cand_rows]
-    mat = np.array([r["cvec"] for r in cand_rows])
-    order = sorted(range(len(ids)), key=lambda i: (-weights.get(ids[i], 0), ids[i]))
-    chosen = [order[0]]
+    mat = [list(r["cvec"]) for r in cand_rows]
+    # heaviest candidate first (tiebreak: lowest cid)
+    first = min(range(len(ids)), key=lambda i: (-weights.get(ids[i], 0), ids[i]))
+    chosen = [first]
     while len(chosen) < min(k, len(ids)):
-        sel = mat[chosen]
         # min angular distance to already-chosen seeds, weight-blind:
         # max-min spread matters more than mass once the heaviest leads
-        d = 1.0 - (mat @ sel.T).max(axis=1)
-        d[chosen] = -1.0
+        d = [
+            -1.0 if i in chosen
+            else 1.0 - max(_pydot(mat[i], mat[j]) for j in chosen)
+            for i in range(len(ids))
+        ]
         best = max(range(len(ids)), key=lambda i: (d[i], -ids[i]))
         if d[best] <= 0:
             break
@@ -538,9 +575,141 @@ def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _build_ivf_oracle(k: int = 10, rounds: int = 2, oversample: int = 20,
+                      iters: int = 2, nprobe: int = 4) -> str:
+    """Unrolled DuckDB replay of the ENTIRE q_ann_ivf pipeline —
+    k-means|| seeding (every md5 draw, fixed-point cost threshold),
+    the weighted greedy k-center sweep, both Lloyd iterations, and the
+    probe/re-score — as one WITH chain. Possible because every
+    nondeterminism in the Spark implementation was removed by
+    construction: uniforms are md5-derived, the cost sum is an exact
+    integer, driver-side sweep dots use the same left-fold order as
+    list_dot_product, and per-dimension means are rounded to the 1e-6
+    grid before use. rounds/steps are compile-time constants, so the
+    'iterative' index unrolls to straight SQL.
+
+    Break-semantics note: the sweep's SQL keeps feeding pick_i into
+    sel_i even when d <= 0 and filters keepers on d > 0 afterwards;
+    min-distance to a growing seed set is non-increasing, so every
+    pick after a d <= 0 pick also has d <= 0 — identical to the
+    Python loop's break."""
+    two60 = float(1 << 60)
+    parts = [
+        "vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "cand0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cvec FROM vecs "
+        "WHERE vec_id = (SELECT min(vec_id) FROM vecs))",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"cost{r} AS MATERIALIZED (SELECT x.vec_id, x.v, "
+            f"CAST(floor(greatest(0.0, 1 - MAX(list_dot_product(x.v, c.cvec))) "
+            f"* 1000000000.0 + 0.5) AS BIGINT) AS ci "
+            f"FROM vecs x, cand{r} c GROUP BY x.vec_id, x.v)"
+        )
+        parts.append(
+            f"phi{r} AS MATERIALIZED (SELECT CAST(SUM(ci) AS DOUBLE) / 1000000000.0 AS phi "
+            f"FROM cost{r})"
+        )
+        parts.append(
+            f"picked{r} AS MATERIALIZED (SELECT vec_id, v FROM cost{r}, phi{r} "
+            f"WHERE CAST(CAST('0x' || substring(md5('ivf|{r}|' || "
+            f"CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / {two60!r} "
+            f"< {float(oversample)!r} * (CAST(ci AS DOUBLE) / 1000000000.0) / phi)"
+        )
+        parts.append(
+            f"cand{r + 1} AS MATERIALIZED (SELECT cid, cvec FROM cand{r} "
+            f"UNION SELECT vec_id, v FROM picked{r})"
+        )
+    last = f"cand{rounds}"
+    parts.append(
+        f"assignw AS MATERIALIZED (SELECT x.vec_id, c.cid FROM vecs x, {last} c "
+        f"QUALIFY row_number() OVER (PARTITION BY x.vec_id "
+        f"ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid ASC) = 1)"
+    )
+    parts.append(
+        f"candw AS MATERIALIZED (SELECT c.cid, c.cvec, COALESCE(w.w, 0) AS w FROM {last} c "
+        f"LEFT JOIN (SELECT cid, COUNT(*) AS w FROM assignw GROUP BY cid) w "
+        f"USING (cid))"
+    )
+    parts.append(
+        "sel0 AS MATERIALIZED (SELECT cid, cvec FROM candw ORDER BY w DESC, cid ASC LIMIT 1)"
+    )
+    keepers = ["SELECT cid FROM sel0"]
+    for i in range(1, k):
+        parts.append(
+            f"step{i} AS MATERIALIZED (SELECT c.cid, c.cvec, "
+            f"1 - MAX(list_dot_product(c.cvec, s.cvec)) AS d "
+            f"FROM candw c, sel{i - 1} s "
+            f"WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1}) "
+            f"GROUP BY c.cid, c.cvec)"
+        )
+        parts.append(
+            f"pick{i} AS MATERIALIZED (SELECT cid, cvec, d FROM step{i} "
+            f"ORDER BY d DESC, cid ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT cid, cvec FROM sel{i - 1} "
+            f"UNION ALL SELECT cid, cvec FROM pick{i})"
+        )
+        keepers.append(f"SELECT cid FROM pick{i} WHERE d > 0")
+    parts.append("keepers AS MATERIALIZED (" + " UNION ALL ".join(keepers) + ")")
+    parts.append(
+        "cent0 AS MATERIALIZED (SELECT cid, cvec FROM candw "
+        "WHERE cid IN (SELECT cid FROM keepers))"
+    )
+    for t in range(iters):
+        parts.append(
+            f"asg{t} AS MATERIALIZED (SELECT x.vec_id, x.v, c.cid FROM vecs x, cent{t} c "
+            f"QUALIFY row_number() OVER (PARTITION BY x.vec_id "
+            f"ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid ASC) = 1)"
+        )
+        parts.append(
+            f"dims{t} AS MATERIALIZED (SELECT cid, generate_subscripts(v, 1) AS pos, "
+            f"unnest(v) AS val FROM asg{t})"
+        )
+        parts.append(
+            f"mean{t} AS MATERIALIZED (SELECT cid, pos, "
+            f"floor(AVG(val) * 1000000.0 + 0.5) / 1000000.0 AS c "
+            f"FROM dims{t} GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"mv{t} AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS mvec "
+            f"FROM mean{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"cent{t + 1} AS MATERIALIZED (SELECT cid, list_transform(mvec, x -> x / "
+            f"greatest(sqrt(list_dot_product(mvec, mvec)), 1e-12)) AS cvec "
+            f"FROM mv{t})"
+        )
+    cent = f"cent{iters}"
+    parts.append(
+        f"lists AS MATERIALIZED (SELECT x.vec_id, x.v, c.cid FROM vecs x, {cent} c "
+        f"QUALIFY row_number() OVER (PARTITION BY x.vec_id "
+        f"ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid ASC) = 1)"
+    )
+    parts.append(
+        f"probes AS MATERIALIZED (SELECT a.vec_id AS a_id, c.cid, a.v AS a_v "
+        f"FROM vecs a, {cent} c WHERE a.vec_id < 5 "
+        f"QUALIFY row_number() OVER (PARTITION BY a.vec_id "
+        f"ORDER BY list_dot_product(a.v, c.cvec) DESC, c.cid ASC) <= {nprobe})"
+    )
+    parts.append(
+        "cand_fin AS MATERIALIZED (SELECT p.a_id, l.vec_id, "
+        "list_dot_product(l.v, p.a_v) AS raw "
+        "FROM probes p JOIN lists l USING (cid) WHERE l.vec_id <> p.a_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT a_id, vec_id AS neighbor_id, round(raw, 4) AS score "
+        "FROM cand_fin "
+        "QUALIFY row_number() OVER (PARTITION BY a_id "
+        "ORDER BY raw DESC, vec_id ASC) <= 3"
+    )
+
+
 @register(
     "q_ann_ivf",
-    oracle=None,  # index construction is iterative -> rows-only
+    oracle=_build_ivf_oracle(),
     doc=(
         "Approximate NN via an IVF index: k-means-lite (k-means|| seeded) "
         "partitions the corpus into up to 10 inverted lists (empty clusters "
@@ -551,9 +720,13 @@ def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
         "centroids (no first-k clumping), which partitions the space more "
         "finely — nprobe=4 buys the recall back (recall/cost tradeoff measured "
         "in tests/test_llm.py). At scale the lists are the write-time "
-        "partition key, so a probe reads nprobe partitions, not the corpus."
+        "partition key, so a probe reads nprobe partitions, not the corpus. "
+        "Round 3 upgraded this from rows-only to a FULL hash oracle: md5 "
+        "uniforms + fixed-point cost sums made the k-means|| sample engine-"
+        "independent, so _build_ivf_oracle unrolls the whole iterative index "
+        "build into one DuckDB WITH chain."
     ),
-    tags=("extension", "similarity", "rows-only"),
+    tags=("extension", "similarity"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)

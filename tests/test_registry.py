@@ -81,8 +81,8 @@ def test_displaced_queries_are_all_double_green():
 def test_rows_only_in_window_are_all_by_design():
     specs = all_specs()
     rows_only = {n for n in _PRIORITY if specs[n].oracle is None}
-    # the one remaining rows-only query is genuinely iterative (k-means
-    # index construction — no closed-form SQL); everything else in the
-    # window, including the approximate dedup/ANN pipelines, carries a
-    # full DuckDB oracle (md5-derived hashing + fixed-point bucketing)
-    assert rows_only == {"q_ann_ivf"}
+    # round 3 determinized the k-means|| seeding (md5 uniforms +
+    # fixed-point cost sums), so even the iterative IVF index build
+    # unrolls into a DuckDB WITH chain — EVERY query in the driver
+    # window now carries a full hash oracle
+    assert rows_only == set()
