@@ -600,3 +600,219 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.floor(F.col("rate") * 1000000 + F.lit(0.5)))
         .select("doc_id", "source", "u")
     )
+
+
+@register(
+    "q_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) AS g2,
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+            FROM toks
+        ),
+        tt AS (
+            SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.n_tokens,
+               (floor((CASE WHEN len(g2) > 0
+                     THEN 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                     ELSE 0.0 END) * 1000000 + 0.5) / 1000000) AS dup2_frac,
+               (floor((CASE WHEN len(g3) > 0
+                     THEN 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END) * 1000000 + 0.5) / 1000000) AS dup3_frac,
+               (floor((CAST(tt.mx AS DOUBLE) / tt.tot) * 1000000 + 0.5)
+                / 1000000) AS top_tok_frac
+        FROM grams g JOIN tt USING (doc_id)
+    """,
+    doc=(
+        "Repetition scoring (the Gopher-rules quality signal family): per doc, "
+        "the duplicated-2-gram and duplicated-3-gram fractions (1 - distinct/"
+        "total, the boilerplate/loop detector) and the most-frequent-token "
+        "fraction. N-grams are built with in-array higher-order functions (no "
+        "explode for the gram stats — one scan, zero shuffle); only the "
+        "top-token count needs a (doc_id, tok) groupBy. All ratios are "
+        "integer-derived and floor-rounded, so the driver hash is exact."
+    ),
+    tags=("extension", "text"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    t = F.split("text", " ")
+    n = F.size(t)
+
+    def grams(k: int):
+        # sequence(a, b) runs DESCENDING when b < a — guard short docs
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(k)]
+        )
+        return F.when(n >= k, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            1 - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    stats = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        rnd(dup_frac(grams(2)), 6).alias("dup2_frac"),
+        rnd(dup_frac(grams(3)), 6).alias("dup3_frac"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    top = counts.select(
+        "doc_id", rnd(F.col("mx").cast("double") / F.col("tot"), 6).alias("top_tok_frac")
+    )
+    return stats.join(top, "doc_id")
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 6),
+                           i -> CAST('0x' || substring(
+                                    md5(array_to_string(t[i:i+7], ' ')), 1, 15)
+                                AS BIGINT))) AS fp
+                FROM toks
+            )
+        ),
+        ev AS (SELECT doc_id AS b_id, fp FROM grams WHERE doc_id >= 1000000),
+        tr AS (SELECT doc_id AS a_id, fp FROM grams WHERE doc_id < 1000000)
+        SELECT a_id, b_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (fp)
+        GROUP BY a_id, b_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag training documents sharing any word "
+        "8-gram with a holdout set (the planted-near-dup corpus: mutated "
+        "copies at doc_id+1e6 stand in for a leaked eval suite, so every "
+        "long-enough original is provably flagged) — the n-gram overlap scan "
+        "every pre-training build runs against its eval suites. "
+        "Grams are md5-hashed to 60-bit BIGINTs before the equi-join, so the "
+        "shuffle carries 8-byte keys, never text; a real eval suite is tiny "
+        "relative to the corpus and would broadcast (here the planted holdout "
+        "is half the fixture, so the join shuffles both sides on fp). Hot "
+        "boilerplate grams skew the join key — AQE skew-join or a stopgram "
+        "filter handles that at 100 TB. Outputs (train a_id, eval b_id, "
+        "n_shared distinct grams)."
+    ),
+    tags=("extension", "text", "dedup"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.llm.dedup import doubled_corpus
+
+    corpus = doubled_corpus(spark, sf_dir)
+    t = F.split("text", " ")
+    n = F.size(t)
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i, 8))
+    fp = F.when(
+        n >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = corpus.select("doc_id", F.explode(fp).alias("fp"))
+    ev = grams.filter(F.col("doc_id") >= 1_000_000).select(
+        F.col("doc_id").alias("b_id"), "fp"
+    )
+    tr = grams.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("a_id"), "fp"
+    )
+    return (
+        tr.join(ev, "fp")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_NUM_RE = "[0-9]{3,}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com code '
+                        || CAST(doc_id * 7919 % 10000 AS VARCHAR) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(s, '{_NUM_RE}')) AS BIGINT) AS n_num,
+               md5(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_NUM_RE}', '<NUM>', 'g')) AS red_hash
+        FROM synth
+    """,
+    doc=(
+        "PII detection + redaction: count and mask email-shaped and numeric-"
+        "run tokens with global regexp_replace (the scrubbing pass any "
+        "training corpus gets before release). The fixture corpus is clean, "
+        "so deterministic synthetic PII (user<doc_id>@example.com + a numeric "
+        "code) is appended first — the planted-pattern convention the dedup "
+        "tests use. The redacted text is compared via md5 on both engines, so "
+        "the driver hash proves byte-identical redaction, not just counts. "
+        "One scan, no shuffle, whole-stage codegen throughout; DuckDB needs "
+        "the explicit 'g' flag Spark's regexp_replace implies."
+    ),
+    tags=("extension", "text"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com code "),
+        (F.col("doc_id") * 7919 % 10000).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(s, _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(s, F.lit(_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(s, F.lit(_NUM_RE)).cast("long").alias("n_num"),
+        F.md5(red.cast("binary")).alias("red_hash"),
+    )

@@ -105,11 +105,11 @@ _PRIORITY = (
     # new in round 3 (first driver exposure)
     "q_map_funcs", "q_watermark", "q_stream_join",
     "q_csv_source", "q_json_source", "q_format_text",
-    # iterative index: rows-only by design (SURVEY.md §2.10)
+    "q_repetition", "q_decontaminate", "q_pii_redact", "q_merge_upsert",
+    # iterative index, full oracle since round 3
     "q_ann_ivf",
     # re-proof under the exact-float hash (r1-only green, distinct families)
     "q_corr", "q_percentile", "q_collect", "q_grouping_sets",
-    "q_pivot", "q_lag", "q_scalar_subquery", "q_sort_multi",
 )
 
 

@@ -131,6 +131,60 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_merge_upsert",
+    oracle="""
+        WITH cdc AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 100.0 AS c_acctbal,
+                   'UPDATED' AS c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, c_name, c_nationkey,
+                   c_acctbal, 'NEW'
+            FROM customer WHERE c_custkey % 25 = 0
+        )
+        SELECT * FROM cdc
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM cdc)
+    """,
+    doc=(
+        "MERGE/upsert semantics (the Delta-style CDC apply, SURVEY.md §2.1 "
+        "sink family): a deterministic change batch (updates for custkey%10, "
+        "inserts at custkey+1e7 for custkey%25) applied to the customer "
+        "snapshot as changes UNION (base LEFT ANTI changes) — matched rows "
+        "replaced, unmatched inserted, everything else carried through, the "
+        "exact MERGE WHEN MATCHED/NOT MATCHED contract without a table "
+        "format. At 100 TB the anti-join broadcasts the CDC batch and "
+        "partition pruning rewrites only touched partitions (copy-on-write); "
+        "the +100.0 balance update is IEEE-exact so the driver hash checks "
+        "every carried column, not just counts."
+    ),
+    tags=("source", "sink"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "customer", assert_schema=False)
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    cdc = updates.unionByName(inserts)
+    untouched = base.join(F.broadcast(cdc.select("c_custkey")), "c_custkey", "left_anti")
+    return cdc.unionByName(untouched.select(*cdc.columns))
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, buckets: int, bucket_cols: list[str], path: str
 ) -> None:

@@ -33,6 +33,7 @@ NEVER_CHECKED = (
     "q_frame_sample", "q_stream_session", "q_funnel", "q_apply_in_pandas",
     "q_map_funcs", "q_watermark", "q_stream_join",
     "q_csv_source", "q_json_source", "q_format_text",
+    "q_repetition", "q_decontaminate", "q_pii_redact", "q_merge_upsert",
 )
 
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
@@ -56,10 +57,10 @@ def test_window_carries_all_unproven_queries():
     assert not missing, f"never-driver-checked queries outside window: {missing}"
 
 
-def test_displaced_queries_are_all_double_green():
+def test_displaced_queries_are_all_driver_green():
     """Anything pushed below position 50 must already be proven by the
-    driver itself (green in BOTH r1 and r2) — the window only spends
-    slots on queries whose driver status is unknown or red."""
+    driver itself (green in r1 or r2) — the window only spends slots
+    on queries whose driver status is unknown or red."""
     r1 = json.load(open("/root/repo/CORRECTNESS_r01.json"))
     r2 = json.load(open("/root/repo/CORRECTNESS_r02.json"))
 
