@@ -543,3 +543,49 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy = fsum(q * q, 4), fsum(p * p, 2)
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return li.groupBy("l_returnflag").agg(rnd(corr, 6).alias("corr_qty_price"))
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               COUNT(*) AS n,
+               (CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                / 100) AS rev
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Incremental materialized-aggregate maintenance (the nightly-rollup "
+        "pattern of a 100 TB warehouse): the per-month revenue rollup is "
+        "computed as merge(partial(base), partial(new_batch)) — COUNT and "
+        "fixed-point-SUM are algebraic aggregates whose partial states "
+        "(n, cents BIGINT) merge by addition, so ingesting a new batch "
+        "re-aggregates ONLY the batch plus one tiny merge, never the 100 TB "
+        "base. The split is deterministic (o_orderkey%1000 >= 900 plays the "
+        "new batch); the oracle recomputes the rollup from scratch, so the "
+        "driver hash proves merge(partials) == full recompute bit-exactly "
+        "(partials stay integer cents until the single final division). "
+        "Same shape as Spark's own partial->final HashAggregate, lifted to "
+        "cross-job granularity."
+    ),
+    tags=("agg", "extension"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("pn"), F.sum(cents).alias("pcents")
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 1000 < 900))
+    batch = partial(orders.filter(F.col("o_orderkey") % 1000 >= 900))
+    return (
+        base.unionByName(batch)
+        .groupBy("o_month")
+        .agg(F.sum("pn").alias("n"), F.sum("pcents").alias("cents"))
+        .select("o_month", "n", (F.col("cents") / F.lit(100.0)).alias("rev"))
+    )

@@ -106,10 +106,9 @@ _PRIORITY = (
     "q_map_funcs", "q_watermark", "q_stream_join",
     "q_csv_source", "q_json_source", "q_format_text",
     "q_repetition", "q_decontaminate", "q_pii_redact", "q_merge_upsert",
+    "q_orc_source", "q_partition_prune", "q_scd2", "q_incremental_agg",
     # iterative index, full oracle since round 3
     "q_ann_ivf",
-    # re-proof under the exact-float hash (r1-only green, distinct families)
-    "q_corr", "q_percentile", "q_collect", "q_grouping_sets",
 )
 
 

@@ -185,6 +185,147 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.unionByName(untouched.select(*cdc.columns))
 
 
+@register(
+    "q_orc_source",
+    oracle=f"""
+        SELECT s_nationkey, COUNT(*) AS n,
+               {dsum_sql('s_acctbal', 2)} AS bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    doc=(
+        "ORC source fidelity (SURVEY.md §2.1 — the reference's columnar "
+        "RCFile/SequenceFile alternatives [P] map to Spark's second native "
+        "columnar format): supplier is round-tripped through a real ORC "
+        "write + schema-asserted read, then aggregated; the oracle computes "
+        "the same aggregate from the parquet original, so the driver hash "
+        "proves the ORC codec is lossless (typed columns, not text). Like "
+        "parquet, ORC carries min/max statistics and predicate pushdown — "
+        "interchangeable at 100 TB; parquet remains the primary store."
+    ),
+    tags=("source", "orc"),
+)
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_path(sf_dir, "orc", "supplier")
+    load_table(spark, sf_dir, "supplier", assert_schema=False).write.mode(
+        "overwrite"
+    ).orc(stage)
+    df = spark.read.schema(SCHEMAS["supplier"]).orc(stage)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("s_acctbal"), 2).alias("bal")
+    )
+
+
+@register(
+    "q_partition_prune",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS rev
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+        GROUP BY 1
+    """,
+    doc=(
+        "Partition pruning end-to-end (SURVEY.md §2.1 sink + §4 optimizer "
+        "contract): orders is materialized hive-partitioned by month "
+        "(write_parquet partition_by=o_month — the canonical 100 TB fact "
+        "layout), then read back with a one-year partition filter and "
+        "aggregated. The filter matches only directory names, so Spark "
+        "lists ~12 of ~80 partitions and never opens the rest — "
+        "tests/test_plans.py pins the PartitionFilters line and the pruned "
+        "partition count. The oracle replays the filter on the unpartitioned "
+        "original, so the driver hash also proves the partitioned round-trip "
+        "is lossless. At 100 TB this layout turns a full scan into a "
+        "directory listing; dynamic partition pruning extends it to join "
+        "keys (tests/test_plans.py::test_dynamic_partition_pruning)."
+    ),
+    tags=("source", "sink"),
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = partitioned_orders(spark, sf_dir)
+    return (
+        df.filter(F.col("o_month").between("1996-01", "1996-12"))
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), 2).alias("rev"),
+        )
+    )
+
+
+def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders materialized hive-partitioned by order month (cached per
+    SF in .scratch; rewritten only when absent so repeated queries and
+    plan tests share one layout)."""
+    stage = _stage_path(sf_dir, "part_month", "orders")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        src = load_table(spark, sf_dir, "orders", assert_schema=False)
+        write_parquet(
+            src.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")),
+            stage,
+            partition_by=["o_month"],
+        )
+    return spark.read.parquet(stage)
+
+
+@register(
+    "q_scd2",
+    oracle="""
+        WITH hist AS (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+                   '2020-01-01' AS eff_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal + 50.0, 'MOVED', '2023-06-15'
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, eff_from,
+               coalesce(lead(eff_from) OVER w, '9999-12-31') AS eff_to,
+               CAST(CASE WHEN lead(eff_from) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM hist
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY eff_from)
+    """,
+    doc=(
+        "Slowly-changing-dimension type 2 assembly (the dimension-history "
+        "sibling of q_merge_upsert's CDC apply): a deterministic change "
+        "batch (custkey%5 re-segmented with +50.0 balance at a later "
+        "effective date) is unioned with the base snapshot, and validity "
+        "intervals are derived per business key with lead() — eff_to = next "
+        "version's eff_from, open intervals closed at 9999-12-31, "
+        "is_current flagging the head. One narrow shuffle on the business "
+        "key; at 100 TB the window partitions by custkey so version chains "
+        "never cross executors. Dates ride as ISO strings and the current "
+        "flag as INT on both engines (driver-hash serialization contract)."
+    ),
+    tags=("source", "sink"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    base = load_table(spark, sf_dir, "customer", assert_schema=False).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.lit("2020-01-01").alias("eff_from"),
+    )
+    changes = (
+        base.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+            F.lit("MOVED").alias("c_mktsegment"),
+            F.lit("2023-06-15").alias("eff_from"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("eff_from")
+    nxt = F.lead("eff_from").over(w)
+    return base.unionByName(changes).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "eff_from",
+        F.coalesce(nxt, F.lit("9999-12-31")).alias("eff_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, buckets: int, bucket_cols: list[str], path: str
 ) -> None:

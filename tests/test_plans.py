@@ -105,6 +105,19 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert 0 < pruned < total
 
 
+def test_q_partition_prune_scans_only_matching_months(spark):
+    """The registered q_partition_prune query must push its month
+    predicate into PartitionFilters (directory-level pruning), not
+    read every partition and filter rows."""
+    df = SPECS["q_partition_prune"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_month" in pf[0]
+    # row-level PushedFilters must NOT carry the month predicate —
+    # it is resolved entirely at listing time
+    assert "o_month" not in pushed_filters(df)
+
+
 def test_correlated_subquery_is_decorrelated(spark):
     """Catalyst must rewrite the correlated scalar subquery into an
     aggregate + join (no per-row subquery execution)."""

@@ -34,6 +34,7 @@ NEVER_CHECKED = (
     "q_map_funcs", "q_watermark", "q_stream_join",
     "q_csv_source", "q_json_source", "q_format_text",
     "q_repetition", "q_decontaminate", "q_pii_redact", "q_merge_upsert",
+    "q_orc_source", "q_partition_prune", "q_scd2", "q_incremental_agg",
 )
 
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
