@@ -255,10 +255,17 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders materialized hive-partitioned by order month (cached per
-    SF in .scratch; rewritten only when absent so repeated queries and
-    plan tests share one layout)."""
+    SF in .scratch; rewritten when absent OR older than the source
+    parquet, so a regenerated testdata drop never leaves a stale
+    layout silently diverging from the oracle's fresh source)."""
     stage = _stage_path(sf_dir, "part_month", "orders")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    marker = os.path.join(stage, "_SUCCESS")
+    src_parquet = os.path.join(sf_dir, "orders.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
         src = load_table(spark, sf_dir, "orders", assert_schema=False)
         write_parquet(
             src.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")),
