@@ -1,0 +1,223 @@
+"""Graph analytics over the similarity graph — iterative PageRank.
+
+The kNN graph (llm/similarity.py q_knn_graph) gives every vector its
+approximate top-3 cosine neighbors; PageRank over that graph is the
+classic "centrality of a document inside its semantic neighborhood"
+signal (SemDeDup/D4-style pipelines rank cluster members by exactly
+this kind of score to pick which near-duplicate to KEEP — the most
+central one — instead of an arbitrary member).
+
+Determinism across engines (SURVEY.md §5.2): a floating PageRank is
+NOT reproducible — Σ contributions is order-sensitive, and Spark's
+partial aggregation order differs run to run, let alone engine to
+engine. All rank mass here is integer fixed-point: total mass 1e12,
+teleport term (15 * 1e12) div (100 * N), per-edge contribution
+(85 * rank) div (100 * outdeg). Integer sums are associative, so the
+result is bit-identical on Spark, DuckDB, and any partitioning — the
+same trick as the fixed-point plane dots in llm/similarity.py.
+
+Scale posture (100 TB): each iteration is ONE shuffle — edges
+pre-joined with out-degrees once (the join key is the graph's write
+partition key), then join ranks on src + groupBy dst. The rank table
+is O(corpus) rows of 16 bytes, orders of magnitude smaller than the
+corpus payload; 3 static iterations unroll into one Catalyst plan
+with no driver-side loop state and no lineage growth worth
+checkpointing. Dangling-node mass leaks (the standard simplified
+variant), which keeps the oracle replay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.llm.similarity import dot, lsh_buckets, topk_per_anchor
+from benchmark_spark.registry import register
+
+MASS = 1_000_000_000_000  # total rank mass, fixed-point units
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
+ITERATIONS = 3
+TOP_K_NEIGHBORS = 3
+
+
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) edges: q_knn_graph's exact candidate + top-3 logic."""
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    signed = emb.select(
+        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select(
+        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.embedding").alias("a_emb"),
+            F.col("b.embedding").alias("n_emb"),
+        )
+        .dropDuplicates(["a_id", "vec_id"])
+    )
+    scored = cand.select(
+        "a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw")
+    )
+    return topk_per_anchor(scored, TOP_K_NEIGHBORS).select(
+        F.col("a_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+
+
+# DuckDB replay: the edge CTEs mirror the q_knn_graph oracle (same md5
+# planes, fixed-point plane dots, top-3 window), then the iterations
+# unroll as integer CTEs r1..r3 — bit-exact by construction.
+_EDGES_CTE = """
+    rfix AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS r
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT pp.p AS p,
+               list_transform(range(0, 64),
+                   d -> (CAST('0x' || substring(md5(pp.p || '|' || d), 1, 15)
+                         AS BIGINT) & 1) * 2 - 1) AS s
+        FROM (SELECT unnest(range(0, 32)) AS p) pp
+    ),
+    sgn AS (
+        SELECT r.vec_id, pl.p,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                                                 i -> r.r[i] * pl.s[i])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM rfix r, planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, p // 4 AS t,
+               SUM(CASE WHEN bit = 1
+                        THEN CAST(1 AS BIGINT) << (p % 4) ELSE 0 END) AS bucket
+        FROM sgn GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS vec_id
+        FROM buckets a JOIN buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c.a_id, c.vec_id,
+               list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS raw
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.vec_id
+    ),
+    edges AS (
+        SELECT a_id AS src, vec_id AS dst
+        FROM (SELECT a_id, vec_id,
+                     row_number() OVER (PARTITION BY a_id
+                                        ORDER BY raw DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    r0 AS (
+        SELECT vec_id, CAST({mass} // n.n AS BIGINT) AS rank
+        FROM embeddings CROSS JOIN n
+    )
+"""
+
+_ITER_CTE = """
+    r{i} AS (
+        SELECT v.vec_id,
+               {tel_num} // ({damp_den} * ANY_VALUE(n.n)) -- (1-d)*mass / N
+               + COALESCE(SUM(({damp_num} * p.rank) // ({damp_den} * d.outdeg)), 0)
+               AS rank
+        FROM embeddings v
+        CROSS JOIN n
+        LEFT JOIN edges e ON e.dst = v.vec_id
+        LEFT JOIN r{prev} p ON p.vec_id = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY v.vec_id
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [_EDGES_CTE.format(mass=MASS)]
+    tel_num = (DAMP_DEN - DAMP_NUM) * MASS  # (1-d)*mass, scaled by damp_den
+    for i in range(1, ITERATIONS + 1):
+        parts.append(
+            _ITER_CTE.format(
+                i=i,
+                prev=i - 1,
+                tel_num=tel_num,
+                damp_num=DAMP_NUM,
+                damp_den=DAMP_DEN,
+            )
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        # SUM(BIGINT) is HUGEINT in DuckDB -> float64 under the driver's
+        # pandas canonicalizer (the q_bool_agg failure class): cast back.
+        + f" SELECT vec_id, CAST(rank AS BIGINT) AS rank_fp FROM r{ITERATIONS}"
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Iterative PageRank (3 unrolled iterations, d=0.85) over the LSH-kNN "
+        "similarity graph — the semantic-centrality signal SemDeDup-style "
+        "pruning keeps the most central near-duplicate with. All rank mass is "
+        "integer fixed-point (1e12 units), so the result is bit-identical "
+        "across engines and partitionings; one shuffle per iteration "
+        "(join ranks on src, re-aggregate on dst), rank state is O(N) longs."
+    ),
+    tags=("extension", "graph"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    nodes = emb.select("vec_id")
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = knn_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # attach out-degree once; each iteration then shuffles only on dst
+    edges_deg = edges.join(deg, "src")
+
+    teleport_num = (DAMP_DEN - DAMP_NUM) * MASS
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "vec_id", F.expr(f"{MASS} div n").cast("long").alias("rank")
+    )
+    for _ in range(ITERATIONS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.vec_id)
+            .select(
+                F.col("dst"),
+                F.expr(f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contribs, nodes.vec_id == contribs.dst, "left")
+            .select(
+                nodes.vec_id,
+                (
+                    F.expr(f"({teleport_num}) div ({DAMP_DEN} * n)")
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks.select("vec_id", F.col("rank").alias("rank_fp"))

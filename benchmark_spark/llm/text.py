@@ -816,3 +816,161 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(s, F.lit(_NUM_RE)).cast("long").alias("n_num"),
         F.md5(red.cast("binary")).alias("red_hash"),
     )
+
+
+BM25_TERMS = ("spark", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS f FROM toks
+            WHERE term IN ('spark', 'join', 'vector')
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS d FROM toks
+            WHERE term IN ('spark', 'join', 'vector')
+            GROUP BY term
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(
+                       ln((stats.n - df.d + 0.5) / (df.d + 0.5) + 1.0)
+                       * (tf.f * {BM25_K1 + 1.0})
+                       / (tf.f + {BM25_K1} * ({1.0 - BM25_B}
+                                              + {BM25_B} * dl.dl / stats.avgdl))
+                       * 1000000.0 + 0.5) AS BIGINT) AS term_fp
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS bm25_fp
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25_fp DESC, doc_id
+        LIMIT 10
+    """,
+    doc=(
+        "BM25 relevance ranking (k1=1.2, b=0.75) of every document against a "
+        "fixed 3-term query, top-10. The float score is computed with an "
+        "identical expression tree on both engines, then each per-term score "
+        "is snapped to 6dp fixed-point BEFORE the per-doc sum, so the sum is "
+        "an order-insensitive integer — Spark's partial-agg order cannot "
+        "perturb the ranking. Same shape as TF-IDF: two token aggregations, "
+        "vocab-sized DF table broadcast back onto TF; at 100 TB the only "
+        "wide exchange is the doc-keyed token aggregation."
+    ),
+    tags=("extension", "text"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("d") + 0.5) / (F.col("d") + 0.5) + 1.0)
+    denom = F.col("f") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("f") * F.lit(BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(term_score * 1e6 + F.lit(0.5)).cast("long").alias("term_fp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_fp").cast("long").alias("bm25_fp"))
+        .orderBy(F.desc("bm25_fp"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+PACK_SEQ_LEN = 512
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM dl
+        )
+        SELECT doc_id, source, n_tok,
+               CAST(cum - n_tok AS BIGINT) AS tok_start,
+               CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+               CAST((cum - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last,
+               CAST((cum - 1) // {PACK_SEQ_LEN}
+                    - (cum - n_tok) // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+        FROM packed
+    """,
+    doc=(
+        "Training-sequence packing (fixed-boundary concat-and-split): "
+        "documents are concatenated per source shard in doc_id order and the "
+        "token stream is cut into 512-token training sequences; each doc gets "
+        "its token offset plus the first/last sequence index it lands in "
+        "(documents straddle boundaries, as in GPT-style pretraining "
+        "pipelines). One integer prefix-sum window PARTITIONED BY source — "
+        "at 100 TB packing is per input shard, so the window never sees a "
+        "global sort; shards pack in parallel and offsets are exact longs."
+    ),
+    tags=("extension", "text"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    dl = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = dl.withColumn("cum", F.sum("n_tok").over(w))
+    c = PACK_SEQ_LEN
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).cast("long").alias("tok_start"),
+        F.expr(f"(cum - n_tok) div {c}").cast("long").alias("seq_first"),
+        F.expr(f"(cum - 1) div {c}").cast("long").alias("seq_last"),
+        F.expr(f"(cum - 1) div {c} - (cum - n_tok) div {c} + 1")
+        .cast("long")
+        .alias("n_seqs"),
+    )

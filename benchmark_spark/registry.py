@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "benchmark_spark.llm.dedup",
     "benchmark_spark.llm.similarity",
     "benchmark_spark.llm.text",
+    "benchmark_spark.llm.graph",
     "benchmark_spark.llm.multimodal",
     "benchmark_spark.streaming.windows",
     "benchmark_spark.udf.surface",

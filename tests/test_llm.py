@@ -289,3 +289,68 @@ def test_mixture_sample_tracks_rates(spark):
     c1 = out.count()
     c2 = SPECS["q_mixture_sample"].fn(spark, SF_SMOKE).count()
     assert c1 == c2
+
+
+def test_pagerank_mass_and_centrality(spark):
+    from benchmark_spark.llm.graph import MASS, knn_edges, q_pagerank
+
+    ranks = q_pagerank(spark, SF_SMOKE).toPandas()
+    n = len(ranks)
+    assert n == 500
+    # teleport mass alone is (1-d)*MASS; total never exceeds full mass
+    # (dangling leak means <= MASS, integer floor loses at most 1/node/round)
+    total = ranks["rank_fp"].sum()
+    assert 0.15 * MASS * 0.99 < total <= MASS
+    # every node holds at least the teleport floor
+    assert (ranks["rank_fp"] >= (15 * MASS) // (100 * n) - 1).all()
+    # nodes with in-edges must outrank the teleport-only floor
+    edges = knn_edges(spark, SF_SMOKE).toPandas()
+    floor_rank = (15 * MASS) // (100 * n)
+    with_in = set(edges["dst"])
+    ranked = dict(zip(ranks["vec_id"], ranks["rank_fp"]))
+    assert all(ranked[v] > floor_rank for v in with_in)
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    from benchmark_spark.llm.graph import q_pagerank
+
+    a = q_pagerank(spark, SF_SMOKE).toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = q_pagerank(spark, SF_SMOKE).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    from benchmark_spark.llm.text import BM25_TERMS, q_bm25
+
+    top = q_bm25(spark, SF_SMOKE).toPandas()
+    assert len(top) == 10
+    assert (top["bm25_fp"] > 0).all()
+    # scores are sorted and the winner really is term-dense: it must
+    # contain at least one query term more often than the corpus median
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    counts = sorted(
+        sum(t.count(q) for q in BM25_TERMS) for t in docs.values()
+    )
+    median = counts[len(counts) // 2]
+    winner_count = sum(docs[top["doc_id"].iloc[0]].count(q) for q in BM25_TERMS)
+    assert winner_count > median
+    assert list(top["bm25_fp"]) == sorted(top["bm25_fp"], reverse=True)
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    from benchmark_spark.llm.text import PACK_SEQ_LEN, q_pack_sequences
+
+    pdf = q_pack_sequences(spark, SF_SMOKE).toPandas()
+    assert (pdf["n_seqs"] >= 1).all()
+    for _, grp in pdf.groupby("source"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        # token offsets tile the per-source stream with no gaps
+        expect = 0
+        for _, row in g.iterrows():
+            assert row["tok_start"] == expect
+            assert row["seq_first"] == expect // PACK_SEQ_LEN
+            assert row["seq_last"] == (expect + row["n_tok"] - 1) // PACK_SEQ_LEN
+            expect += row["n_tok"]

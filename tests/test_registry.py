@@ -37,6 +37,10 @@ NEVER_CHECKED = (
     "q_orc_source", "q_partition_prune", "q_scd2", "q_incremental_agg",
 )
 
+# Unproven queries that do NOT fit the full 50-slot round-3 window:
+# first candidates for the round-4 re-cut once this window goes green.
+NEXT_WINDOW = ("q_pagerank", "q_bm25", "q_pack_sequences")
+
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
 
 
@@ -56,6 +60,8 @@ def test_window_carries_all_unproven_queries():
     assert set(NEED_GREEN_PROOF) <= window
     missing = [n for n in NEVER_CHECKED if n not in window]
     assert not missing, f"never-driver-checked queries outside window: {missing}"
+    # the window is full: overflow is named, not silent
+    assert len(set(NEXT_WINDOW) & window) == 0
 
 
 def test_displaced_queries_are_all_driver_green():
@@ -73,7 +79,7 @@ def test_displaced_queries_are_all_driver_green():
 
     window = set(_PRIORITY)
     for name in all_specs():
-        if name in window or name in NEVER_CHECKED:
+        if name in window or name in NEVER_CHECKED or name in NEXT_WINDOW:
             continue
         assert green(r1.get(name)) or green(r2.get(name)), (
             f"{name} displaced from the driver window without prior green proof"
