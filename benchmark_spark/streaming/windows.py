@@ -404,3 +404,134 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
     )
+
+
+def events_stream_chunks(
+    spark: SparkSession, sf_dir: str, nchunks: int = 4
+) -> DataFrame:
+    """Events as a MULTI-BATCH stream: a staged 4-file copy split by
+    day-of-month range, read with maxFilesPerTrigger=1 so AvailableNow
+    executes one deterministic micro-batch per file (ascending event
+    time; mtimes set in order so the file source processes them
+    oldest-first). This is what makes update/append output modes mean
+    something — with a single batch they degenerate to complete mode.
+
+    The staged copy is keyed by SF and mtime-invalidated against the
+    source parquet (same contract as sources.readers.partitioned_orders),
+    and holds the CONVERTED schema (ts as timestamp), so the stream
+    needs no nanos shim.
+    """
+    stage = os.path.join(
+        "/root/repo/.scratch",
+        f"stream_chunks_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(stage, "_SUCCESS")
+    src_parquet = table_path(sf_dir, "events")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
+        import glob
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        events = load_table(spark, sf_dir, "events", assert_schema=False)
+        chunk = F.least(
+            F.lit(nchunks - 1), ((F.dayofmonth("ts") - 1) / 8).cast("int")
+        )
+        for i in range(nchunks):
+            tmp = os.path.join(stage, f"_tmp_{i}")
+            events.filter(chunk == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"chunk_{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        with open(marker, "w"):
+            pass
+    from benchmark_spark.catalog import SCHEMAS
+
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "chunk_*.parquet"))
+    )
+
+
+@register(
+    "q_stream_update",
+    oracle="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    doc=(
+        "UPDATE output mode over a real 4-micro-batch stream (SURVEY.md §2.9 "
+        "output modes): per-user running counts into a memory sink — each "
+        "batch re-emits only the keys it changed (~600 emissions for 150 "
+        "keys at sf0.01, vs 150 x 4 for complete mode), and the final state "
+        "per key (MAX of its monotone emissions) must equal the batch "
+        "GROUP BY exactly, which the driver hash-checks. At 100 TB update "
+        "mode is what makes continuous aggregation writable to a keyed sink: "
+        "emitted rows are proportional to changed keys per trigger, not to "
+        "total state."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream_chunks(spark, sf_dir)
+    sink = f"upd_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per key: counts only grow, so MAX picks each key's
+    # last emission — the sink-side "current value" read
+    return spark.table(sink).groupBy("user_id").agg(F.max("n").alias("n"))
+
+
+@register(
+    "q_stream_append",
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    doc=(
+        "APPEND output mode with a watermark over a real 4-micro-batch "
+        "stream (SURVEY.md §2.9 output modes): each 1-hour window is emitted "
+        "EXACTLY ONCE, when the watermark (max event time - 10 min, advanced "
+        "between micro-batches and by the final no-data batch) closes it. "
+        "The chunk files ascend in event time, so nothing arrives late and "
+        "the emitted set equals q_watermark's closed-window batch form — the "
+        "shared oracle the driver hash-checks. Append mode is the 100 TB "
+        "fact-table sink: immutable rows, no key-addressed rewrites."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream_chunks(spark, sf_dir)
+    sink = f"app_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)

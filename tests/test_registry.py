@@ -39,7 +39,10 @@ NEVER_CHECKED = (
 
 # Unproven queries that do NOT fit the full 50-slot round-3 window:
 # first candidates for the round-4 re-cut once this window goes green.
-NEXT_WINDOW = ("q_pagerank", "q_bm25", "q_pack_sequences")
+NEXT_WINDOW = (
+    "q_pagerank", "q_bm25", "q_pack_sequences",
+    "q_stream_update", "q_stream_append",
+)
 
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
 

@@ -413,3 +413,40 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     want = load_table(spark, SF_SMOKE, "events").count()
     assert n1 == want
     assert n2 == n1
+
+
+def test_stream_update_really_multibatch(spark):
+    """The update-mode sink must show per-batch re-emissions (more rows
+    than keys) — otherwise the 4-chunk source collapsed to one batch
+    and the query silently degenerated to complete mode."""
+    import uuid as _uuid
+
+    from benchmark_spark.streaming.windows import events_stream_chunks, scratch_dir
+
+    stream = events_stream_chunks(spark, SF_SMOKE)
+    sink = f"updtest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.table(sink)
+    keys = emissions.select("user_id").distinct().count()
+    assert emissions.count() > keys, "expected >1 emission per key across batches"
+
+
+def test_stream_append_emits_each_window_once(spark):
+    from benchmark_spark.registry import all_specs
+
+    out = all_specs()["q_stream_append"].fn(spark, SF_SMOKE).toPandas()
+    assert len(out) == len(out.drop_duplicates(["w_start", "event_type"]))
+    # strictly fewer than the full window set: the last windows stay
+    # open behind the watermark
+    full = all_specs()["q7_tumble"].fn(spark, SF_SMOKE).count()
+    assert 0 < len(out) < full
