@@ -347,3 +347,68 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """lineitem + orders as bucketed catalog tables (8 buckets on the
+    order key), created once per (session, SF).
+
+    Bucket metadata lives in the session catalog, so the first call in
+    a session always (re)writes — which also makes a regenerated
+    testdata drop self-healing — and later calls reuse the tables.
+    Bucketed layout is the write-time answer to repeated fact-fact
+    joins: both sides land pre-shuffled and pre-sorted on the key, so
+    the join plans as a zero-Exchange sort-merge (asserted in
+    tests/test_plans.py).
+    """
+    key = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name, ord_name = f"li_bucketed_{key}", f"ord_bucketed_{key}"
+    stage = os.path.join("/root/repo/.scratch", f"bucketed_{key}")
+    if not spark.catalog.tableExists(li_name):
+        li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+        write_bucketed(
+            li.select("l_orderkey", "l_quantity", "l_extendedprice"),
+            li_name, 8, ["l_orderkey"], os.path.join(stage, "li"),
+        )
+    if not spark.catalog.tableExists(ord_name):
+        orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+        write_bucketed(
+            orders.select("o_orderkey", "o_orderpriority"),
+            ord_name, 8, ["o_orderkey"], os.path.join(stage, "ord"),
+        )
+    return li_name, ord_name
+
+
+@register(
+    "q_bucket_join",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS qty_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Zero-shuffle co-located join via bucketed tables (SURVEY.md §4 / "
+        "§2.3): lineitem and orders written bucketBy(8, orderkey) + sortBy, "
+        "so the fact-fact join plans as a sort-merge with NO Exchange on "
+        "either side (pinned in tests/test_plans.py) — the only shuffle in "
+        "the query is the final 5-row priority rollup. At 100 TB this is THE "
+        "strategy for repeated joins on a stable key: pay the shuffle once "
+        "at write time, never again per query. Results hash-match the plain "
+        "unbucketed join, proving layout does not change semantics."
+    ),
+    tags=("source", "join"),
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_name, ord_name = bucketed_join_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    orders = spark.table(ord_name)
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("qty_cents"),
+    )

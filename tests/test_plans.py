@@ -258,3 +258,25 @@ def test_ann_lsh_candidate_join_broadcasts_anchors(spark):
     plan = formatted_plan(SPECS["q_ann_lsh"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucket_join_is_shuffle_free(spark):
+    """q_bucket_join's tables: the fact-fact join must need NO shuffle
+    Exchange on either side (bucketed+sorted layout satisfies the SMJ
+    requirement at write time). At smoke SF Catalyst would broadcast
+    instead — equally shuffle-free but not the layout under test — so
+    pin the merge strategy. The registered query leaves the choice to
+    Catalyst: broadcast at toy SF, bucketed SMJ when both sides are big."""
+    from benchmark_spark.sources.readers import bucketed_join_tables
+
+    li_name, ord_name = bucketed_join_tables(spark, SF_SMOKE)
+    joined = (
+        spark.table(li_name)
+        .hint("merge")
+        .join(spark.table(ord_name), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan

@@ -41,7 +41,7 @@ NEVER_CHECKED = (
 # first candidates for the round-4 re-cut once this window goes green.
 NEXT_WINDOW = (
     "q_pagerank", "q_bm25", "q_pack_sequences",
-    "q_stream_update", "q_stream_append",
+    "q_stream_update", "q_stream_append", "q_bucket_join",
 )
 
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
