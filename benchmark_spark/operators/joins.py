@@ -563,3 +563,69 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_smj_join",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS price_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "Forced SORT-MERGE join (SURVEY.md §2.3 physical-strategy row): "
+        "merge hint + both sides above the broadcast threshold, so the plan "
+        "is Exchange+Sort on each side then a streaming merge — the default "
+        "fact-fact strategy at 100 TB when neither side fits memory and the "
+        "key is unskewed (its spill behavior is sort-based and graceful). "
+        "Semantics hash-match the plain join; the plan shape is pinned in "
+        "tests/test_plans.py."
+    ),
+    tags=("completeness", "join"),
+)
+def q_smj_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    cust = load_table(spark, sf_dir, "customer", assert_schema=False)
+    return (
+        orders.hint("merge")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "q_shj_join",
+    oracle="""
+        SELECT n_name,
+               COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc=(
+        "Forced SHUFFLED-HASH join (SURVEY.md §2.3 physical-strategy row): "
+        "shuffle_hash hint — both sides exchange on the key, the smaller "
+        "builds an in-memory hash table per partition, no sort. The 100 TB "
+        "niche: one side is much smaller per key-partition than the other "
+        "(cheaper than SMJ's double sort) but still too big to broadcast. "
+        "Semantics hash-match the plain join; plan pinned in "
+        "tests/test_plans.py."
+    ),
+    tags=("completeness", "join"),
+)
+def q_shj_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier", assert_schema=False)
+    nation = load_table(spark, sf_dir, "nation", assert_schema=False)
+    return (
+        supp.join(nation.hint("shuffle_hash"), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )

@@ -280,3 +280,15 @@ def test_bucket_join_is_shuffle_free(spark):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_smj_and_shj_queries_plan_their_strategy(spark):
+    from benchmark_spark.registry import all_specs
+
+    smj = all_specs()["q_smj_join"].fn(spark, SF_SMOKE)
+    plan = smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+    shj = all_specs()["q_shj_join"].fn(spark, SF_SMOKE)
+    plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan

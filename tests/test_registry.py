@@ -42,6 +42,7 @@ NEVER_CHECKED = (
 NEXT_WINDOW = (
     "q_pagerank", "q_bm25", "q_pack_sequences",
     "q_stream_update", "q_stream_append", "q_bucket_join",
+    "q_smj_join", "q_shj_join",
 )
 
 NEED_GREEN_PROOF = ("q_bool_agg", "q_multimodal_features")
