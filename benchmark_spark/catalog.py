@@ -100,12 +100,16 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("props", T.StringType()),
         ]
     ),
-    # events.ts is physically TIMESTAMP(NANOS) INT64, which Spark's
-    # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read
-    # path: spark.sql.legacy.parquet.nanosAsLong=true + LongType
-    # schema, then timestamp_micros(ts div 1000) — lossless because
-    # the data is exactly microsecond-granular (verified, SURVEY.md
-    # §1.2 / FIXTURES.md). The logical schema above is what queries see.
+    # events.ts physical unit has varied across driver-generated
+    # fixtures: TIMESTAMP(NANOS) INT64 (rounds 1-2), which Spark's
+    # parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]), vs
+    # TIMESTAMP(MICROS) (round 3+), which Spark reads natively. The
+    # loader sniffs the footer unit per file (ts_unit below): nanos go
+    # through spark.sql.legacy.parquet.nanosAsLong=true + LongType
+    # schema + timestamp_micros(ts div 1000) (lossless — the data is
+    # microsecond-granular); micros/millis read directly as
+    # TimestampType. The logical schema above is what queries see
+    # either way.
     "documents": T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -155,6 +159,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def ts_unit(path: str, column: str = "ts") -> str:
+    """Physical time unit ('ns'/'us'/'ms'/'s') of a timestamp column,
+    read from the parquet footer. Fixture regenerations have switched
+    units between rounds; sniffing the footer keeps the read path
+    correct under either (a 1000x unit mistake silently compresses a
+    30-day stream into 43 minutes — round-3 postmortem)."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).schema_arrow.field(column).type
+    return getattr(t, "unit", "us")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = True
 ) -> DataFrame:
@@ -165,7 +181,7 @@ def load_table(
     skip footer-merging on many-file tables at cluster scale.
     """
     expected = SCHEMAS[name]
-    if name == "events":
+    if name == "events" and ts_unit(table_path(sf_dir, name)) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(table_path(sf_dir, name))
         df = raw.select(*_events_ts_projection())

@@ -25,7 +25,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from benchmark_spark.catalog import EVENTS_RAW_SCHEMA, load_table, table_path
+from benchmark_spark.catalog import (
+    EVENTS_RAW_SCHEMA,
+    SCHEMAS,
+    load_table,
+    table_path,
+    ts_unit,
+)
 from benchmark_spark.registry import register
 
 _TUMBLE_ORACLE = """
@@ -66,10 +72,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file stream source requires a DIRECTORY, while the fixture is
     a single parquet file — stage a symlink dir (no data copy). Same
-    nanos-as-long read path as the batch catalog (catalog.load_table),
-    so stream and batch plans see the identical logical schema.
+    unit-sniffed read path as the batch catalog (catalog.load_table):
+    nanos fixtures go through the nanos-as-long shim, micros fixtures
+    read natively — so stream and batch plans see the identical
+    logical schema either way.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, "events")
     stage = os.path.join(
         "/root/repo/.scratch", f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
@@ -84,6 +91,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(link)
     if not os.path.exists(link):
         os.symlink(src, link)
+    if ts_unit(src) != "ns":
+        return spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
     return raw.select(
         "event_id",
@@ -451,8 +461,6 @@ def events_stream_chunks(
             os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         with open(marker, "w"):
             pass
-    from benchmark_spark.catalog import SCHEMAS
-
     return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
