@@ -1,0 +1,397 @@
+"""Corpus sampling, language-model scoring, and leakage-safe splits
+(north-star LLM-pipeline extensions; SURVEY.md §2.10 E-tier).
+
+These operators close the loop from "detect duplicates / score
+quality" (llm/dedup.py, llm/text.py) to the decisions a 100 TB
+training-data build actually ships: which rows enter the sample,
+which copy of a near-dup group survives, and how train/val/test are
+split WITHOUT leaking near-duplicates across the boundary.
+
+Determinism discipline (shared with the rest of the tier): every
+sampling decision is a pure function of a KEY through md5 —
+reproducible across runs, engines, partitionings, and corpus growth —
+never rand(). Every float that reaches the driver hash is an exact
+fixed-point sum (dsum) or a floor-form 6dp snap (rnd), both with
+DuckDB twins, so all six queries here are full hash-checks.
+
+Scale posture per operator is in each docstring; the common shape is
+one corpus scan -> narrow per-doc work -> at most one shuffle on a
+well-distributed key (source / lang / cluster rep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.llm.dedup import (
+    _MINHASH_CTES,
+    _MINHASH_FINAL,
+    connected_components,
+    doubled_corpus,
+    q_dedup_minhash,
+)
+from benchmark_spark.llm.text import STOPWORDS, _STOP_SQL
+from benchmark_spark.operators.aggregates import dsum, dsum_sql, rnd, rnd_sql
+from benchmark_spark.registry import register
+
+# md5-derived uniform bucket in [0, 100) of an integer key — the
+# engine-portable "random" (identical in Spark / DuckDB / hashlib).
+_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+)
+
+
+def _md5_rank(key: F.Column) -> F.Column:
+    """Deterministic uniform order key: md5 of the row key as a hex string.
+
+    Ordering by it is equivalent in distribution to a uniform random
+    shuffle, but reproducible everywhere md5 exists. String comparison
+    of fixed-width lowercase hex agrees between Spark and DuckDB."""
+    return F.md5(key.cast("string"))
+
+
+@register(
+    "q_reservoir_sample",
+    oracle="""
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        WHERE rk <= 10
+    """,
+    doc=(
+        "Distributed reservoir-style sampling: exactly k=10 docs per source, "
+        "chosen by ranking on md5(doc_id) — the same uniform-without-"
+        "replacement result a per-partition reservoir merge produces, but as "
+        "a pure windowed top-k, deterministic across engines and runs. At "
+        "100 TB this is one shuffle on `source`; Catalyst runs the rank as "
+        "a partial top-k per input partition before the exchange when k is "
+        "small (WindowGroupLimit pushdown), so no partition ever "
+        "materializes more than k rows per key."
+    ),
+    tags=("extension", "text", "sampling"),
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    w = Window.partitionBy("source").orderBy(_md5_rank(F.col("doc_id")), "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_lang
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked
+        WHERE rk <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+    """,
+    doc=(
+        "Stratified sampling with EXACT per-stratum quotas: ceil(20%) of each "
+        "language, selected by md5 rank — unlike Bernoulli sampling (md5 "
+        "bucket < threshold), the quota is met exactly per stratum, which is "
+        "what a data-mixture contract requires. One shuffle on lang; rank "
+        "and stratum size come out of the same window exchange."
+    ),
+    tags=("extension", "text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    w = Window.partitionBy("lang").orderBy(_md5_rank(F.col("doc_id")), "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n_lang"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.2 * F.col("n_lang")).cast("long"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "q_unigram_lm",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freq AS (
+            SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ),
+        total AS (SELECT SUM(cnt) AS n FROM freq),
+        surprisal AS (
+            SELECT token, {rnd_sql('-ln(cnt * 1.0 / n)', 6)} AS s
+            FROM freq, total
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ({dsum_sql('s', 6)} / COUNT(*)) AS avg_nll
+        FROM tok JOIN surprisal USING (token)
+        GROUP BY doc_id
+    """,
+    doc=(
+        "Unigram language-model scoring (the cheap KenLM stand-in every "
+        "corpus filter starts with): corpus token frequencies -> per-token "
+        "surprisal -ln p(t), snapped to 6dp fixed point -> per-doc mean "
+        "negative log-likelihood. High avg_nll = rare-token-heavy docs "
+        "(gibberish candidates). Two narrow aggs (token freq, per-doc mean) "
+        "plus a broadcast of the vocabulary table (31 rows here; at 100 TB "
+        "a vocab of millions still broadcasts); the per-token snap makes "
+        "the float pipeline engine-exact, the BM25 precedent."
+    ),
+    tags=("extension", "text"),
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    surprisal = freq.crossJoin(F.broadcast(total)).select(
+        "token", rnd(-F.log(F.col("cnt") * 1.0 / F.col("n")), 6).alias("s")
+    )
+    return (
+        tok.join(F.broadcast(surprisal), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (dsum(F.col("s"), 6) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "q_length_hist",
+    oracle="""
+        SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_len,
+               CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_len
+        FROM documents
+        GROUP BY 1
+    """,
+    doc=(
+        "Token-length histogram (width-10 bins) with per-bin extrema — the "
+        "first diagnostic run on any new crawl snapshot, and the input to "
+        "length-filter threshold choices. Pure map-side arithmetic + one "
+        "tiny aggregation; at 100 TB the partial agg collapses each "
+        "executor's billions of rows to a handful of bins before the "
+        "exchange."
+    ),
+    tags=("extension", "text"),
+)
+def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select(F.floor(n / 10).cast("long").alias("bucket"), n.alias("len"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("len").cast("long").alias("min_len"),
+            F.max("len").cast("long").alias("max_len"),
+        )
+    )
+
+
+# Per-doc cluster label over the planted-near-dup corpus: every doc of
+# the doubled corpus labeled with min reachable doc_id (singletons keep
+# their own id). Shares the recursive-closure CTEs with q_dedup_clusters.
+_LABELS_CTES = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_FINAL}),
+    nodes AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+    sym AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+        UNION SELECT doc_id, doc_id FROM nodes
+    ),
+    reach(node, lab) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
+    ),
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+        SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS rep
+        FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+    )
+"""
+
+
+@register(
+    "q_leakage_split",
+    oracle=f"""
+        {_LABELS_CTES}
+        SELECT doc_id, rep,
+               CASE WHEN {_BUCKET_SQL.format(key='rep')} < 80 THEN 'train'
+                    WHEN {_BUCKET_SQL.format(key='rep')} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM members
+    """,
+    doc=(
+        "Leakage-safe train/val/test split: the md5 split bucket is computed "
+        "on the near-dup CLUSTER REPRESENTATIVE (min doc_id of the connected "
+        "component; the doc itself when unclustered), so a document and its "
+        "near-duplicates can NEVER straddle the train/test boundary — the "
+        "failure q_split_sample's per-doc hashing cannot prevent and the one "
+        "that silently inflates eval scores at 100 TB. Composes the "
+        "hash-verified MinHash+LSH pair pipeline, the iterative components, "
+        "and the keyed-hash split into one plan; the recursive-CTE oracle "
+        "hash-checks the whole thing per doc."
+    ),
+    tags=("extension", "dedup", "sampling"),
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs).withColumnRenamed("doc_id", "node")
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep")
+    members = (
+        corpus.join(labels, corpus.doc_id == labels.node, "left")
+        .select("doc_id", rep)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return members.select(
+        "doc_id",
+        "rep",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+        {_LABELS_CTES},
+        quality AS (
+            SELECT doc_id,
+                   {rnd_sql(
+                       "0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0"
+                       "       / len(string_split(text, ' ')))"
+                       " + 0.3 * (1 - len(list_filter(string_split(text, ' '),"
+                       f"                             t -> t IN ({_STOP_SQL}))) * 1.0"
+                       "          / len(string_split(text, ' ')))"
+                       " + 0.2 * least(len(string_split(text, ' ')) / 50.0, 1.0)")} AS q
+            FROM corpus
+        )
+        SELECT rep AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(doc_id) FILTER (WHERE best_rk = 1) AS keep_id,
+               MAX(q) FILTER (WHERE best_rk = 1) AS keep_quality
+        FROM (
+            SELECT m.doc_id, m.rep, q.q,
+                   row_number() OVER (PARTITION BY m.rep
+                                      ORDER BY q.q DESC, m.doc_id) AS best_rk
+            FROM members m JOIN quality q USING (doc_id)
+        )
+        GROUP BY rep
+        HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "Survivor selection for near-dup groups: within each MinHash+LSH "
+        "connected component, keep the HIGHEST-QUALITY copy (floor-snapped "
+        "composite of type-token ratio, stopword share, length; ties to the "
+        "smallest doc_id) instead of the arbitrary min-id that plain dedup "
+        "keeps — the policy step between 'found duplicates' and 'wrote the "
+        "training set'. One window over clusters joined to per-doc scalar "
+        "scores; emits cluster id, size, kept doc and its quality, "
+        "hash-checked through the same recursive-closure oracle as "
+        "q_dedup_clusters."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    q = rnd(
+        0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    )
+    quality = corpus.select("doc_id", q.alias("q"))
+    pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs).withColumnRenamed("doc_id", "node")
+    members = (
+        corpus.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep")
+        )
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = (
+        members.join(quality, "doc_id")
+        .withColumn("best_rk", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy(F.col("rep").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.when(F.col("best_rk") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.max(F.when(F.col("best_rk") == 1, F.col("q"))).alias("keep_quality"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+@register(
+    "q_bigram_counts",
+    oracle="""
+        SELECT bg, COUNT(*) AS cnt
+        FROM (
+            SELECT t[i] || ' ' || t[i + 1] AS bg
+            FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                 UNNEST(range(1, len(t))) AS r(i)
+        )
+        GROUP BY bg
+        ORDER BY cnt DESC, bg
+        LIMIT 20
+    """,
+    doc=(
+        "Corpus-wide bigram frequency (top-20): per-doc bigrams built "
+        "entirely inside the array domain (zip_with of two shifted slices — "
+        "no explode until the n-gram strings exist), then one count "
+        "aggregation and a TakeOrderedAndProject top-k. The raw material for "
+        "collocation stats and tokenizer-merge candidates; at 100 TB the "
+        "map-side partial agg absorbs the per-doc explosion before the "
+        "single shuffle on the bigram key, and hot bigrams (stopword pairs) "
+        "collapse map-side instead of skewing the exchange."
+    ),
+    tags=("extension", "text"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(20)
+    )

@@ -469,6 +469,89 @@ def events_stream_chunks(
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL 15 MINUTE AS w_start,
+               event_type,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS total
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding window (1 hour / 15-minute slide) as a REAL stream: "
+        "readStream -> overlapping-window agg -> complete-mode memory sink, "
+        "Trigger.AvailableNow — every event feeds 4 concurrent windows' "
+        "state, the canonical overlapping-state streaming shape. Shares "
+        "q_sliding's batch oracle (streaming-to-batch convergence, "
+        "hash-checked by the driver)."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+    sink = f"slide_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+        ORDER BY n DESC, user_id
+        LIMIT 10
+    """,
+    doc=(
+        "Streaming top-k: per-user event counts over a real 4-micro-batch "
+        "stream (complete-mode memory sink re-emitted per trigger), then the "
+        "top-10 most-active users with a deterministic user_id tiebreak — "
+        "the live-leaderboard shape. Complete mode is what makes a global "
+        "top-k well-defined mid-stream: each trigger's sink snapshot is the "
+        "full current state, and the final snapshot equals the batch GROUP "
+        "BY, which the driver hash-checks. The top-k itself is "
+        "TakeOrderedAndProject over ~count(distinct user_id) sink rows, "
+        "never a global sort."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream_chunks(spark, sf_dir)
+    sink = f"topk_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
     "q_stream_update",
     oracle="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
     doc=(

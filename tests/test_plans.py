@@ -292,3 +292,37 @@ def test_smj_and_shj_queries_plan_their_strategy(spark):
     shj = all_specs()["q_shj_join"].fn(spark, SF_SMOKE)
     plan = shj._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_reservoir_sample_pushes_window_group_limit(spark):
+    # per-source top-10 by md5 rank must pre-truncate each map-side
+    # partition to k rows before the exchange (WindowGroupLimit) —
+    # without it every doc shuffles at 100 TB
+    plan = formatted_plan(SPECS["q_reservoir_sample"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bigram_counts_topk_avoids_global_sort(spark):
+    plan = formatted_plan(SPECS["q_bigram_counts"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_order_returns_plans_semi_join(spark):
+    plan = formatted_plan(SPECS["q_order_returns"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_promo_share_broadcasts_part(spark):
+    plan = formatted_plan(SPECS["q_promo_share"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the date filter reaches the lineitem scan
+    df = SPECS["q_promo_share"].fn(spark, SF_SMOKE)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed_filters(df)
+
+
+def test_top_supplier_max_is_broadcast_not_collect(spark):
+    # the scalar max(total_rev) must enter the plan as a broadcast
+    # join against the 1-row aggregate, never a driver-side collect
+    plan = formatted_plan(SPECS["q_top_supplier"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
