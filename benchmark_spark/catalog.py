@@ -17,6 +17,7 @@ and partition/bucket pruning then composes for free via Catalyst.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --- Fixed schemas (SURVEY.md §1.2; verified against parquet footers,
@@ -142,19 +143,6 @@ EVENTS_RAW_SCHEMA = T.StructType(
 TABLES = tuple(SCHEMAS)
 
 
-def _events_ts_projection():
-    from pyspark.sql import functions as F
-
-    return [
-        F.col("event_id"),
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        F.col("user_id"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
-    ]
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
@@ -171,6 +159,16 @@ def ts_unit(path: str, column: str = "ts") -> str:
     return getattr(t, "unit", "us")
 
 
+def nanos_ts_columns(path: str) -> list[str]:
+    """Names of timestamp columns physically stored as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects outright and must go through
+    the nanos-as-long shim. Empty for micros/millis fixtures."""
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema_arrow
+    return [f.name for f in schema if getattr(f.type, "unit", None) == "ns"]
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, assert_schema: bool = True
 ) -> DataFrame:
@@ -181,14 +179,32 @@ def load_table(
     skip footer-merging on many-file tables at cluster scale.
     """
     expected = SCHEMAS[name]
-    if name == "events" and ts_unit(table_path(sf_dir, name)) == "ns":
+    ns_cols = nanos_ts_columns(table_path(sf_dir, name))
+    if ns_cols:
+        # TIMESTAMP(NANOS) fixture (rounds 1-2 shape): read the nanos
+        # columns as raw longs and convert — lossless, the data is
+        # microsecond-granular. Works for ANY table, so a future
+        # regeneration flipping orders/lineitem to nanos reads fine too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(table_path(sf_dir, name))
-        df = raw.select(*_events_ts_projection())
+        raw_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
+                for f in expected.fields
+            ]
+        )
+        raw = spark.read.schema(raw_schema).parquet(table_path(sf_dir, name))
+        df = raw.select(
+            *[
+                F.expr(f"timestamp_micros({f.name} div 1000)").alias(f.name)
+                if f.name in ns_cols
+                else F.col(f.name)
+                for f in expected.fields
+            ]
+        )
         got = [(f.name, f.dataType) for f in df.schema.fields]
         want = [(f.name, f.dataType) for f in expected.fields]
         if got != want:
-            raise ValueError(f"events projection drifted: {got}")
+            raise ValueError(f"{name} nanos projection drifted: {got}")
         return df
     df = spark.read.schema(expected).parquet(table_path(sf_dir, name))
     if assert_schema:

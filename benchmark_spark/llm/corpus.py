@@ -395,3 +395,124 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bg"))
         .limit(20)
     )
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle=f"""
+        WITH bg AS (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                 UNNEST(range(1, len(t))) AS r(i)
+        ),
+        pair_cnt AS (
+            SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+        ),
+        tok_cnt AS (
+            SELECT a AS tok, COUNT(*) AS c FROM bg GROUP BY a
+        ),
+        total AS (SELECT COUNT(*) AS n FROM bg)
+        SELECT a, b, c_ab,
+               {rnd_sql('ln(c_ab * 1.0 * n / (ca.c * cb.c))', 6)} AS pmi
+        FROM pair_cnt
+        JOIN tok_cnt ca ON ca.tok = a
+        JOIN tok_cnt cb ON cb.tok = b
+        CROSS JOIN total
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, a, b
+        LIMIT 20
+    """,
+    doc=(
+        "Pointwise mutual information over corpus bigrams (min count 5, "
+        "top-20): PMI = ln(c_ab * N / (c_a * c_b)) from exact integer "
+        "counts, snapped to 6dp — the collocation detector behind phrase "
+        "mining and tokenizer-merge scoring. Left-position unigram "
+        "marginals double as both sides' denominators (one token-count agg, "
+        "broadcast back onto the pair table); the only wide exchange is the "
+        "pair count itself, and hot pairs collapse map-side."
+    ),
+    tags=("extension", "text"),
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    pair_cnt = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tok_cnt = bg.groupBy(F.col("a").alias("tok")).agg(F.count(F.lit(1)).alias("c"))
+    total = bg.agg(F.count(F.lit(1)).alias("n"))
+    ca = tok_cnt.select(F.col("tok").alias("a_tok"), F.col("c").alias("c_a"))
+    cb = tok_cnt.select(F.col("tok").alias("b_tok"), F.col("c").alias("c_b"))
+    return (
+        pair_cnt.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), F.col("a") == F.col("a_tok"))
+        .join(F.broadcast(cb), F.col("b") == F.col("b_tok"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            rnd(
+                F.log(F.col("c_ab") * 1.0 * F.col("n") / (F.col("c_a") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_entropy",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(c) AS n FROM per_tok GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CAST(d.n AS BIGINT) AS n_tokens,
+               {dsum_sql('floor((c * 1.0 / d.n) * ln(d.n * 1.0 / c) * 1000000 + 0.5) / 1000000', 6)} AS entropy
+        FROM per_tok p JOIN per_doc d ON p.doc_id = d.doc_id
+        GROUP BY p.doc_id, d.n
+    """,
+    doc=(
+        "Per-document token (Shannon) entropy in nats: sum over distinct "
+        "tokens of (c/n) ln(n/c), each term floor-snapped to 6dp before the "
+        "exact fixed-point sum — low entropy flags repetitive/templated "
+        "docs, the complement of q_repetition's n-gram view. One shuffle on "
+        "(doc, token) then a per-doc rollup; the (c, n) inputs are exact "
+        "integers on both engines."
+    ),
+    tags=("extension", "text"),
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = (
+        F.floor(
+            (F.col("c") * 1.0 / F.col("n"))
+            * F.log(F.col("n") * 1.0 / F.col("c"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        per_tok.join(per_doc, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(dsum(term, 6).alias("entropy"))
+        .select("doc_id", F.col("n").cast("long").alias("n_tokens"), "entropy")
+    )

@@ -193,3 +193,134 @@ def q_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "q_order_dist",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'O'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS n_custs
+        FROM per_cust
+        GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13-shaped customer order-count distribution: how many "
+        "customers placed 0, 1, 2, ... open orders — the aggregate-of-an-"
+        "aggregate histogram. The LEFT OUTER join (with the status filter in "
+        "the JOIN condition, not WHERE — the classic Q13 trap) keeps "
+        "zero-order customers in the 0 bucket; COUNT(o_orderkey) ignores "
+        "the NULLs the outer join manufactures. Two shuffles total, the "
+        "second over a handful of histogram keys."
+    ),
+    tags=("completeness", "join", "agg"),
+)
+def q_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(
+            open_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+@register(
+    "q_big_orders",
+    oracle=f"""
+        WITH totals AS (
+            SELECT l_orderkey, {dsum_sql('l_quantity', 2)} AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING {dsum_sql('l_quantity', 2)} > 150
+        )
+        SELECT c_custkey, o_orderkey, total_qty
+        FROM totals
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q18-shaped large-volume orders: orders whose total lineitem "
+        "quantity exceeds a threshold, joined back to their customers, "
+        "top-10 by volume. The grouped HAVING sub-aggregate (exact "
+        "fixed-point quantity sum) shrinks the fact to a sliver BEFORE any "
+        "join — at 100 TB the early reduction is the whole game; the final "
+        "top-k is TakeOrderedAndProject."
+    ),
+    tags=("completeness", "join", "agg"),
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        totals.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_dormant_rich",
+    oracle=f"""
+        WITH threshold AS (
+            SELECT ({dsum_sql('c_acctbal', 2)} / COUNT(*)) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS n_custs,
+               {dsum_sql('c_acctbal', 2)} AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg_bal FROM threshold)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+          )
+        GROUP BY c_nationkey
+    """,
+    doc=(
+        "TPC-H Q22-shaped dormant-accounts report: customers whose balance "
+        "beats the global positive-balance average but who have no pending "
+        "orders, rolled up per nation. Exercises a scalar subquery (the "
+        "global average, an exact fixed-point mean broadcast as one row) "
+        "AND an anti join (NOT EXISTS -> LeftAnti on custkey with the "
+        "status filter pushed below it) in a single plan."
+    ),
+    tags=("completeness", "join", "subquery"),
+)
+def q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    positive = customer.filter(F.col("c_acctbal") > 0)
+    threshold = positive.agg(
+        (dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

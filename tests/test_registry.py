@@ -39,6 +39,13 @@ NEW_IN_R4 = (
     "q_bigram_counts", "q_stream_sliding", "q_stream_topk",
 )
 
+# round-4 additions that do NOT fit the full 50-slot window: first
+# candidates for the round-5 re-cut (named overflow, not silent)
+NEXT_WINDOW = (
+    "q_order_dist", "q_big_orders", "q_dormant_rich",
+    "q_pmi_bigrams", "q_entropy",
+)
+
 
 def _green(res):
     return bool(res) and (
@@ -77,7 +84,7 @@ def test_displaced_queries_are_all_driver_green():
         _load(f"/root/repo/CORRECTNESS_r0{i}.json") for i in (1, 2, 3)
     ]
     window = set(_PRIORITY)
-    skip = window | set(NEW_IN_R4)
+    skip = window | set(NEW_IN_R4) | set(NEXT_WINDOW)
     for name in all_specs():
         if name in skip:
             continue
