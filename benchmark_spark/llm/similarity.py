@@ -1004,3 +1004,59 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw")
     )
     return topk_per_anchor(scored, 3)
+
+
+@register(
+    "q_hybrid_search",
+    oracle="""
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               round(list_dot_product(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                        AS DOUBLE[])), 4) AS score
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en'
+          AND len(string_split(d.text, ' ')) >= 20
+          AND d.doc_id <> 0
+        ORDER BY score DESC, d.doc_id
+        LIMIT 10
+    """,
+    doc=(
+        "Hybrid (filtered) vector search — the retrieval shape every "
+        "RAG/curation stack runs: structured predicates (lang = 'en', "
+        "length >= 20 tokens) applied BEFORE vector scoring, then cosine "
+        "top-10 against the broadcast anchor over the survivors only. "
+        "Metadata filtering composes with the scan (predicate pushdown on "
+        "the documents side; the doc->embedding join is keyed on doc_id), "
+        "so the expensive dot products run on the filtered slice, not the "
+        "corpus — at 100 TB pre-filtering is the difference between "
+        "scoring billions and scoring millions. TakeOrderedAndProject "
+        "keeps the top-k merge per-partition."
+    ),
+    tags=("extension", "similarity", "text"),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("anchor_emb")
+    )
+    filtered = docs.filter(
+        (F.col("lang") == "en")
+        & (F.size(F.split("text", " ")) >= 20)
+        & (F.col("doc_id") != 0)
+    ).select("doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return (
+        filtered.join(emb, filtered.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -626,3 +626,48 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink)
+
+
+@register(
+    "q_stream_foreach_batch",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n, round(SUM(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "foreachBatch sink — the production escape hatch for writing "
+        "streams to arbitrary batch sinks: each of the 4 micro-batches "
+        "lands its rows in a parquet directory via a batch-mode writer "
+        "(append), tagged with its batch_id; the query then re-reads the "
+        "directory and aggregates per event_type, which must equal the "
+        "plain batch GROUP BY over events (exactly-once per AvailableNow "
+        "run on a fresh checkpoint + sink). At 100 TB foreachBatch is how "
+        "streams reach MERGE targets, JDBC, or any sink without a "
+        "streaming writer, while keeping per-batch atomicity."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream_chunks(spark, sf_dir)
+    out_dir = scratch_dir()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

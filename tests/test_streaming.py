@@ -378,12 +378,15 @@ def test_sliding_stream_converges_to_batch(spark):
 # NOTE: transformWithStateInPandas (Spark 4's successor state API) is
 # NOT exercised here: in this container its driver worker crashes at
 # bootstrap inside Spark's own embedded Python
-# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
-# /opt/spark/python/lib/pyspark.zip before user code runs — an
-# environment-level client/JVM Python mismatch, independent of engine
-# code). Arbitrary stateful processing is covered by the stable
-# applyInPandasWithState test above; revisit TWS when the runtime's
-# embedded Python matches the pip client.
+# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, returned -2).
+# Re-probed round 4 with a full StatefulProcessor: the root cause is
+# now explicit — `ImportError: cannot import name 'descriptor' from
+# 'google.protobuf'` — the TWS state-server protocol needs a working
+# protobuf in the runtime's embedded Python and this container's is
+# broken/absent (pip installs are not permitted). Environment-level,
+# independent of engine code. Arbitrary stateful processing is covered
+# by the stable applyInPandasWithState test above; revisit TWS when
+# the runtime ships an intact protobuf.
 
 
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
