@@ -589,3 +589,35 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").alias("n"), F.sum("pcents").alias("cents"))
         .select("o_month", "n", (F.col("cents") / F.lit(100.0)).alias("rev"))
     )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               COUNT(DISTINCT o_orderpriority) AS n_prio
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Ordered string aggregation (LISTAGG/string_agg): the distinct "
+        "priorities seen per order status, joined in sorted order — Spark "
+        "has no ordered string_agg, so the equivalent is "
+        "concat_ws(array_sort(collect_set(...))), which also makes the "
+        "result deterministic under any partitioning (collect_list order "
+        "is not). The canonical 'serialize a small group to one cell' "
+        "reporting op; group state is bounded by the distinct count, not "
+        "the row count, so it scales as an ordinary two-phase agg."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )

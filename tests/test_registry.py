@@ -45,7 +45,7 @@ NEXT_WINDOW = (
     "q_order_dist", "q_big_orders", "q_dormant_rich",
     "q_pmi_bigrams", "q_entropy",
     "q_hybrid_search", "q_importance_sample", "q_incremental_dedup",
-    "q_stream_foreach_batch",
+    "q_stream_foreach_batch", "q_string_agg",
 )
 
 
