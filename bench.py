@@ -2,19 +2,29 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
-Protocol mirrors the reference's "mem" runs (SURVEY.md §6 /
-BASELINE.md): one long-lived SparkSession, input tables cached and
-materialized before timing, plans built once and re-executed
-(the harness re-runs identical SQL per trial), two global warm-up
-rounds so JIT/codegen is steady-state, then median of N trials.
+Protocol mirrors the reference's disk/mem split (SURVEY.md §3.1 [P] /
+BASELINE.md Tier 2): the harness ran each query against cold storage
+("disk" rows, cluster buffer caches cleared) AND against pre-cached
+in-memory tables ("mem" rows). Here:
 
-Bench-only configuration (documented, reference-mirroring — the
-"mem" rows of SURVEY.md §4): AQE off (its per-stage re-planning
-barrier is pure overhead on sub-100ms queries; correctness runs and
-cluster scale keep it ON), 4 shuffle partitions, uncompressed
-in-memory columnar cache, zero locality wait, Arrow collection.
-Result at sf0.1 is ~1.1-1.3x the DuckDB oracle baseline
-(BASELINE.md Tier 1; bar is 2x).
+  * disk — no Spark columnar cache; every trial re-scans the parquet
+    files. The OS page cache cannot be dropped from this container, so
+    these are warm-file-cache scans (stated, not hidden) — they still
+    measure the parquet decode + scan path the mem rows skip.
+  * mem  — input tables `.cache()`-ed and materialized before timing
+    (Shark/Impala "mem" protocol: SURVEY.md §4 in-memory rows).
+
+Both passes share one long-lived SparkSession, two global warm-up
+rounds so JIT/codegen is steady-state, then median of N interleaved
+trials. The binding headline metric stays the mem total ("value");
+disk rows ride alongside as disk_queries/disk_total.
+
+Bench-only configuration (documented, reference-mirroring): AQE off
+(its per-stage re-planning barrier is pure overhead on sub-100ms
+queries; correctness runs and cluster scale keep it ON), 4 shuffle
+partitions, uncompressed in-memory columnar cache, zero locality
+wait, Arrow collection. Result at sf0.1 is ~0.7-1.3x the DuckDB
+oracle baseline (BASELINE.md Tier 1; bar is 2x).
 """
 
 from __future__ import annotations
@@ -56,23 +66,9 @@ BENCH_CONF = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    # the reference reports separate "disk" (buffer cache cleared) and
-    # "mem" (pre-cached) rows [P]; default mirrors its mem protocol,
-    # SPARK_GRAFT_BENCH_MODE=disk skips the cache (parquet re-scanned
-    # per trial — OS page cache still applies, as in any warm rerun)
-    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mem")
-    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
-    spark = get_spark("bench", shuffle_partitions=shuffle, extra_conf=BENCH_CONF)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    if mode == "mem":
-        # identical scans inside the queries hit the cached relation
-        for t in CACHE_TABLES:
-            load_table(spark, sf_dir, t, assert_schema=False).cache().count()
-
+def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+    """One full pass under the CURRENT cache state: build plans, global
+    warm-up, interleaved trials; returns (per-query medians, floor)."""
     specs = all_specs()
     dfs = {name: specs[name].fn(spark, sf_dir) for name in HEADLINE}
     # per-action fixed-cost probe: a one-row single-partition action
@@ -102,20 +98,48 @@ def main() -> None:
             df.toPandas()  # Arrow-batched result materialization
             samples[name].append(time.perf_counter() - t0)
     per_query = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    return per_query, round(statistics.median(floor_samples), 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # both (default) reports the reference's disk AND mem protocol rows;
+    # mem/disk run just that pass (used by tools/scale_probe.py loops)
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"))
+    spark = get_spark("bench", shuffle_partitions=shuffle, extra_conf=BENCH_CONF)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    disk_queries: dict[str, float] | None = None
+    if mode in ("both", "disk"):
+        # disk pass FIRST — nothing cached yet, queries re-scan parquet
+        disk_queries, _ = _measure(spark, sf_dir)
+
+    payload: dict[str, object]
+    if mode in ("both", "mem"):
+        # identical scans inside the queries hit the cached relation
+        for t in CACHE_TABLES:
+            load_table(spark, sf_dir, t, assert_schema=False).cache().count()
+        per_query, floor = _measure(spark, sf_dir)
+    else:
+        per_query, floor = disk_queries, None  # disk-only run
+        disk_queries = None
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_median_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "floor_sec": round(statistics.median(floor_samples), 4),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if floor is not None:
+        payload["floor_sec"] = floor
+    if disk_queries is not None:
+        payload["disk_queries"] = disk_queries
+        payload["disk_total"] = round(sum(disk_queries.values()), 4)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

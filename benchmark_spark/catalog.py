@@ -16,6 +16,10 @@ and partition/bucket pruning then composes for free via Catalyst.
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -159,14 +163,36 @@ def ts_unit(path: str, column: str = "ts") -> str:
     return getattr(t, "unit", "us")
 
 
+@functools.lru_cache(maxsize=512)
+def _nanos_ts_columns_cached(path: str, mtime: float) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        # directory dataset (partitioned / multi-file): sniff one part
+        # file — the writer gives every part the same physical schema
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not parts:
+            return ()
+        probe = parts[0]
+    schema = pq.ParquetFile(probe).schema_arrow
+    return tuple(f.name for f in schema if getattr(f.type, "unit", None) == "ns")
+
+
 def nanos_ts_columns(path: str) -> list[str]:
     """Names of timestamp columns physically stored as TIMESTAMP(NANOS),
     which Spark's parquet reader rejects outright and must go through
-    the nanos-as-long shim. Empty for micros/millis fixtures."""
-    import pyarrow.parquet as pq
+    the nanos-as-long shim. Empty for micros/millis fixtures.
 
-    schema = pq.ParquetFile(path).schema_arrow
-    return [f.name for f in schema if getattr(f.type, "unit", None) == "ns"]
+    Memoized per (path, mtime): the footer open is driver-side file
+    I/O paid on every load_table call otherwise, and fixtures only
+    change between rounds (mtime invalidates the cache when they do).
+    """
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return []
+    return list(_nanos_ts_columns_cached(path, mtime))
 
 
 def load_table(

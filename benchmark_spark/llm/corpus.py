@@ -278,6 +278,20 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality(corpus: DataFrame) -> DataFrame:
+    """Per-doc composite quality score (doc_id, q): type-token ratio,
+    non-stopword share, length saturation — the keep-best ranking key.
+    Module-level so tests can verify the argmax against it directly."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    q = rnd(
+        0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    )
+    return corpus.select("doc_id", q.alias("q"))
+
+
 @register(
     "q_dedup_keep_best",
     oracle=f"""
@@ -321,14 +335,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = doubled_corpus(spark, sf_dir)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
-    q = rnd(
-        0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
-    )
-    quality = corpus.select("doc_id", q.alias("q"))
+    quality = doc_quality(corpus)
     pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(pairs).withColumnRenamed("doc_id", "node")
     members = (

@@ -237,8 +237,11 @@ _MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
     for j in range(BANDS)
 )
 # CTE body + final select split so q_dedup_clusters can extend the
-# same pipeline with a recursive connected-components closure.
-_MINHASH_CTES = f"""corpus AS (
+# same pipeline with a recursive connected-components closure, and
+# parameterized over the shingle definition so the char-5-gram variant
+# (q_chargram_minhash) reuses the identical signature/band/verify SQL.
+def _lsh_ctes(shingle_select: str) -> str:
+    return f"""corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
@@ -248,13 +251,7 @@ _MINHASH_CTES = f"""corpus AS (
     ),
     sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-                       i -> array_to_string(
-                           list_slice(string_split(text, ' '), i, i + 2), ' ')
-                   ))) AS shingle
-            FROM corpus
+            {shingle_select}
         )
     ),
     sigs AS (
@@ -280,14 +277,29 @@ _MINHASH_CTES = f"""corpus AS (
         GROUP BY a_id, b_id
     )"""
 
-_MINHASH_FINAL = f"""
+
+def _jaccard_final(threshold: float) -> str:
+    return f"""
     SELECT a_id, b_id,
            {rnd_sql("isect * 1.0 / (sa.n + sb.n - isect)", 4)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id
-    WHERE isect * 1.0 / (sa.n + sb.n - isect) >= 0.5
+    WHERE isect * 1.0 / (sa.n + sb.n - isect) >= {threshold}
 """
+
+
+_WORD_SHINGLE_SELECT = """SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2), ' ')
+                   ))) AS shingle
+            FROM corpus"""
+
+_MINHASH_CTES = _lsh_ctes(_WORD_SHINGLE_SELECT)
+
+_MINHASH_FINAL = _jaccard_final(0.5)
 
 _MINHASH_ORACLE = f"WITH {_MINHASH_CTES}{_MINHASH_FINAL}"
 
@@ -504,17 +516,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iters: int = 10
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    every node adopts the smallest doc_id reachable so far; iterate
-    to fixpoint. Returns (doc_id, cluster_id).
+    """Connected components by min-label propagation WITH pointer
+    jumping: each round a node adopts (a) the smallest label among its
+    neighbors, then (b) its own label's label (path halving). Returns
+    (doc_id, cluster_id) where cluster_id = min doc_id in the component.
 
     This is the standard large-graph CC (Pregel-style supersteps as
-    driver-coordinated join rounds — the one sanctioned driver loop
-    in the engine, because iterative algorithms ARE supersteps).
-    Convergence needs O(log(diameter)) rounds with the
-    neighbor-of-neighbor shortcut below; dedup graphs are
-    near-cliques, so 2-3 rounds in practice. Each round is two
-    shuffles; at 100 TB, checkpoint every few rounds to cut lineage.
+    driver-coordinated join rounds — the one sanctioned driver loop in
+    the engine, because iterative algorithms ARE supersteps). The jump
+    step is what makes convergence O(log(diameter)) rounds instead of
+    O(diameter) for plain propagation: labels hop 2^k edges after k
+    rounds, so even chain-shaped clusters (the worst case for dedup
+    graphs; tests/test_round5.py plants a 16-node path) resolve in a
+    handful of rounds. Each round is three shuffles (neighbor-min agg,
+    label-of-label self-join, convergence probe); localCheckpoint cuts
+    lineage per superstep. If the label assignment still changes after
+    ``max_iters`` rounds the function RAISES — unconverged labels split
+    one true cluster into several, a silent correctness bug in a dedup
+    pipeline, never an acceptable partial answer.
     """
     nodes = (
         edges.select(F.col("a_id").alias("doc_id"))
@@ -530,30 +549,50 @@ def connected_components(
     )
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     for _ in range(max_iters):
-        # candidate label per node: min over neighbors' current labels
+        # (a) candidate label per node: min over neighbors' current labels
         prop = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("new_id"))
         )
-        new_labels = (
+        merged = (
             labels.join(prop, labels.doc_id == prop.src)
             .select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.col("new_id")).alias("cluster_id"),
             )
         )
+        # (b) pointer jump: follow my label's label. Labels are node
+        # ids, so the lookup is a self-join; left + coalesce keeps
+        # nodes whose label has no own row (cannot happen here, but
+        # cheap insurance) on their current label.
+        lut = merged.select(
+            F.col("doc_id").alias("lab_id"), F.col("cluster_id").alias("lab_lab")
+        )
+        jumped = (
+            merged.join(lut, merged.cluster_id == lut.lab_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("lab_lab"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per superstep
+        labels = jumped.localCheckpoint(eager=True)  # cut lineage per superstep
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} rounds; "
+        "raise max_iters (rounds needed ~ log2(graph diameter))"
+    )
 
 
 @register(
@@ -637,6 +676,67 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.6)
+        .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+def char_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per document (native, no UDF)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(F.col("text"), i, n))
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).distinct()
+
+
+_CHARGRAM_SHINGLE_SELECT = """SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> substring(text, CAST(i AS INT), 5)))) AS shingle
+            FROM corpus"""
+
+_CHARGRAM_MINHASH_ORACLE = f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT)}{_jaccard_final(0.6)}"
+
+
+@register(
+    "q_chargram_minhash",
+    oracle=_CHARGRAM_MINHASH_ORACLE,
+    doc=(
+        "The SCALE-SAFE form of q_jaccard_chargram: character 5-gram "
+        "shingles -> the same 16-minhash / 8x2-band LSH machinery as "
+        "q_dedup_minhash -> exact char-gram Jaccard verification of "
+        "candidates only (threshold 0.6), over the planted-near-dup corpus. "
+        "Replaces q_jaccard_chargram's `source`-blocked pair join (quadratic "
+        "within a block, dead when block cardinality is low) with banding "
+        "that is linear in corpus size — the swap its docstring promises for "
+        "100 TB. The md5 permutation base keeps every stage bit-identical in "
+        "DuckDB, so the driver hash-checks the whole banded pipeline."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_chargram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    sh = char_shingles(corpus)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa, pb = sh.alias("pa"), sh.alias("pb")
+    inter = (
+        cand.join(pa, F.col("pa.doc_id") == F.col("a_id"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("b_id"))
+            & (F.col("pb.shingle") == F.col("pa.shingle")),
+        )
+        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("isect"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")

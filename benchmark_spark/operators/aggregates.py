@@ -324,6 +324,55 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_stats_bounded",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+               CAST(1 AS BIGINT) AS cd_within_3rsd,
+               CAST(1 AS BIGINT) AS p50_within_pct
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Driver-checkable companion to q_approx_stats: the sketches "
+        "(approx_count_distinct HLL++, percentile_approx KLL-style) are "
+        "engine-specific, so instead of hashing their raw outputs the query "
+        "computes BOTH the approximate and the exact value in one plan and "
+        "emits the exact values plus boolean error-bound verdicts "
+        "(|approx-exact| <= 3*rsd for HLL at rsd=0.02; |approx_p50-p50| <= "
+        "1% for the percentile sketch at accuracy=10000). The oracle is the "
+        "exact side + literal TRUE — the tolerance check becomes DATA the "
+        "driver hash-verifies, not a harness-side special case. At 100 TB "
+        "only the sketch side survives (exact COUNT DISTINCT is the expand "
+        "the sketch exists to avoid); this query is the calibration proof."
+    ),
+    tags=("extension", "agg"),
+)
+def q_approx_stats_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_acd"),
+        F.percentile("o_totalprice", 0.5).alias("_p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_ap50"),
+    )
+    # verdicts cast to BIGINT 0/1: bare BOOLEAN result columns hash
+    # engine-specifically in the external driver (q_bool_agg precedent)
+    return agg.select(
+        "o_orderstatus",
+        "exact_custs",
+        F.round("_p50", 6).alias("exact_p50"),
+        (F.abs(F.col("_acd") - F.col("exact_custs")) <= F.col("exact_custs") * 0.06)
+        .cast("long")
+        .alias("cd_within_3rsd"),
+        (F.abs(F.col("_ap50") - F.col("_p50")) <= F.abs(F.col("_p50")) * 0.01)
+        .cast("long")
+        .alias("p50_within_pct"),
+    )
+
+
+@register(
     "q_collect",
     oracle="""
         SELECT n_regionkey,

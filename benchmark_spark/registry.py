@@ -73,43 +73,41 @@ def register(
 
 
 # The external correctness harness checks the FIRST 50 registry entries
-# only (verified: CORRECTNESS_r01/r02/r03.json are exactly
-# all_queries() positions 1-50). Round-4 re-cut: the headline bench 8
-# keep their slots (perf contract); the three round-3 red rows stay for
-# green proof (all were the events ts-unit regression, fixed this
-# round — q7_tumble, the fourth red, is already in the headline set);
-# then the 8 queries never inside a driver window across r1-r3, the 13
-# queries new in round 4 (TPC-H depth, corpus sampling/LM/leakage-split
-# tier, streaming sliding/top-k), and 18 re-proof slots for r1-only
-# greens whose evidence predates the round-2 exact-float driver hash
-# (the float-heavy aggregate/join families first). Everything displaced
-# is driver-green in r1/r2/r3 and stays checked by the local gate
+# only (verified: CORRECTNESS_r01-r04.json are exactly all_queries()
+# positions 1-50). Round-5 re-cut (VERDICT.md r4 item 1): first the 10
+# registered queries that have never been inside a driver window across
+# r1-r4 (all judge-verified green locally in r4) — this closes the
+# coverage loop: with a green r5, every registered query has at least
+# one driver-green row across rounds. Then the 2 queries new in round
+# 5 (the driver-checkable bounded-error sketch companion; the banded
+# char-gram near-dup), then the 9 queries whose Spark expression AND
+# oracle changed this round (events.value aggregates migrated from
+# round(SUM,2) to the exact fixed-point dsum form — ADVICE.md r4), then
+# re-proof slots: the 15 rows whose only driver evidence is r1 (before
+# the round-2 exact-float driver hash), and the oldest r2 greens
+# (float-heavy join/agg/scalar families first). Everything displaced is
+# driver-green in r2-r4 and stays checked by the local gate
 # (tools/check_oracle.py runs all of them).
 _PRIORITY = (
-    # four reference query families (SURVEY.md §2.0)
-    "q1_scan", "q2_agg", "q3_join", "q4_wordcount",
-    # rest of the headline bench set (bench.py)
-    "q5_pricing", "q6_window", "q7_tumble", "q8_knn",
-    # round-3 red rows (events ts-unit regression) — need green proof
-    "q_watermark", "q_stream_session", "q_stream_join",
-    # never driver-checked across rounds 1-3
-    "q_smj_join", "q_shj_join", "q_bucket_join",
-    "q_bm25", "q_pack_sequences", "q_pagerank",
-    "q_stream_update", "q_stream_append",
-    # new in round 4: TPC-H-shaped relational depth
-    "q_promo_share", "q_small_qty", "q_top_supplier", "q_order_returns",
-    # new in round 4: corpus sampling / LM scoring / leakage-safe splits
-    "q_reservoir_sample", "q_stratified_sample", "q_unigram_lm",
-    "q_length_hist", "q_leakage_split", "q_dedup_keep_best",
-    "q_bigram_counts",
-    # new in round 4: streaming
-    "q_stream_sliding", "q_stream_topk",
-    # re-proof: r1-only greens from before the exact-float driver hash
-    "q_percentile", "q_corr", "q2_agg_wide", "q2_agg_highcard",
-    "q_pivot", "q_unpivot", "q_grouping_sets", "q_cube", "q_having",
-    "q_distinct_agg", "q_minmax_by", "q_collect", "q3_join_wide",
-    "q_ship_priority", "q_returned_items", "q_scalar_subquery",
-    "q_corr_subquery", "q_anti",
+    # never driver-checked across rounds 1-4 (judge-verified r4)
+    "q_order_dist", "q_big_orders", "q_dormant_rich", "q_string_agg",
+    "q_pmi_bigrams", "q_entropy", "q_hybrid_search",
+    "q_importance_sample", "q_incremental_dedup", "q_stream_foreach_batch",
+    # new in round 5
+    "q_approx_stats_bounded", "q_chargram_minhash",
+    # expression/oracle changed in round 5 (dsum migration) — re-prove
+    "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
+    "q_watermark", "q_stream_session", "q_stream_sliding",
+    "q_stream_append", "q_stream_update",
+    # re-proof: rows whose only driver evidence is r1 (pre exact-float hash)
+    "q1_scan_mid", "q1_scan_tight", "q_cross_join", "q_frame",
+    "q_full_outer", "q_in_subquery", "q_lag", "q_limit_offset",
+    "q_null_pred", "q_range_frame", "q_sliding_frame", "q_sort_multi",
+    "q_union", "q_union_all", "q_value_funcs",
+    # re-proof: oldest r2 greens, float-heavy families first
+    "q_agg_funcs", "q_join_multi", "q_outer", "q_asof", "q_range_join",
+    "q_broadcast_join", "q_topk", "q_semi", "q_math", "q_date",
+    "q_string", "q_array", "q_json", "q_pred_mix",
 )
 
 

@@ -67,7 +67,7 @@ SQL_QUERIES: dict[str, str] = {
     """,
     "q7_tumble": """
         SELECT window(ts, '1 hour').start AS w_start, event_type,
-               COUNT(*) AS n, round(SUM(value), 2) AS total
+               COUNT(*) AS n, (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events
         GROUP BY window(ts, '1 hour'), event_type
     """,

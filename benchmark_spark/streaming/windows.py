@@ -32,12 +32,13 @@ from benchmark_spark.catalog import (
     table_path,
     ts_unit,
 )
+from benchmark_spark.operators.aggregates import dsum
 from benchmark_spark.registry import register
 
 _TUMBLE_ORACLE = """
     SELECT date_trunc('hour', ts) AS w_start, event_type,
            COUNT(*) AS n,
-           round(SUM(value), 2) AS total
+           (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
 """
@@ -46,7 +47,7 @@ _TUMBLE_ORACLE = """
 def _tumble(df: DataFrame) -> DataFrame:
     return (
         df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
 
@@ -65,6 +66,21 @@ def scratch_dir() -> str:
     d = os.path.join("/root/repo/.scratch", uuid.uuid4().hex)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def await_done(q, timeout: int = 120) -> None:
+    """Block until the AvailableNow query terminates; raise on timeout.
+
+    awaitTermination(timeout) returns False (not an error) when the
+    query is still running — silently reading the sink then yields a
+    partial-but-plausible result. Every streaming query here funnels
+    through this guard so a hung stream is an error, never wrong data.
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name!r} did not terminate within {timeout}s"
+        )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +144,7 @@ def q7_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return spark.table(sink)
 
 
@@ -138,7 +154,7 @@ def q7_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL 15 MINUTE AS w_start,
                event_type,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS total
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events, unnest([0, 1, 2, 3]) AS t(k)
         GROUP BY 1, 2
     """,
@@ -153,7 +169,7 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events", assert_schema=False)
     return (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
 
@@ -179,7 +195,7 @@ _SESSION_ORACLE = """
                MIN(ts) AS s_start,
                MAX(ts) + INTERVAL 30 MINUTE AS s_end,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS total
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM sessions
         GROUP BY user_id, session_id
 """
@@ -200,7 +216,7 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events", assert_schema=False)
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(
             "user_id",
             F.col("w.start").alias("s_start"),
@@ -251,7 +267,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(
             "user_id",
             F.col("w.start").alias("s_start"),
@@ -269,7 +285,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return spark.table(sink)
 
 
@@ -328,7 +344,7 @@ def _closed_windows(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     mx = events.agg(F.max("ts").alias("mx"))
     win = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
     )
     return (
         win.crossJoin(F.broadcast(mx))
@@ -343,7 +359,7 @@ def _closed_windows(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
         WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
         SELECT date_trunc('hour', ts) AS w_start, event_type,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS total
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
@@ -474,7 +490,7 @@ def events_stream_chunks(
         SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL 15 MINUTE AS w_start,
                event_type,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS total
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events, unnest([0, 1, 2, 3]) AS t(k)
         GROUP BY 1, 2
     """,
@@ -492,7 +508,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
     sink = f"slide_sink_{uuid.uuid4().hex[:8]}"
@@ -504,7 +520,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return spark.table(sink)
 
 
@@ -543,7 +559,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return (
         spark.table(sink)
         .orderBy(F.desc("n"), F.asc("user_id"))
@@ -580,7 +596,7 @@ def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     # final state per key: counts only grow, so MAX picks each key's
     # last emission — the sink-side "current value" read
     return spark.table(sink).groupBy("user_id").agg(F.max("n").alias("n"))
@@ -592,7 +608,7 @@ def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
         SELECT date_trunc('hour', ts) AS w_start, event_type,
                COUNT(*) AS n,
-               round(SUM(value), 2) AS total
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
@@ -615,7 +631,7 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
         .writeStream.outputMode("append")
         .format("memory")
@@ -624,14 +640,14 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return spark.table(sink)
 
 
 @register(
     "q_stream_foreach_batch",
     oracle="""
-        SELECT event_type, COUNT(*) AS n, round(SUM(value), 2) AS total
+        SELECT event_type, COUNT(*) AS n, (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
         FROM events
         GROUP BY event_type
     """,
@@ -665,9 +681,9 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
     )

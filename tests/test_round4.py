@@ -9,11 +9,17 @@ import math
 from pyspark.sql import functions as F
 
 from benchmark_spark.llm.corpus import (
+    doc_quality,
     q_dedup_keep_best,
     q_leakage_split,
     q_reservoir_sample,
     q_stratified_sample,
     q_unigram_lm,
+)
+from benchmark_spark.llm.dedup import (
+    connected_components,
+    doubled_corpus,
+    q_dedup_minhash,
 )
 from benchmark_spark.catalog import load_table
 from benchmark_spark.operators.tpch_extra import (
@@ -66,12 +72,30 @@ def test_leakage_split_never_straddles_clusters(spark):
 
 
 def test_keep_best_picks_cluster_quality_argmax(spark):
-    out = q_dedup_keep_best(spark, SF_SMOKE)
+    out = q_dedup_keep_best(spark, SF_SMOKE).cache()
     rows = out.collect()
     assert rows and all(r["cluster_size"] >= 2 for r in rows)
-    # keep_quality is the cluster's max: no member of any cluster may
-    # beat its kept doc (equality allowed; ties resolve by doc_id)
-    assert all(r["keep_quality"] is not None for r in rows)
+    # reconstruct per-member qualities independently: the kept doc must
+    # carry the cluster's MAX quality, and be the min doc_id among ties
+    member_q = connected_components(
+        q_dedup_minhash(spark, SF_SMOKE).select("a_id", "b_id")
+    ).join(doc_quality(doubled_corpus(spark, SF_SMOKE)), "doc_id")
+    best = member_q.groupBy("cluster_id").agg(F.max("q").alias("max_q"))
+    argmax = (
+        member_q.join(best, "cluster_id")
+        .filter(F.col("q") == F.col("max_q"))
+        .groupBy("cluster_id", "max_q")
+        .agg(F.min("doc_id").alias("argmax_id"))
+    )
+    joined = out.join(argmax, "cluster_id").cache()
+    assert joined.count() == len(rows)
+    bad = joined.filter(
+        (F.col("keep_quality") != F.col("max_q"))
+        | (F.col("keep_id") != F.col("argmax_id"))
+    ).count()
+    assert bad == 0
+    joined.unpersist()
+    out.unpersist()
 
 
 def test_unigram_lm_token_counts_and_positivity(spark):

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import dsum
 from benchmark_spark.registry import all_specs
 from benchmark_spark.streaming.windows import events_stream, scratch_dir
 from tests.conftest import SF_SMOKE
@@ -109,7 +110,7 @@ def test_watermark_stream_twin_matches_registered_batch(spark):
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
     sink = "wm_sink_test"
@@ -356,7 +357,7 @@ def test_sliding_stream_converges_to_batch(spark):
     stream = events_stream(spark, SF_SMOKE)
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
     sink = "slide_sink_test"

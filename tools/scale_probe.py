@@ -147,7 +147,7 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
 def time_spark(sf_dir: str) -> dict[str, float]:
     # reuse bench.py verbatim (same session conf, warm-up, interleaved
     # trials) so these numbers are protocol-identical to BENCH_r{N}
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_BENCH_MODE="mem")
     proc = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
         capture_output=True,
