@@ -974,3 +974,108 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+                       i -> CAST('0x' || substring(md5(array_to_string(
+                                list_slice(string_split(text, ' '), i, i + 3), ' ')),
+                            1, 15) AS BIGINT)) AS gh
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(gh) - 4, 1) + 1),
+                       i -> list_aggregate(list_slice(gh, i, i + 4), 'min'))) AS fps
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fp,
+               list_aggregate(fps, 'min') AS min_fp,
+               list_aggregate(fps, 'max') AS max_fp
+        FROM f
+    """,
+    doc=(
+        "Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken, the "
+        "MOSS rolling-hash scheme): 4-token-gram hashes (60-bit md5 prefix), "
+        "sliding window of 5 over the hash sequence keeps each window's "
+        "minimum, distinct mins form the doc's fingerprint set. Guarantees "
+        "any shared run of >= 8 tokens between two docs shares >= 1 "
+        "fingerprint, at ~2/(w+1) the storage of full shingling — the "
+        "index-size/recall dial MinHash doesn't give. Entirely in-array "
+        "higher-order functions: ZERO shuffles, no Python boundary; at "
+        "100 TB it is a pure map stage and the fingerprint join is the only "
+        "exchange. Digest columns (count/min/max per doc) keep the result "
+        "scalar and hash-checkable; the md5 base makes every fingerprint "
+        "bit-identical in DuckDB."
+    ),
+    tags=("extension", "dedup", "text"),
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    gidx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1)))
+    gram_hash = F.transform(
+        gidx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, 4))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    with_g = docs.select("doc_id", gram_hash.alias("gh"))
+    widx = F.sequence(F.lit(1), F.greatest(F.size("gh") - 4, F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(widx, lambda i: F.array_min(F.slice(F.col("gh"), i, 5)))
+    )
+    return with_g.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+@register(
+    "q_bpe_pretokenize",
+    oracle="""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(
+                       props, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS tok
+            FROM events
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    doc=(
+        "BPE-style PRE-tokenization counts: a GPT-2-ish regex splits raw "
+        "strings (events.props JSON — real punctuation, unlike the "
+        "space-clean documents) into letter runs / digit runs / punctuation "
+        "runs, then counts the top-20 pre-tokens — the vocabulary-induction "
+        "front end of a BPE trainer, and the whitespace tokenizer's "
+        "complement in SURVEY.md's token-counting row. regexp_extract_all + "
+        "explode stays fully JVM-side (no UDF); the disjoint character "
+        "classes make Java and RE2 regex semantics agree token-for-token. "
+        "At 100 TB this is the canonical map + count-shuffle; the top-20 is "
+        "TakeOrderedAndProject over vocab-sized aggregates."
+    ),
+    tags=("extension", "text"),
+)
+def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    toks = F.regexp_extract_all(
+        F.col("props"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"), F.lit(0)
+    )
+    return (
+        events.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )

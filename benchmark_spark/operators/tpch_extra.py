@@ -324,3 +324,184 @@ def q_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {dsum_sql("volume")} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7-shaped bilateral trade volume: revenue shipped between two "
+        "named nations in either direction, per (supplier nation, customer "
+        "nation, ship year). Five-way star join where BOTH dim chains end in "
+        "the same `nation` table aliased twice — the aliasing/self-dim shape "
+        "Q7 exists to exercise. Catalyst broadcasts every dim (supplier, "
+        "customer, nation x2), so the fact shuffles once for the final "
+        "3-key agg; the symmetric nation filter prunes before the agg. "
+        "Money volume via exact fixed-point dsum."
+    ),
+    tags=("completeness", "join", "agg"),
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    supplier = load_table(spark, sf_dir, "supplier", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    nation = load_table(spark, sf_dir, "nation", assert_schema=False)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-12-31 00:00:00").cast("timestamp")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(F.col("l_shipdate").between(lo, hi))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_mkt_share",
+    oracle=f"""
+        SELECT o_year,
+               {rnd_sql(
+                   dsum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")
+                   + " / " + dsum_sql("volume"), 6)} AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        )
+        GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8-shaped market share: of all STANDARD-part revenue sold into "
+        "ASIA-region customers, the fraction supplied by NATION_1, per order "
+        "year — the deepest star join in the registry (lineitem x part x "
+        "supplier x orders x customer x nation x2 x region, 7 joins). Every "
+        "dim broadcasts; the conditional-sum ratio needs no self-join; both "
+        "sub-sums are exact fixed-point BIGINTs, floor-snapped at 6dp."
+    ),
+    tags=("completeness", "join", "agg"),
+)
+def q_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    part = load_table(spark, sf_dir, "part", assert_schema=False)
+    supplier = load_table(spark, sf_dir, "supplier", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    nation = load_table(spark, sf_dir, "nation", assert_schema=False)
+    region = load_table(spark, sf_dir, "region", assert_schema=False)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(rnd(dsum(nation_vol) / dsum(volume), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_brand_revenue",
+    oracle=f"""
+        SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19-shaped disjunctive join filter: three (brand, size, "
+        "quantity) predicate arms OR-ed across BOTH join sides — the shape "
+        "that breaks naive pushdown (no single conjunct applies to either "
+        "table alone). Catalyst still extracts the per-table implied "
+        "disjunctions (brand/size to the part scan, quantity to the fact "
+        "scan) before the broadcast join, so the join sees pre-filtered "
+        "inputs; the residual OR evaluates post-join. One scalar row out: "
+        "exact fixed-point revenue + match count."
+    ),
+    tags=("completeness", "join", "filter"),
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    part = load_table(spark, sf_dir, "part", assert_schema=False)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#12", 15, 1, 11) | arm("Brand#23", 30, 10, 20) | arm(
+        "Brand#14", 50, 20, 30
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -24,7 +24,11 @@ NEVER_CHECKED = (
 )
 
 # first driver exposure this round
-NEW_IN_R5 = ("q_approx_stats_bounded", "q_chargram_minhash")
+NEW_IN_R5 = (
+    "q_approx_stats_bounded", "q_chargram_minhash",
+    "q_nation_volume", "q_mkt_share", "q_brand_revenue",
+    "q_winnow_fingerprint", "q_bpe_pretokenize",
+)
 
 # Spark expression AND oracle changed in round 5 (dsum migration) —
 # prior green evidence no longer covers the current form

@@ -110,3 +110,51 @@ def test_stream_join_state_evicted_by_watermark(spark):
         f"({relevant}) — watermark must evict expired intervals"
     )
     assert sum(s.get("numRowsRemoved", 0) for s in states) > 0
+
+
+def test_winnow_fingerprint_invariants(spark):
+    from benchmark_spark.llm.text import q_winnow_fingerprint
+
+    out = q_winnow_fingerprint(spark, SF_SMOKE).cache()
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    assert out.count() == docs.count()  # one digest row per doc
+    bad = out.filter(
+        (F.col("n_fp") < 1) | (F.col("min_fp") > F.col("max_fp"))
+    ).count()
+    assert bad == 0
+    # winnowing compresses: never more fingerprints than windows (= grams-4)
+    grams = docs.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", " ")) - 3, F.lit(1)).alias("n_grams"),
+    )
+    over = (
+        out.join(grams, "doc_id")
+        .filter(F.col("n_fp") > F.greatest(F.col("n_grams") - 4, F.lit(1)))
+        .count()
+    )
+    assert over == 0
+    out.unpersist()
+
+
+def test_bpe_pretokenize_tokens_wellformed(spark):
+    from benchmark_spark.llm.text import q_bpe_pretokenize
+
+    rows = q_bpe_pretokenize(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["tok"] and " " not in r["tok"] for r in rows)
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_nation_volume_pairs_and_mkt_share_bounds(spark):
+    from benchmark_spark.operators.tpch_extra import q_mkt_share, q_nation_volume
+    from tests.conftest import SF_CORRECT
+
+    # sf0.01: the two-nation intersection is empty at smoke scale
+    vol = q_nation_volume(spark, SF_CORRECT).collect()
+    assert vol
+    for r in vol:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"}
+        assert r["revenue"] > 0 and r["l_year"] in (1996, 1997)
+    share = q_mkt_share(spark, SF_CORRECT).collect()
+    assert share and all(0.0 <= r["mkt_share"] <= 1.0 for r in share)

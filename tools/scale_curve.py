@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Wall-time-vs-rows scaling curves for the heavy LLM-tier operators.
+
+SCALE.md claims the dedup/ANN/high-card-agg tiers are LINEAR in corpus
+size (bucketed LSH instead of all-pairs, two-phase agg, per-anchor
+probes). This tool MEASURES those claims (VERDICT.md r4 item 3): build
+N-times replicas of the sf0.1 inputs, run each query at x1 / x10 / x30,
+and print one JSON line of median seconds per scale so SCALE.md can
+cite a curve instead of a plan shape.
+
+Replica construction keeps each query's WORK model honest:
+
+* documents — replica i's tokens are rewritten to md5(token|i) prefixes
+  (i=0 keeps the original text). Verbatim copies would make every doc
+  an exact near-dup of its 2N-1 siblings, growing true-positive pairs
+  (and any correct tool's output) QUADRATICALLY — a corpus-growth model
+  nobody dedups under. Salting keeps the near-dup structure constant
+  per replica (each doc + its planted mutant from doubled_corpus),
+  which is the linear-growth model the 100 TB claim is about.
+* embeddings — vec_id shifted per replica, vectors kept: candidate
+  generation per anchor grows linearly with bucket occupancy.
+* orders — o_orderkey AND o_custkey shifted per replica so the
+  (custkey, month) group count scales with rows — the point of the
+  high-cardinality agg.
+
+Usage: python tools/scale_curve.py [multipliers...]   (default 1 10 30)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+QUERIES = ["q2_agg_highcard", "q_dedup_minhash", "q_ann_lsh", "q_dedup_clusters"]
+DOC_SHIFT = 10_000
+VEC_SHIFT = 10_000
+ORDER_SHIFT = 1_000_000
+CUST_SHIFT = 1_000_000
+WARMUP = int(os.environ.get("SPARK_GRAFT_CURVE_WARMUP", "1"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_CURVE_TRIALS", "3"))
+
+
+def build(out_dir: str, n: int) -> None:
+    import duckdb
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT doc_id + i * {DOC_SHIFT} AS doc_id,
+                   CASE WHEN i = 0 THEN text ELSE
+                       array_to_string(list_transform(string_split(text, ' '),
+                           t -> substring(md5(t || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')
+                   END AS text,
+                   lang, source,
+                   CAST(length(CASE WHEN i = 0 THEN text ELSE
+                       array_to_string(list_transform(string_split(text, ' '),
+                           t -> substring(md5(t || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')
+                   END) AS BIGINT) AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet'), range({n}) _(i)
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"COPY (SELECT vec_id + i * {VEC_SHIFT} AS vec_id, embedding, label "
+        f"FROM read_parquet('{SRC}/embeddings.parquet'), range({n}) _(i)) "
+        f"TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * REPLACE (o_orderkey + i * {ORDER_SHIFT} AS o_orderkey, "
+        f"o_custkey + i * {CUST_SHIFT} AS o_custkey) "
+        f"FROM read_parquet('{SRC}/orders.parquet'), range({n}) _(i)) "
+        f"TO '{out_dir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    with open(marker, "w"):
+        pass
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    from benchmark_spark.registry import all_specs
+    from benchmark_spark.session import get_spark
+
+    spark = get_spark("scale-curve", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    out: dict[str, dict] = {}
+    for n in mults:
+        d = f"{REPO}/.scratch/curve_x{n}"
+        build(d, n)
+        rows = {
+            "documents": n * 5000,
+            "embeddings": n * 5000,
+            "orders": n * 150_000,
+        }
+        secs: dict[str, float] = {}
+        outrows: dict[str, int] = {}
+        for q in QUERIES:
+            fn = specs[q].fn
+            for _ in range(WARMUP):
+                fn(spark, d).count()
+            samples = []
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                outrows[q] = fn(spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            secs[q] = round(statistics.median(samples), 3)
+        out[f"x{n}"] = {"input_rows": rows, "sec": secs, "out_rows": outrows}
+        print(json.dumps({"scale": f"x{n}", **out[f"x{n}"]}), flush=True)
+    print(json.dumps({"metric": "scale_curve", "base": "sf0.1", "curves": out}))
+
+
+if __name__ == "__main__":
+    main()
