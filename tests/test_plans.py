@@ -326,3 +326,41 @@ def test_top_supplier_max_is_broadcast_not_collect(spark):
     # join against the 1-row aggregate, never a driver-side collect
     plan = formatted_plan(SPECS["q_top_supplier"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mkt_share_star_broadcasts_every_dim(spark):
+    """Q8 shape: 7 joins, zero SortMergeJoin — the fact never shuffles
+    for a join; the only exchange is the final year group-by."""
+    df = SPECS["q_mkt_share"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_brand_revenue_pushes_implied_disjunctions(spark):
+    """Q19 shape: the OR-of-conjuncts must still push per-table implied
+    filters into both scans (quantity bounds to lineitem, brand/size to
+    part) rather than evaluating everything post-join."""
+    df = SPECS["q_brand_revenue"].fn(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf  # implied quantity disjunction reaches the fact scan
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprint_is_pure_map(spark):
+    """Winnowing is per-row array algebra: ZERO exchanges, no Python."""
+    df = SPECS["q_winnow_fingerprint"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_chargram_minhash_candidates_not_cartesian(spark):
+    """The band join must be an equi-join (SortMergeJoin/ShuffledHashJoin
+    on band+rows), never a nested-loop over all doc pairs."""
+    df = SPECS["q_chargram_minhash"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
