@@ -687,3 +687,48 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "STREAM-STATIC dimension enrichment, run as a real stream: the "
+        "events readStream inner-joins the static customer dimension "
+        "(broadcast — the stream never shuffles for the join) and aggregates "
+        "per market segment into a complete-mode memory sink. The everyday "
+        "production shape (enrich a firehose with account metadata) the "
+        "stream-stream join does not cover: no watermark is needed because "
+        "the static side never grows, and each micro-batch plans the join "
+        "like any batch query. Converges to the batch join + GROUP BY, which "
+        "the driver hash-checks; fixed-point dsum keeps the value sum exact."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    enriched = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total")
+    )
+    sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return spark.table(sink)

@@ -27,7 +27,7 @@ NEVER_CHECKED = (
 NEW_IN_R5 = (
     "q_approx_stats_bounded", "q_chargram_minhash",
     "q_nation_volume", "q_mkt_share", "q_brand_revenue",
-    "q_winnow_fingerprint", "q_bpe_pretokenize",
+    "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
 )
 
 # Spark expression AND oracle changed in round 5 (dsum migration) —

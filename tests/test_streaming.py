@@ -387,7 +387,8 @@ def test_sliding_stream_converges_to_batch(spark):
 # broken/absent (pip installs are not permitted). Environment-level,
 # independent of engine code. Arbitrary stateful processing is covered
 # by the stable applyInPandasWithState test above; revisit TWS when
-# the runtime ships an intact protobuf.
+# the runtime ships an intact protobuf. (Round-5 probe: `import
+# google.protobuf` still raises ModuleNotFoundError — unchanged.)
 
 
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
