@@ -547,6 +547,37 @@ def connected_components(
         .unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
         .distinct()
     )
+    # Labels/edges are CORPUS-SIZED: broadcasting them is wrong at any
+    # real scale, and letting AQE try piles one driver-held broadcast
+    # per superstep until the driver OOMs (measured at 30x sf0.1 by
+    # tools/scale_curve.py — 8 broadcast-build failures, round 5).
+    # Pin every CC-internal join to shuffle plans for the loop's
+    # duration; safe to restore after because each round materializes
+    # eagerly (localCheckpoint) inside the loop, so nothing built here
+    # executes after the conf flips back.
+    conf = edges.sparkSession.conf
+    _BCAST_KEYS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in _BCAST_KEYS:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:  # noqa: BLE001 - unset key
+            saved[k] = None
+        conf.set(k, "-1")
+    try:
+        return _cc_loop(sym, nodes, max_iters)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def _cc_loop(sym: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     for _ in range(max_iters):
         # (a) candidate label per node: min over neighbors' current labels
@@ -579,14 +610,18 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
+        # checkpoint FIRST (cut lineage per superstep), then probe
+        # convergence on the materialized result — otherwise the whole
+        # superstep plan executes twice per round
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
-            jumped.alias("n")
+            new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = jumped.localCheckpoint(eager=True)  # cut lineage per superstep
+        labels = new_labels
         if changed == 0:
             return labels
     raise RuntimeError(
