@@ -286,3 +286,88 @@ def q_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("cheapest"),
         F.nth_value("o_orderkey", 2).over(w).alias("runner_up"),
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS v
+            FROM events
+            WHERE user_id < 10
+            GROUP BY user_id, date_trunc('hour', ts)
+        ),
+        bounds AS (
+            SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        joined AS (
+            SELECT s.user_id, s.h,
+                   COALESCE(hl.n, 0) AS n,
+                   hl.v AS v
+            FROM spine s LEFT JOIN hourly hl
+              ON hl.user_id = s.user_id AND hl.h = s.h
+        ),
+        grp AS (
+            SELECT user_id, h, n, v,
+                   COUNT(v) OVER (PARTITION BY user_id ORDER BY h
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM joined
+        )
+        SELECT user_id, h, n,
+               MAX(v) OVER (PARTITION BY user_id, g) AS v_filled
+        FROM grp
+    """,
+    doc=(
+        "Time-series RESAMPLE + forward fill (gap fill): per-user hourly "
+        "rollups are left-joined onto a dense hourly spine (sequence between "
+        "each user's first and last active hour), empty hours get n=0, and "
+        "the value column carries the LAST OBSERVED hourly sum forward. The "
+        "fill uses the portable two-window trick — COUNT(v) OVER (ORDER BY "
+        "h) increments only on observations, so MAX(v) per (user, count "
+        "group) is the forward fill — identical semantics in Spark and "
+        "DuckDB without IGNORE NULLS dialect roulette. The spine is "
+        "generated per user (sequence + explode), so the operator never "
+        "materializes a global calendar; at 100 TB both windows partition "
+        "by user_id — no global ordering anywhere, and the hourly rollup "
+        "shuffles once. The everyday observability/feature-store resample "
+        "shape the tumbling window alone does not provide."
+    ),
+    tags=("extension", "window", "streaming"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    hourly = (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+                "v"
+            ),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", F.coalesce("n", F.lit(0)).alias("n"), "v"
+    )
+    w_run = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = joined.withColumn("g", F.count("v").over(w_run))
+    w_grp = Window.partitionBy("user_id", "g")
+    return grp.select(
+        "user_id", "h", "n", F.max("v").over(w_grp).alias("v_filled")
+    )
