@@ -412,3 +412,64 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qty_cents"),
     )
+
+
+@register(
+    "q_schema_evolution",
+    oracle=f"""
+        SELECT CASE WHEN year(o_orderdate) >= 1999 THEN o_orderstatus
+                    ELSE 'LEGACY' END AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql('o_totalprice', 2)} AS rev
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Schema EVOLUTION read (SURVEY.md §2.1): two parquet batches of the "
+        "same logical table written under different schemas — v1 (pre-1999 "
+        "orders) lacks o_orderstatus, v2 carries it — read back together "
+        "with mergeSchema=true, which unions the footers and NULL-fills the "
+        "missing column for v1 rows; the query folds those NULLs to "
+        "'LEGACY'. The drop-a-column/add-a-column upgrade every long-lived "
+        "100 TB table goes through: without mergeSchema Spark trusts one "
+        "sampled footer and silently drops the new column for every batch. "
+        "The oracle replays the evolution rule on the unevolved original, "
+        "so the driver hash proves the two-schema round-trip is lossless. "
+        "At cluster scale the same read works because schema merging is a "
+        "footer-only (metadata) operation — no data files are rewritten."
+    ),
+    tags=("source",),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_path(sf_dir, "evolve", "orders")
+    marker = os.path.join(stage, "_SUCCESS")
+    src_parquet = os.path.join(sf_dir, "orders.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        src = load_table(spark, sf_dir, "orders", assert_schema=False)
+        old = F.year("o_orderdate") < 1999
+        src.filter(old).select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        ).write.parquet(os.path.join(stage, "v1"))
+        src.filter(~old).select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+        ).write.parquet(os.path.join(stage, "v2"))
+        with open(marker, "w"):
+            pass
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(stage, "v1"), os.path.join(stage, "v2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderstatus", F.lit("LEGACY")).alias("status")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), 2).alias("rev"),
+        )
+    )

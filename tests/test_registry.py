@@ -28,7 +28,7 @@ NEW_IN_R5 = (
     "q_approx_stats_bounded", "q_chargram_minhash",
     "q_nation_volume", "q_mkt_share", "q_brand_revenue",
     "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
-    "q_gap_fill",
+    "q_gap_fill", "q_schema_evolution",
 )
 
 # Spark expression AND oracle changed in round 5 (dsum migration) —
