@@ -505,3 +505,173 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+        SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6-shaped forecast-revenue-change: a pure predicate scan + "
+        "scalar aggregate with zero joins — the canonical 'how fast can the "
+        "engine chew a filtered fact table' probe. All three predicates push "
+        "to the parquet scan (date min/max row-group skip, double range, "
+        "quantity bound), the aggregate is a single partial/final pair over "
+        "one column product, and the plan has exactly one exchange of one "
+        "row. Discount literals compare bit-identically across engines "
+        "because both read the same parquet doubles. At 100 TB this is "
+        "bandwidth-bound by design: no shuffle, no join, nothing to tune "
+        "but the scan."
+    ),
+    tags=("completeness", "scan", "agg"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_shipmode",
+    oracle="""
+        SELECT l_linestatus AS linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12-shaped priority-by-line-status rollup (l_linestatus "
+        "stands in for l_shipmode, which this schema lacks): a fact-fact "
+        "equi-join where the date filter prunes the lineitem side BEFORE "
+        "the shuffle, then two conditional counts per group. The interesting "
+        "plan property is that both conditional sums evaluate in one "
+        "aggregate pass (no self-join, no two-scan union); counts are exact "
+        "BIGINTs so the hash is float-free. At scale both sides shuffle on "
+        "orderkey — the bucketed-layout variant (sources/readers.py) removes "
+        "even that."
+    ),
+    tags=("completeness", "join", "agg"),
+)
+def q_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+        SELECT s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders     ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q21-shaped sole-blame analysis (returnflag 'R' stands in for "
+        "receipt-after-commit lateness, absent from this schema): suppliers "
+        "who were the ONLY supplier with a returned line in a finished "
+        "multi-supplier order. Exercises the hardest decorrelation pair in "
+        "the TPC-H suite — a correlated EXISTS (left semi with an inequality "
+        "conjunct) plus a correlated NOT EXISTS (left anti, extra filter on "
+        "the inner side) against the same fact table. Both self-joins key on "
+        "l_orderkey, so at scale the three lineitem shuffles share one "
+        "partitioning (AQE reuses the exchange); supplier is broadcast; the "
+        "top-10 is TakeOrderedAndProject with s_name as the deterministic "
+        "tiebreak."
+    ),
+    tags=("completeness", "join", "subquery"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    supplier = load_table(spark, sf_dir, "supplier", assert_schema=False)
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

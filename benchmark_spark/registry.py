@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_nation_volume", "q_mkt_share", "q_brand_revenue",
     "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
     "q_gap_fill", "q_schema_evolution",
+    "q_forecast_revenue", "q_shipmode", "q_waiting_suppliers",
     # expression/oracle changed in round 5 (dsum migration) — re-prove
     "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
     "q_watermark", "q_stream_session", "q_stream_sliding",
@@ -108,8 +109,7 @@ _PRIORITY = (
     "q_null_pred", "q_range_frame", "q_sliding_frame", "q_sort_multi",
     "q_union", "q_union_all", "q_value_funcs",
     # re-proof: oldest r2 greens, float-heavy families first
-    "q_agg_funcs", "q_join_multi", "q_outer", "q_asof", "q_range_join",
-    "q_broadcast_join",
+    "q_agg_funcs", "q_join_multi", "q_outer",
 )
 
 
