@@ -629,3 +629,189 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("link_j"), F.lit(0.0)).alias("link_jaccard"),
         )
     )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+        WITH ranked AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS n_tok,
+                   SUM(len(string_split(text, ' '))) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tok
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        FROM ranked
+        WHERE cum_tok <= 1000
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Token-budget data mixing: each source contributes docs (in "
+        "deterministic md5 order — a reproducible uniform shuffle) until "
+        "its token budget (1000) is exhausted; report what each source "
+        "actually contributed. This is how training mixtures are built "
+        "when the recipe says 'X billion tokens of source S': a greedy "
+        "prefix under a per-source cumulative token window. One shuffle "
+        "on source; the running sum and the admit decision come out of "
+        "the same window exchange, and the final per-source rollup "
+        "re-uses that partitioning (zero extra shuffles)."
+    ),
+    tags=("extension", "text", "sampling"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_md5_rank(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "source", n_tok.alias("n_tok"), F.sum(n_tok).over(w).alias("cum_tok")
+    )
+    return (
+        ranked.filter(F.col("cum_tok") <= 1000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+        WITH bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 UNNEST(range(1, len(t))) AS r(i)
+        ),
+        pair_cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        prefix_cnt AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        surprisal AS (
+            SELECT w1, w2, {rnd_sql('-ln(c2 * 1.0 / c1)', 6)} AS s
+            FROM pair_cnt JOIN prefix_cnt USING (w1)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ({dsum_sql('s', 6)} / COUNT(*)) AS avg_nll
+        FROM bg JOIN surprisal USING (w1, w2)
+        GROUP BY doc_id
+    """,
+    doc=(
+        "Bigram language-model scoring, the next rung above q_unigram_lm's "
+        "KenLM stand-in: corpus bigram counts give P(w2|w1) = c(w1 w2) / "
+        "c(w1 ·); each doc scores the mean -ln P over its bigram positions. "
+        "Docs full of common transitions score low; docs with improbable "
+        "word sequences (boilerplate keyword stuffing, shuffled text) score "
+        "high even when every unigram is common — exactly why fluency "
+        "filters use conditional, not marginal, probabilities. Per-bigram "
+        "surprisal snaps to 6dp fixed point before the per-doc fixed-point "
+        "mean, so the double pipeline is engine-exact. Plan: bigrams stay "
+        "in the array domain until one explode; the bigram-type table "
+        "(vocab^2 bounded) broadcasts back onto the positions; two narrow "
+        "aggregations shuffle on bigram key and doc_id."
+    ),
+    tags=("extension", "text"),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pair_cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix_cnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    surprisal = pair_cnt.join(F.broadcast(prefix_cnt), "w1").select(
+        "w1", "w2", rnd(-F.log(F.col("c2") * 1.0 / F.col("c1")), 6).alias("s")
+    )
+    return (
+        bg.join(F.broadcast(surprisal), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (dsum(F.col("s"), 6) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+        WITH freq AS (
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT {rnd_sql('ln(row_number() OVER (ORDER BY cnt DESC, token))', 6)} AS x,
+                   {rnd_sql('ln(cnt)', 6)} AS y
+            FROM freq
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {dsum_sql('x', 6)} AS sx, {dsum_sql('y', 6)} AS sy,
+                   {dsum_sql(rnd_sql('x * y', 6), 6)} AS sxy,
+                   {dsum_sql(rnd_sql('x * x', 6), 6)} AS sxx
+            FROM ranked
+        )
+        SELECT n AS vocab_size,
+               {rnd_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)} AS zipf_slope
+        FROM sums
+    """,
+    doc=(
+        "Zipf rank-frequency slope: OLS fit of ln(freq) against ln(rank) "
+        "over the whole vocabulary — natural text sits near slope -1, and "
+        "a corpus that drifts far from it (template spam: too flat; "
+        "boilerplate dominance: too steep) fails the diversity gate. "
+        "Ranks come from a deterministic (cnt DESC, token) ordering; each "
+        "(x, y) term snaps to 6dp fixed point, the five OLS sums are exact "
+        "fixed-point BIGINTs, and the closed-form slope is one IEEE "
+        "expression over identical doubles — bit-equal across engines. "
+        "Plan: one token-count shuffle, a vocab-sized global window (the "
+        "vocabulary fits one partition even at 100 TB corpus scale — it "
+        "grows with Heaps' law, not corpus size), one scalar-row reduce."
+    ),
+    tags=("extension", "text"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = freq.select(
+        rnd(F.log(F.row_number().over(w)), 6).alias("x"),
+        rnd(F.log(F.col("cnt")), 6).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), 6).alias("sx"),
+        dsum(F.col("y"), 6).alias("sy"),
+        # products of two 6dp-snapped values are NOT on the 6dp grid, so
+        # floor-snap them (engine-agnostic on ties) before the exact sum
+        dsum(rnd(F.col("x") * F.col("y"), 6), 6).alias("sxy"),
+        dsum(rnd(F.col("x") * F.col("x"), 6), 6).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return sums.select(
+        n.alias("vocab_size"),
+        rnd((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )

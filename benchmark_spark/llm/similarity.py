@@ -1060,3 +1060,52 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_cosine_range",
+    oracle="""
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+               ), 4) AS score
+        FROM embeddings e
+        WHERE e.vec_id <> 0
+          AND round(list_dot_product(
+                  CAST(e.embedding AS DOUBLE[]),
+                  CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+              ), 4) >= 0.2
+        ORDER BY score DESC, e.vec_id
+    """,
+    doc=(
+        "Cosine range search: ALL vectors within a similarity radius of the "
+        "anchor (score >= 0.2), not a fixed top-k — the retrieval mode for "
+        "'give me every near-duplicate / every relevant chunk', where the "
+        "result size is data-dependent. The threshold compares the SNAPPED "
+        "4dp score on both engines, so a last-ulp dot-product difference "
+        "can't flip membership at the boundary. Plan: broadcast 1-row "
+        "anchor, one scan, selective filter — unlike top-k there is no "
+        "TakeOrdered heap; the output sort is only for presentation. At "
+        "100 TB the same query runs against the LSH-bucketed layout "
+        "(q_ann_lsh) to skip non-colliding partitions; the brute scan here "
+        "is the recall-1.0 baseline it is measured against."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("anchor_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= 0.2)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )

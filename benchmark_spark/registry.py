@@ -83,11 +83,12 @@ def register(
 # char-gram near-dup), then the 9 queries whose Spark expression AND
 # oracle changed this round (events.value aggregates migrated from
 # round(SUM,2) to the exact fixed-point dsum form — ADVICE.md r4), then
-# re-proof slots: the 15 rows whose only driver evidence is r1 (before
-# the round-2 exact-float driver hash), and the oldest r2 greens
-# (float-heavy join/agg/scalar families first). Everything displaced is
-# driver-green in r2-r4 and stays checked by the local gate
-# (tools/check_oracle.py runs all of them).
+# the 7 late-round-5 additions (TPC-H Q6/Q12/Q21 shapes; token-budget
+# mixing, bigram LM, Zipf slope, cosine range search), then re-proof
+# slots: rows whose only driver evidence is r1 (before the round-2
+# exact-float driver hash). Everything displaced is driver-green in
+# r1-r4 and stays checked by the local gate (tools/check_oracle.py
+# runs all of them).
 _PRIORITY = (
     # never driver-checked across rounds 1-4 (judge-verified r4)
     "q_order_dist", "q_big_orders", "q_dormant_rich", "q_string_agg",
@@ -99,6 +100,7 @@ _PRIORITY = (
     "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
     "q_gap_fill", "q_schema_evolution",
     "q_forecast_revenue", "q_shipmode", "q_waiting_suppliers",
+    "q_token_budget_mix", "q_bigram_lm", "q_zipf_slope", "q_cosine_range",
     # expression/oracle changed in round 5 (dsum migration) — re-prove
     "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
     "q_watermark", "q_stream_session", "q_stream_sliding",
@@ -107,9 +109,7 @@ _PRIORITY = (
     "q1_scan_mid", "q1_scan_tight", "q_cross_join", "q_frame",
     "q_full_outer", "q_in_subquery", "q_lag", "q_limit_offset",
     "q_null_pred", "q_range_frame", "q_sliding_frame", "q_sort_multi",
-    "q_union", "q_union_all", "q_value_funcs",
-    # re-proof: oldest r2 greens, float-heavy families first
-    "q_agg_funcs", "q_join_multi", "q_outer",
+    "q_union", "q_value_funcs",
 )
 
 

@@ -1,0 +1,73 @@
+"""Semantic invariants for the late-round-5 LLM-pipeline queries,
+beyond the oracle gate: budget-prefix maximality, bigram-count
+consistency, Zipf negativity, and range-vs-top-k agreement."""
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.llm.corpus import (
+    _md5_rank,
+    q_bigram_lm,
+    q_token_budget_mix,
+    q_zipf_slope,
+)
+from benchmark_spark.llm.similarity import q8_knn, q_cosine_range
+from tests.conftest import SF_SMOKE
+
+
+def test_token_budget_is_respected_and_maximal(spark):
+    out = {r["source"]: r for r in q_token_budget_mix(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    n_tok = F.size(F.split("text", " "))
+    per_doc = docs.select(
+        "source", n_tok.alias("n_tok"), _md5_rank(F.col("doc_id")).alias("rk")
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in per_doc:
+        by_source.setdefault(r["source"], []).append((r["rk"], r["n_tok"]))
+    for source, rows in by_source.items():
+        rows.sort()
+        kept = out.get(source)
+        if kept is None:
+            # first doc alone blows the budget
+            assert rows[0][1] > 1000
+            continue
+        assert kept["tokens_kept"] <= 1000
+        # prefix property + maximality: the (n+1)-th doc would overflow
+        n = kept["n_docs_kept"]
+        assert sum(t for _, t in rows[:n]) == kept["tokens_kept"]
+        if n < len(rows):
+            assert kept["tokens_kept"] + rows[n][1] > 1000
+
+
+def test_bigram_lm_counts_and_positivity(spark):
+    out = q_bigram_lm(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    joined = out.join(
+        docs.select("doc_id", (F.size(F.split("text", " ")) - 1).alias("want")),
+        "doc_id",
+    )
+    bad = joined.filter(
+        (F.col("n_bigrams") != F.col("want")) | (F.col("avg_nll") < 0)
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.filter(F.size(F.split("text", " ")) >= 2).count()
+
+
+def test_zipf_slope_is_negative_over_full_vocab(spark):
+    row = q_zipf_slope(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
+    )
+    assert row["vocab_size"] == vocab
+    assert row["zipf_slope"] < 0
+
+
+def test_cosine_range_agrees_with_topk(spark):
+    rng = {r["vec_id"]: r["score"] for r in q_cosine_range(spark, SF_SMOKE).collect()}
+    assert all(s >= 0.2 for s in rng.values())
+    # every top-k hit above the radius must be a range hit with equal score
+    for r in q8_knn(spark, SF_SMOKE).collect():
+        if r["score"] >= 0.2:
+            assert rng[r["vec_id"]] == r["score"]
