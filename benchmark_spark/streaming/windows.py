@@ -732,3 +732,64 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_done(q)
     return spark.table(sink)
+
+
+@register(
+    "q_outer_stream_join",
+    oracle="""
+        SELECT s.user_id,
+               s.event_id AS signup_id,
+               COALESCE(p.event_id, -1) AS purchase_id,
+               COALESCE(CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT),
+                        -1) AS lag_us
+        FROM events s
+        LEFT JOIN events p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 1 HOUR
+         AND p.event_type = 'purchase'
+        WHERE s.event_type = 'signup'
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER interval join, batch-equivalent form "
+        "(SURVEY.md §2.9): every signup, enriched with the purchases of the "
+        "same user in the following hour, OR a -1 sentinel row when none "
+        "came — the funnel-with-dropouts query an inner join cannot "
+        "express. The purchase-side predicate lives in the JOIN condition "
+        "(not WHERE), so unmatched signups survive; sentinels replace "
+        "NULLs to keep the hash engine-portable. The streaming twin "
+        "(tests/test_streaming.py) runs leftOuter over two watermarked "
+        "branches of the 4-micro-batch chunked stream: matches emit "
+        "immediately, unmatched rows emit exactly when the watermark "
+        "expires their join window — the test pins both populations. At "
+        "100 TB the state store holds only the open interval per signup "
+        "(watermark-bounded), and the equi-key (user_id) anchors the "
+        "shuffle exactly as in the inner form."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    s = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "signup_id",
+        F.coalesce(F.col("p_event"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros("p_ts") - F.unix_micros("s_ts"), F.lit(-1)
+        ).alias("lag_us"),
+    )

@@ -455,3 +455,96 @@ def test_stream_append_emits_each_window_once(spark):
     # open behind the watermark
     full = all_specs()["q7_tumble"].fn(spark, SF_SMOKE).count()
     assert 0 < len(out) < full
+
+
+def test_outer_stream_join_twin_matches_registered_batch(spark):
+    """q_outer_stream_join's batch left join == the watermarked
+    leftOuter stream-stream join over the 4-micro-batch chunked
+    stream. Matched rows emit immediately (must agree exactly);
+    unmatched (sentinel) rows emit only when the watermark expires
+    their one-hour window, so the final chunk's tail can legitimately
+    stay open — the test pins (a) no spurious streamed rows and (b)
+    every batch row whose window closed before the last watermark
+    advance was emitted."""
+    from benchmark_spark.streaming.windows import events_stream_chunks
+
+    stream = events_stream_chunks(spark, SF_SMOKE)
+    a = (
+        stream.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    b = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "signup_id",
+        F.coalesce(F.col("p_event"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros("p_ts") - F.unix_micros("s_ts"), F.lit(-1)
+        ).alias("lag_us"),
+        "s_ts",
+    )
+    sink = "outer_sjoin_twin_sink_test"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    streamed = spark.table(sink)
+    batch = SPECS["q_outer_stream_join"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "signup_id", "purchase_id", "lag_us"]
+
+    # (a) matched rows agree exactly
+    got_matched = _rows(streamed.filter(F.col("purchase_id") != -1), cols)
+    want_matched = _rows(batch.filter(F.col("purchase_id") != -1), cols)
+    assert got_matched == want_matched
+
+    # (b) every streamed sentinel row is a real batch sentinel row ...
+    got_unmatched = _rows(streamed.filter(F.col("purchase_id") == -1), cols)
+    want_unmatched = _rows(batch.filter(F.col("purchase_id") == -1), cols)
+    assert set(got_unmatched) <= set(want_unmatched)
+    assert len(got_unmatched) == len(set(got_unmatched))  # emitted once
+
+    # ... and every sentinel whose window closed before the final
+    # watermark advance (driven by chunks 1-3: days <= 24) was emitted.
+    events = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    wm_final = events.filter(F.dayofmonth("ts") <= 24).agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    import datetime
+
+    closed_before = wm_final - datetime.timedelta(hours=1, minutes=20)
+    signup_ts = {
+        r["signup_id"]: r["ts"]
+        for r in events.filter(F.col("event_type") == "signup")
+        .select("event_id", "ts")
+        .withColumnRenamed("event_id", "signup_id")
+        .collect()
+    }
+    must_emit = {
+        row for row in want_unmatched if signup_ts[row[1]] < closed_before
+    }
+    assert must_emit <= set(got_unmatched)
+    assert len(must_emit) > 0  # the assertion is not vacuous
