@@ -670,3 +670,60 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderpriority").alias("n_prio"),
     )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
+            FROM events
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cohort_day, act_day) AS BIGINT) AS offset_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM activity JOIN first_seen USING (user_id)
+        GROUP BY cohort_day, act_day
+        ORDER BY cohort, offset_days
+    """,
+    doc=(
+        "Retention cohort matrix — the canonical product-analytics rollup: "
+        "users bucketed by first-seen day (their cohort), then for every "
+        "(cohort, day-offset) cell the count of cohort members active that "
+        "day. Three narrow stages: per-user MIN(ts) (shuffle on user_id), "
+        "per-(user, day) distinct (same key prefix, AQE reuses the "
+        "exchange), a co-keyed join back on user_id, and the cell rollup. "
+        "Cohort labels travel as ISO date STRINGS (bare DATE columns "
+        "serialize engine-specifically in the hash — q_bool_agg precedent); "
+        "offsets and counts are exact BIGINTs. At 100 TB the user "
+        "dimension of the join is |users|, orders of magnitude below "
+        "|events| — it broadcasts per executor or co-partitions with the "
+        "activity side, and no cell count ever exceeds the cohort size."
+    ),
+    tags=("completeness", "agg", "events"),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("act_day")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_day", "act_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("act_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+            F.col("n_users"),
+        )
+        .orderBy("cohort", "offset_days")
+    )

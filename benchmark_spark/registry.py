@@ -101,15 +101,15 @@ _PRIORITY = (
     "q_gap_fill", "q_schema_evolution",
     "q_forecast_revenue", "q_shipmode", "q_waiting_suppliers",
     "q_token_budget_mix", "q_bigram_lm", "q_zipf_slope", "q_cosine_range",
-    "q_outer_stream_join",
+    "q_outer_stream_join", "q_compaction", "q_retention_cohort",
     # expression/oracle changed in round 5 (dsum migration) — re-prove
     "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
     "q_watermark", "q_stream_session", "q_stream_sliding",
     "q_stream_append", "q_stream_update",
     # re-proof: rows whose only driver evidence is r1 (pre exact-float hash)
     "q1_scan_mid", "q1_scan_tight", "q_frame",
-    "q_full_outer", "q_in_subquery", "q_lag", "q_limit_offset",
-    "q_null_pred", "q_range_frame", "q_sliding_frame", "q_sort_multi",
+    "q_full_outer", "q_in_subquery", "q_lag",
+    "q_range_frame", "q_sliding_frame", "q_sort_multi",
     "q_union", "q_value_funcs",
 )
 

@@ -473,3 +473,58 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("rev"),
         )
     )
+
+
+@register(
+    "q_compaction",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Small-file compaction — the single most common 100 TB table-"
+        "maintenance job (streaming ingest and over-parallel writers leave "
+        "thousands of KB-sized parquet files; scan cost is then dominated "
+        "by file-open overhead, not bytes). A deliberately fragmented copy "
+        "of orders (32 small files, staged once per SF with mtime "
+        "invalidation) is compacted via coalesce(2) — a NARROW dependency: "
+        "existing partitions are concatenated into fewer write tasks with "
+        "ZERO shuffle, which is what distinguishes compaction from a "
+        "repartition rewrite — and written back. The returned per-status "
+        "rollup carries an md5-derived 60-bit key fingerprint plus the "
+        "exact fixed-point money sum, so a single row lost, duplicated, or "
+        "mangled by the rewrite breaks the hash against the oracle reading "
+        "the ORIGINAL un-fragmented table. tests/test_sources.py pins the "
+        "file counts (32 before, <=2 after) and the no-shuffle plan."
+    ),
+    tags=("source", "maintenance"),
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag = _stage_path(sf_dir, "fragmented", "orders")
+    marker = os.path.join(frag, "_SUCCESS")
+    src_parquet = os.path.join(sf_dir, "orders.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
+        src = load_table(spark, sf_dir, "orders", assert_schema=False)
+        write_parquet(src.repartition(32), frag)
+    compacted = _stage_path(sf_dir, "compacted", "orders")
+    spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp).alias("fp"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )

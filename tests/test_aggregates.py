@@ -90,3 +90,17 @@ def test_native_corr_matches_exact_formula(spark):
     }
     for k in native:
         assert math.isclose(native[k], manual[k], rel_tol=1e-4, abs_tol=1e-6)
+
+
+def test_retention_cohort_cells_are_bounded_by_cohort_size(spark):
+    from benchmark_spark.operators.aggregates import q_retention_cohort
+
+    rows = q_retention_cohort(spark, SF_SMOKE).collect()
+    assert rows
+    day0 = {r["cohort"]: r["n_users"] for r in rows if r["offset_days"] == 0}
+    # every cohort has its day-0 cell (users are active on first-seen day)
+    cohorts = {r["cohort"] for r in rows}
+    assert set(day0) == cohorts
+    for r in rows:
+        assert r["offset_days"] >= 0
+        assert 0 < r["n_users"] <= day0[r["cohort"]]

@@ -62,3 +62,24 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     )
     assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
     assert joined.count() == li.count()
+
+
+def test_compaction_reduces_files_without_shuffle(spark):
+    from benchmark_spark.sources.readers import _stage_path, q_compaction
+
+    out = q_compaction(spark, SF_SMOKE)
+    assert out.count() == 3  # O/F/P statuses
+    import glob
+
+    frag_files = glob.glob(
+        _stage_path(SF_SMOKE, "fragmented", "orders") + "/*.parquet"
+    )
+    comp_files = glob.glob(
+        _stage_path(SF_SMOKE, "compacted", "orders") + "/*.parquet"
+    )
+    assert len(frag_files) == 32
+    assert 1 <= len(comp_files) <= 2
+    # coalesce is a narrow dependency: the rewrite plans no Exchange
+    frag_df = spark.read.parquet(_stage_path(SF_SMOKE, "fragmented", "orders"))
+    plan = frag_df.coalesce(2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
