@@ -815,3 +815,67 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("vocab_size"),
         rnd((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
     )
+
+
+@register(
+    "q_heaps_law",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        first_doc AS (
+            SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token
+        ),
+        per_doc AS (
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   (SELECT COUNT(*) FROM first_doc f WHERE f.fd = d.doc_id)
+                       AS new_types
+            FROM documents d
+        )
+        SELECT doc_id,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS vocab_size
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Heaps'-law vocabulary growth curve: after ingesting docs 0..i (in "
+        "doc_id order), how many total tokens and how many DISTINCT types "
+        "has the corpus seen? Natural corpora grow as vocab ~ K * "
+        "tokens^beta (beta ~ 0.5); a flat curve means near-duplicate "
+        "content, a linear one means noise/IDs — it is the companion "
+        "diagnostic to q_zipf_slope. The trick is attributing each type "
+        "to its FIRST document (one min-agg over the token stream) so the "
+        "cumulative distinct count becomes an ordinary prefix sum — no "
+        "distinct-over-window needed. Plan: token-min shuffle + per-doc "
+        "count + two prefix-sum windows; the global window is doc-count "
+        "sized, and at 100 TB becomes a two-pass range-bucketed prefix "
+        "sum (per-bucket totals broadcast back) — same algebra."
+    ),
+    tags=("extension", "text"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    first_doc = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    new_types = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    per_doc = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .join(new_types, "doc_id", "left")
+        .fillna(0, ["new_types"])
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_doc.select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )

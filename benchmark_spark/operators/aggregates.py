@@ -727,3 +727,112 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "offset_days")
     )
+
+
+@register(
+    "q_trailing_active",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        ),
+        bounds AS (SELECT MAX(d) AS dmax FROM act),
+        expanded AS (
+            SELECT user_id, d + k * INTERVAL '1 day' AS cover_day
+            FROM act, UNNEST(range(0, 7)) AS r(k)
+        )
+        SELECT strftime(cover_day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM expanded, bounds
+        WHERE cover_day <= dmax
+        GROUP BY cover_day
+        ORDER BY day
+    """,
+    doc=(
+        "Trailing-7-day active users (WAU) per day — the dashboard query "
+        "every product team runs, and a shape SQL windows cannot express "
+        "directly (COUNT(DISTINCT) over a RANGE frame is unsupported in "
+        "Spark and most engines). The rewrite: each (user, active-day) "
+        "pair COVERS the next 7 calendar days, so exploding 7 cover-rows "
+        "per pair and distinct-counting per cover day gives exactly the "
+        "trailing-window DAU union. Cost model: |distinct user-days| x 7 "
+        "rows into one distinct-count shuffle — linear, no self-join, no "
+        "per-day scan; at 100 TB widen the window by the same trick "
+        "(k x days) or two-level: daily HLL sketches merged over the "
+        "trailing window when exactness can be traded."
+    ),
+    tags=("completeness", "agg", "events"),
+)
+def q_trailing_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    act = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dmax = act.agg(F.max("d").alias("dmax"))
+    expanded = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select(
+        "user_id", F.expr("d + make_interval(0, 0, 0, k, 0, 0, 0)").alias("cover_day")
+    )
+    return (
+        expanded.crossJoin(F.broadcast(dmax))
+        .filter(F.col("cover_day") <= F.col("dmax"))
+        .groupBy("cover_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            F.date_format("cover_day", "yyyy-MM-dd").alias("day"), F.col("wau")
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_session_labels",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    """,
+    doc=(
+        "Per-event session labeling via the lag-gap-cumsum rewrite: an "
+        "event starts a new session when its gap to the user's previous "
+        "event exceeds 30 minutes; the running sum of start flags IS the "
+        "session index. This is the row-level complement of "
+        "session_window's per-session AGGREGATE (streaming/windows.py) — "
+        "ETL pipelines need the label ON each event to join downstream "
+        "facts into sessions. Both windows share one (user_id) partition "
+        "spec, so the plan shuffles events exactly once; event_id breaks "
+        "timestamp ties deterministically. At 100 TB session state never "
+        "materializes — it's two streaming window passes over the same "
+        "sort order."
+    ),
+    tags=("completeness", "window", "events"),
+)
+def q_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(cum).cast("long").alias("session_idx"),
+    )

@@ -104,3 +104,48 @@ def test_retention_cohort_cells_are_bounded_by_cohort_size(spark):
     for r in rows:
         assert r["offset_days"] >= 0
         assert 0 < r["n_users"] <= day0[r["cohort"]]
+
+
+def test_trailing_active_dominates_daily_active(spark):
+    """WAU(d) >= DAU(d) for every day, and equals DAU on the first day."""
+    from benchmark_spark.operators.aggregates import q_trailing_active
+
+    events = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    dau = {
+        r["day"]: r["n"]
+        for r in events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = q_trailing_active(spark, SF_SMOKE).collect()
+    assert rows[0]["wau"] == dau[rows[0]["day"]]
+    for r in rows:
+        assert r["wau"] >= dau.get(r["day"], 0)
+
+
+def test_session_labels_match_session_window_count(spark):
+    """Total sessions from per-event labels == number of session_window
+    groups (same 30-minute gap rule)."""
+    from benchmark_spark.operators.aggregates import q_session_labels
+
+    labels = q_session_labels(spark, SF_SMOKE)
+    n_sessions = (
+        labels.groupBy("user_id")
+        .agg(F.max("session_idx").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    events = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    via_window = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .count()
+        .count()
+    )
+    assert n_sessions == via_window

@@ -71,3 +71,22 @@ def test_cosine_range_agrees_with_topk(spark):
     for r in q8_knn(spark, SF_SMOKE).collect():
         if r["score"] >= 0.2:
             assert rng[r["vec_id"]] == r["score"]
+
+
+def test_heaps_law_curve_is_monotone_and_ends_at_totals(spark):
+    from benchmark_spark.llm.corpus import q_heaps_law
+
+    rows = q_heaps_law(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    assert len(rows) == docs.count()
+    prev_t, prev_v = 0, 0
+    for r in rows:
+        assert r["cum_tokens"] > prev_t  # every doc has >= 1 token
+        assert r["vocab_size"] >= prev_v
+        prev_t, prev_v = r["cum_tokens"], r["vocab_size"]
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    vocab = docs.select(F.explode(F.split("text", " "))).distinct().count()
+    assert rows[-1]["cum_tokens"] == total_tokens
+    assert rows[-1]["vocab_size"] == vocab
