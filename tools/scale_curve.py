@@ -39,7 +39,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-QUERIES = ["q2_agg_highcard", "q_dedup_minhash", "q_ann_lsh", "q_dedup_clusters"]
+QUERIES = [
+    q
+    for q in os.environ.get(
+        "SPARK_GRAFT_CURVE_QUERIES",
+        "q2_agg_highcard,q_dedup_minhash,q_ann_lsh,q_dedup_clusters,"
+        "q_waiting_suppliers,q_bigram_lm",
+    ).split(",")
+    if q
+]
 DOC_SHIFT = 10_000
 VEC_SHIFT = 10_000
 ORDER_SHIFT = 1_000_000
@@ -52,7 +60,11 @@ def build(out_dir: str, n: int) -> None:
     import duckdb
 
     marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
+    # lineitem/supplier were added to the replica set in late round 5 —
+    # a marker without them is a stale layout and must rebuild
+    if os.path.exists(marker) and os.path.exists(
+        os.path.join(out_dir, "lineitem.parquet")
+    ):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -85,6 +97,19 @@ def build(out_dir: str, n: int) -> None:
         f"FROM read_parquet('{SRC}/orders.parquet'), range({n}) _(i)) "
         f"TO '{out_dir}/orders.parquet' (FORMAT PARQUET)"
     )
+    # lineitem rides the same orderkey shift as orders (FKs stay
+    # orphan-free per replica); partkey/suppkey are NOT shifted, so
+    # per-part and per-supplier line counts grow linearly — the
+    # corpus-growth model q_waiting_suppliers' self-joins care about.
+    con.execute(
+        f"COPY (SELECT * REPLACE (l_orderkey + i * {ORDER_SHIFT} AS l_orderkey) "
+        f"FROM read_parquet('{SRC}/lineitem.parquet'), range({n}) _(i)) "
+        f"TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SRC}/supplier.parquet')) "
+        f"TO '{out_dir}/supplier.parquet' (FORMAT PARQUET)"
+    )
     with open(marker, "w"):
         pass
 
@@ -105,6 +130,7 @@ def main() -> None:
             "documents": n * 5000,
             "embeddings": n * 5000,
             "orders": n * 150_000,
+            "lineitem": n * 600_000,
         }
         secs: dict[str, float] = {}
         outrows: dict[str, int] = {}
