@@ -221,3 +221,84 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("vec_id", F.col("rank").alias("rank_fp"))
+
+
+_TRIANGLE_ORACLE = (
+    "WITH "
+    + _EDGES_CTE.format(mass=MASS)
+    + """,
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    ORDER BY node
+"""
+)
+
+
+@register(
+    "q_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc=(
+        "Per-node triangle counting over the kNN similarity graph — the "
+        "numerator of the local clustering coefficient, the standard "
+        "'is this node inside a dense semantic clique?' signal (dense "
+        "triangles around a doc = a paraphrase cluster; PageRank "
+        "centrality without triangles = a hub bridging topics). "
+        "Algorithm: orient each undirected edge low-id -> high-id, then "
+        "one join to enumerate wedges (a<b<c with a-b, b-c) and one join "
+        "to close them against a-c — every triangle found exactly once, "
+        "no direction double-count. Two shuffle joins on vertex keys over "
+        "an edge table that is O(corpus x k), never the corpus payload. "
+        "At 100 TB the id-orientation is replaced by DEGREE orientation "
+        "(low-degree endpoint first — the Ortmann/Brandes trick): wedge "
+        "fan-out is then bounded by sqrt-degeneracy and hub skew "
+        "disappears; id order is kept here because it makes the oracle "
+        "replay bit-exact. Reuses q_knn_graph's edge builder (same md5 "
+        "planes, fixed-point plane dots, top-3 window)."
+    ),
+    tags=("extension", "similarity", "graph"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy("node")
+    )

@@ -90,3 +90,27 @@ def test_heaps_law_curve_is_monotone_and_ends_at_totals(spark):
     vocab = docs.select(F.explode(F.split("text", " "))).distinct().count()
     assert rows[-1]["cum_tokens"] == total_tokens
     assert rows[-1]["vocab_size"] == vocab
+
+
+def test_triangle_count_matches_python_bruteforce(spark):
+    from itertools import combinations
+
+    from benchmark_spark.llm.graph import knn_edges, q_triangle_count
+
+    edges = knn_edges(spark, SF_SMOKE).collect()
+    und = {tuple(sorted((r["src"], r["dst"]))) for r in edges}
+    adj: dict[int, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            for node in (u, v, w):
+                want[node] = want.get(node, 0) + 1
+    # each triangle is seen once per edge (3x per member node)
+    want = {n: c // 3 for n, c in want.items() if c}
+    got = {r["node"]: r["n_tri"] for r in q_triangle_count(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert sum(got.values()) % 3 == 0
+    assert len(got) > 0
