@@ -1079,3 +1079,75 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "q_chunk_documents",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS chunk_idx,
+                   array_to_string(t[(k * 24 + 1):(k * 24 + 32)], ' ')
+                       AS chunk_text
+            FROM tok,
+                 UNNEST(range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0)
+                                      AS BIGINT))) AS r(k)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+               CAST('0x' || substring(md5(chunk_text), 1, 15) AS BIGINT)
+                   AS chunk_fp
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "Document chunking for retrieval indexing — the first operator of "
+        "every RAG ingestion pipeline: split each doc into 32-token "
+        "windows with stride 24 (8-token overlap, so no sentence at a "
+        "boundary is lost to both neighbors), emit (doc_id, chunk_idx, "
+        "token count, content fingerprint). Chunk construction is pure "
+        "array slicing inside the row — explode happens AFTER the chunk "
+        "list exists, no shuffle, no Python boundary — and the md5 "
+        "fingerprint stands in for the chunk's embedding key downstream "
+        "(q8_knn/q_ann_lsh take over from there). The ceil((len-overlap)/"
+        "stride) count makes the final short chunk explicit rather than "
+        "silently dropped — at 100 TB a chunker that drops tails loses "
+        "the last sentence of every document in the corpus."
+    ),
+    tags=("extension", "text"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    t = F.split("text", " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(t) - (size - stride), F.lit(1)) / F.lit(float(stride))
+    ).cast("long")
+    chunk_text = lambda k: F.concat_ws(  # noqa: E731
+        " ", F.slice(t, k * stride + 1, size)
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"), F.col("chunk_idx").cast("int") * stride + 1, size
+            ),
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -836,3 +836,65 @@ def q_session_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(is_new).over(cum).cast("long").alias("session_idx"),
     )
+
+
+@register(
+    "q_profile",
+    oracle=f"""
+        SELECT 'o_orderkey' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE),
+               CAST(MAX(o_totalprice) AS DOUBLE)
+        FROM orders
+        ORDER BY col
+    """,
+    doc=(
+        "Table profiling — the DESCRIBE/summary() capability every engine "
+        "ships: per-column row count, non-null count, exact distinct "
+        "count, min and max, emitted as one tidy (column -> stats) "
+        "relation for the numeric columns of orders. All six statistics "
+        "for all columns come out of a SINGLE scan: Spark plans the "
+        "multi-column agg as one pass with per-column accumulators, and "
+        "the three COUNT(DISTINCT)s expand into one Expand + two-phase "
+        "agg (the same plan ANALYZE TABLE uses). Min/max travel as "
+        "DOUBLE so one schema fits every numeric column. At 100 TB "
+        "exact distinct per column is the expensive term — swap to "
+        "approx_count_distinct (q_approx_stats_bounded shows the "
+        "bounded-error contract) and the scan stays single-pass."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)  # ONE scan, one 1-row result
+    stack_args = ", ".join(
+        f"'{c}', n, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col, n, n_nonnull, n_distinct, min_v, max_v)"
+        )
+    ).orderBy("col")

@@ -149,3 +149,25 @@ def test_session_labels_match_session_window_count(spark):
         .count()
     )
     assert n_sessions == via_window
+
+
+def test_profile_single_scan_and_exact_stats(spark):
+    from benchmark_spark.operators.aggregates import q_profile
+    from benchmark_spark.plans.inspect import formatted_plan
+
+    df = q_profile(spark, SF_SMOKE)
+    rows = {r["col"]: r for r in df.collect()}
+    orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+    n = orders.count()
+    assert rows["o_orderkey"]["n"] == n
+    assert rows["o_orderkey"]["n_nonnull"] == n  # fixtures carry no NULLs
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_custkey"]["n_distinct"] <= n
+    assert rows["o_totalprice"]["min_v"] <= rows["o_totalprice"]["max_v"]
+    # the profile reads the parquet relation exactly once (formatted
+    # mode prints each node twice: tree line + "(N) Scan parquet" detail)
+    import re
+
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan  # the multi-distinct rewrite, not a self-join

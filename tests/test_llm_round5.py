@@ -114,3 +114,31 @@ def test_triangle_count_matches_python_bruteforce(spark):
     assert got == want
     assert sum(got.values()) % 3 == 0
     assert len(got) > 0
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    from benchmark_spark.llm.text import q_chunk_documents
+
+    chunks = q_chunk_documents(spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id]
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        covered = 0
+        for r in rows:
+            start = r["chunk_idx"] * 24
+            assert r["n_tokens"] == min(32, len(toks) - start)
+            covered = max(covered, start + r["n_tokens"])
+            if r["chunk_idx"] > 0:
+                assert start < covered  # stride < size: overlap exists
+        assert covered == len(toks)  # the tail is never dropped
