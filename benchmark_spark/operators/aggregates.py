@@ -898,3 +898,183 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n, n_nonnull, n_distinct, min_v, max_v)"
         )
     ).orderBy("col")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+        WITH total AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT l_partkey AS key,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(*) * 1000000 // ANY_VALUE(total.n) AS BIGINT)
+                   AS share_ppm
+        FROM lineitem, total
+        GROUP BY l_partkey
+        ORDER BY cnt DESC, key
+        LIMIT 20
+    """,
+    doc=(
+        "Heavy-hitter / skew diagnostics: the top-20 join keys by "
+        "frequency with their parts-per-million share of the fact table — "
+        "the query you run BEFORE a big join to decide whether AQE skew "
+        "splitting suffices or a salted plan (operators/skew.py) is "
+        "needed. One two-phase count shuffle + TakeOrderedAndProject; the "
+        "share is integer ppm (floor division) so the hash is float-free. "
+        "At 100 TB this is exactly the sampled-stats pass shuffle "
+        "planners run internally — materializing it as a first-class "
+        "query makes the skew decision auditable."
+    ),
+    tags=("completeness", "agg", "skew"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    total = li.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        li.groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000 / F.col("n")).cast("long").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   {dsum_sql('value', 2)} / COUNT(*) AS mu,
+                   COUNT(*) AS n,
+                   {dsum_sql(rnd_sql('value * value', 4), 4)} AS sxx
+            FROM events GROUP BY event_type
+        ),
+        scored AS (
+            SELECT e.event_type, e.event_id,
+                   {rnd_sql('abs(e.value - s.mu) / sqrt(greatest(s.sxx / s.n - s.mu * s.mu, 1e-12))', 4)}
+                       AS z
+            FROM events e JOIN stats s USING (event_type)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_outliers,
+               CAST(MIN(event_id) AS BIGINT) AS first_outlier_id
+        FROM scored
+        WHERE z > 3.0
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Z-score outlier detection per event type — the monitoring rollup "
+        "behind every 'metric spiked' alert: per-group mean and variance "
+        "from ONE pass (sum + sum-of-squares, both exact fixed-point so "
+        "mu and sxx are bit-identical across engines), then each event's "
+        "|x - mu| / sigma snapped to 4dp before the z > 3 cut — the "
+        "threshold compares identical doubles on both engines, so "
+        "borderline events cannot flip membership. Two narrow shuffles "
+        "(per-type stats, broadcast back); the variance epsilon guards "
+        "constant-valued groups. At 100 TB the stats table is "
+        "|event types| rows — the broadcast never grows with the corpus."
+    ),
+    tags=("completeness", "agg", "events"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    stats = events.groupBy("event_type").agg(
+        (dsum(F.col("value"), 2) / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(rnd(F.col("value") * F.col("value"), 4), 4).alias("sxx"),
+    )
+    var = F.greatest(
+        F.col("sxx") / F.col("n") - F.col("mu") * F.col("mu"), F.lit(1e-12)
+    )
+    z = rnd(F.abs(F.col("value") - F.col("mu")) / F.sqrt(var), 4)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_type", "event_id", z.alias("z"))
+        .filter(F.col("z") > 3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("event_id").alias("first_outlier_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_crosstab_chi2",
+    oracle=f"""
+        WITH obs AS (
+            SELECT lang, source, COUNT(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY lang),
+        ct AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        cells AS (
+            SELECT rt.lang, ct.source,
+                   COALESCE(obs.o, 0) AS o,
+                   rt.r * ct.c * 1.0 / tot.n AS e
+            FROM rt CROSS JOIN ct CROSS JOIN tot
+            LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((SELECT (COUNT(DISTINCT lang) - 1) FROM documents)
+                    * (SELECT (COUNT(DISTINCT source) - 1) FROM documents)
+                    AS BIGINT) AS dof,
+               {rnd_sql(dsum_sql(rnd_sql('(o - e) * (o - e) / e', 6), 6), 4)}
+                   AS chi2
+        FROM cells
+    """,
+    doc=(
+        "Chi-square independence test over the lang x source contingency "
+        "table — 'is language distribution independent of crawl source?', "
+        "the statistical gate behind data-mixture audits. Observed cell "
+        "counts, row/column marginals, and the total come from four "
+        "narrow aggs on the same scan; EMPTY cells are materialized by "
+        "crossing the (tiny) marginal tables so their (0 - e)^2/e terms "
+        "count — dropping them understates the statistic. Expected "
+        "counts are exact integer products over n; each cell term snaps "
+        "to 6dp fixed point before the exact sum, so the 4dp statistic "
+        "is engine-identical. At 100 TB the marginal cross join is "
+        "|langs| x |sources| rows — never corpus-sized."
+    ),
+    tags=("completeness", "agg", "text"),
+)
+def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("e"),
+        )
+    )
+    term = rnd((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
+    dof = (
+        docs.agg(
+            (
+                (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+            ).alias("dof")
+        )
+    )
+    return (
+        cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            rnd(dsum(term, 6), 4).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", F.col("dof").cast("long").alias("dof"), "chi2")
+    )

@@ -104,13 +104,13 @@ _PRIORITY = (
     "q_outer_stream_join", "q_compaction", "q_retention_cohort",
     "q_trailing_active", "q_session_labels", "q_heaps_law",
     "q_triangle_count", "q_profile", "q_chunk_documents",
+    "q_heavy_hitters", "q_zscore_outliers", "q_crosstab_chi2",
     # expression/oracle changed in round 5 (dsum migration) — re-prove
     "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
     "q_watermark", "q_stream_session", "q_stream_sliding",
     "q_stream_append", "q_stream_update",
     # re-proof: rows whose only driver evidence is r1 (pre exact-float hash)
-    "q1_scan_mid", "q1_scan_tight", "q_frame",
-    "q_range_frame", "q_sliding_frame",
+    "q1_scan_mid", "q1_scan_tight",
 )
 
 

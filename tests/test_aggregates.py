@@ -171,3 +171,63 @@ def test_profile_single_scan_and_exact_stats(spark):
     plan = formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Expand" in plan  # the multi-distinct rewrite, not a self-join
+
+
+def test_heavy_hitters_ranks_true_counts(spark):
+    from benchmark_spark.operators.aggregates import q_heavy_hitters
+
+    rows = q_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    li = load_table(spark, SF_SMOKE, "lineitem", assert_schema=False)
+    true_top = (
+        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").first()
+    )
+    assert rows[0]["key"] == true_top["l_partkey"]
+    assert rows[0]["cnt"] == true_top["count"]
+    n = li.count()
+    for r in rows:
+        assert r["share_ppm"] == r["cnt"] * 1_000_000 // n
+
+
+def test_zscore_outliers_match_stddev_pop_recompute(spark):
+    from benchmark_spark.operators.aggregates import q_zscore_outliers
+
+    got = {r["event_type"]: r["n_outliers"] for r in q_zscore_outliers(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.join(stats, "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) / F.col("sd") > 3.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # fixed-point pipeline may differ from float recompute only for
+    # events sitting exactly at the 4dp-snapped threshold; on this
+    # fixture none do
+    assert got == want
+
+
+def test_crosstab_chi2_matches_numpy(spark):
+    import numpy as np
+
+    from benchmark_spark.operators.aggregates import q_crosstab_chi2
+
+    row = q_crosstab_chi2(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    obs = docs.groupBy("lang", "source").count().collect()
+    langs = sorted({r["lang"] for r in obs})
+    srcs = sorted({r["source"] for r in obs})
+    m = np.zeros((len(langs), len(srcs)))
+    for r in obs:
+        m[langs.index(r["lang"]), srcs.index(r["source"])] = r["count"]
+    e = m.sum(1, keepdims=True) * m.sum(0, keepdims=True) / m.sum()
+    chi2 = ((m - e) ** 2 / e).sum()
+    assert row["n_cells"] == len(langs) * len(srcs)
+    assert row["dof"] == (len(langs) - 1) * (len(srcs) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-2
