@@ -83,12 +83,14 @@ def register(
 # char-gram near-dup), then the 9 queries whose Spark expression AND
 # oracle changed this round (events.value aggregates migrated from
 # round(SUM,2) to the exact fixed-point dsum form — ADVICE.md r4), then
-# the 7 late-round-5 additions (TPC-H Q6/Q12/Q21 shapes; token-budget
-# mixing, bigram LM, Zipf slope, cosine range search), then re-proof
-# slots: rows whose only driver evidence is r1 (before the round-2
-# exact-float driver hash). Everything displaced is driver-green in
-# r1-r4 and stays checked by the local gate (tools/check_oracle.py
-# runs all of them).
+# the 19 late-round-5 additions (TPC-H Q6/Q12/Q21 shapes; token-budget
+# mixing, bigram/Zipf/Heaps corpus stats, cosine range search, outer
+# stream join, compaction, retention/WAU/session-label analytics,
+# triangle counting, profiling, RAG chunking, skew/outlier/chi2
+# diagnostics), then the remaining re-proof slots: rows whose only
+# driver evidence is r1 (before the round-2 exact-float driver hash).
+# Everything displaced is driver-green in r1-r4 and stays checked by
+# the local gate (tools/check_oracle.py runs all of them).
 _PRIORITY = (
     # never driver-checked across rounds 1-4 (judge-verified r4)
     "q_order_dist", "q_big_orders", "q_dormant_rich", "q_string_agg",
