@@ -1109,3 +1109,79 @@ def q_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.2)
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+        WITH ann AS ({_ANN_LSH_ORACLE}),
+        exact AS (
+            SELECT a_id, vec_id FROM (
+                SELECT a.vec_id AS a_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_dot_product(
+                                        CAST(e.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings e
+                JOIN embeddings a ON a.vec_id < 5 AND e.vec_id <> a.vec_id
+            ) WHERE rn <= 3
+        )
+        SELECT exact.a_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               (floor(SUM(CASE WHEN ann.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) * 10000.0 / COUNT(*) + 0.5)
+                / 10000.0) AS recall
+        FROM exact
+        LEFT JOIN ann ON ann.a_id = exact.a_id
+                     AND ann.neighbor_id = exact.vec_id
+        GROUP BY exact.a_id
+        ORDER BY exact.a_id
+    """,
+    doc=(
+        "ANN recall@3 measured IN-PLAN: per anchor, how many of the exact "
+        "brute-force top-3 neighbors (q_knn_batch's logic) does the "
+        "multi-probe LSH path (q_ann_lsh) actually return? This is the "
+        "honesty meter every approximate index ships with — the number "
+        "that justifies (or vetoes) replacing the exact scan at 100 TB, "
+        "and the regression alarm when bucket width / probe count / "
+        "table count are retuned. Both sides are fully deterministic "
+        "(md5-parity planes, fixed tiebreaks), so recall itself is "
+        "hash-checkable data, not a flaky metric. Plan: the exact side "
+        "is one broadcast-anchor scan; the ANN side reuses the bucketed "
+        "candidate path; the scorecard join touches k x anchors rows."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_knn_batch(spark, sf_dir).select("a_id", "neighbor_id")
+    ann = q_ann_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("b_aid"), F.col("neighbor_id").alias("b_nid")
+    )
+    joined = exact.join(
+        ann,
+        (F.col("a_id") == F.col("b_aid"))
+        & (F.col("neighbor_id") == F.col("b_nid")),
+        "left",
+    )
+    hit = F.when(F.col("b_nid").isNotNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).alias("n_hit"),
+        )
+        .select(
+            "a_id",
+            "n_exact",
+            "n_hit",
+            (
+                F.floor(F.col("n_hit") * 10000.0 / F.col("n_exact") + F.lit(0.5))
+                / 10000.0
+            ).alias("recall"),
+        )
+        .orderBy("a_id")
+    )

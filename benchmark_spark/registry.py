@@ -111,8 +111,7 @@ _PRIORITY = (
     "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
     "q_watermark", "q_stream_session", "q_stream_sliding",
     "q_stream_append", "q_stream_update",
-    # re-proof: rows whose only driver evidence is r1 (pre exact-float hash)
-    "q1_scan_mid", "q1_scan_tight",
+    "q_ann_recall", "q_targeted_delete",
 )
 
 

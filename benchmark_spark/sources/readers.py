@@ -528,3 +528,60 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fp).alias("fp"),
         dsum(F.col("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q_targeted_delete",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               CAST(0 AS BIGINT) AS leftover
+        FROM orders
+        WHERE o_custkey % 97 <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Targeted deletion (the GDPR/right-to-erasure maintenance job): "
+        "every order belonging to a deletion list of customers "
+        "(c_custkey % 97 = 0 — a deterministic stand-in for the legal "
+        "hold file) is removed by an ANTI-JOIN rewrite of the table, the "
+        "survivors are written back and RE-READ, and the result carries "
+        "both a per-status content fingerprint (proves no innocent row "
+        "was lost or duplicated by the rewrite) and a `leftover` count "
+        "re-scanned FROM THE REWRITTEN FILES (proves the deleted rows "
+        "are actually gone from storage, not just filtered in-session — "
+        "the distinction audits care about). At 100 TB the anti-join "
+        "broadcasts the deletion list and the rewrite touches only "
+        "partitions containing victims (partition-pruned delete); here "
+        "the whole (small) table rewrites."
+    ),
+    tags=("source", "maintenance"),
+)
+def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    victims = orders.filter(F.col("o_custkey") % 97 == 0).select(
+        F.col("o_custkey").alias("v_key")
+    ).distinct()
+    survivors = orders.join(
+        F.broadcast(victims), F.col("o_custkey") == F.col("v_key"), "left_anti"
+    )
+    stage = _stage_path(sf_dir, "deleted", "orders")
+    survivors.write.mode("overwrite").parquet(stage)
+    back = spark.read.parquet(stage)
+    leftover = back.filter(F.col("o_custkey") % 97 == 0).count()  # from disk
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(fp).alias("fp"))
+        .select(
+            "o_orderstatus", "n", "fp", F.lit(leftover).cast("long").alias("leftover")
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -142,3 +142,18 @@ def test_chunking_covers_every_token_with_overlap(spark):
             if r["chunk_idx"] > 0:
                 assert start < covered  # stride < size: overlap exists
         assert covered == len(toks)  # the tail is never dropped
+
+
+def test_ann_recall_is_bounded_and_consistent(spark):
+    from benchmark_spark.llm.similarity import q_ann_lsh, q_ann_recall
+
+    rows = q_ann_recall(spark, SF_SMOKE).collect()
+    assert [r["a_id"] for r in rows] == [0, 1, 2, 3, 4]
+    ann = q_ann_lsh(spark, SF_SMOKE).collect()
+    ann_by_anchor: dict[int, int] = {}
+    for r in ann:
+        ann_by_anchor[r["a_id"]] = ann_by_anchor.get(r["a_id"], 0) + 1
+    for r in rows:
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hit"] <= min(3, ann_by_anchor.get(r["a_id"], 0))
+        assert abs(r["recall"] - round(r["n_hit"] / 3, 4)) < 1e-3

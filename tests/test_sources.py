@@ -83,3 +83,14 @@ def test_compaction_reduces_files_without_shuffle(spark):
     frag_df = spark.read.parquet(_stage_path(SF_SMOKE, "fragmented", "orders"))
     plan = frag_df.coalesce(2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_targeted_delete_erases_exactly_the_victims(spark):
+    from benchmark_spark.sources.readers import q_targeted_delete
+
+    rows = q_targeted_delete(spark, SF_SMOKE).collect()
+    assert all(r["leftover"] == 0 for r in rows)
+    orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+    survivors = orders.filter(F.col("o_custkey") % 97 != 0).count()
+    assert sum(r["n"] for r in rows) == survivors
+    assert orders.count() > survivors  # the deletion list was non-empty
