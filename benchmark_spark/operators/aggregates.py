@@ -694,9 +694,11 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Retention cohort matrix — the canonical product-analytics rollup: "
         "users bucketed by first-seen day (their cohort), then for every "
         "(cohort, day-offset) cell the count of cohort members active that "
-        "day. Three narrow stages: per-user MIN(ts) (shuffle on user_id), "
-        "per-(user, day) distinct (same key prefix, AQE reuses the "
-        "exchange), a co-keyed join back on user_id, and the cell rollup. "
+        "day. ONE scan: per-(user, day) distinct, then the cohort day is "
+        "a MIN window over the user partition — no separate first-seen "
+        "branch and no join back (a (user, day) hash partitioning would "
+        "NOT co-locate a user_id join, so the join form pays an extra "
+        "scan AND an extra shuffle), then the cell rollup. "
         "Cohort labels travel as ISO date STRINGS (bare DATE columns "
         "serialize engine-specifically in the hash — q_bool_agg precedent); "
         "offsets and counts are exact BIGINTs. At 100 TB the user "
@@ -707,15 +709,15 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("completeness", "agg", "events"),
 )
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events", assert_schema=False)
-    first_seen = events.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
     activity = events.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("act_day")
     ).distinct()
+    w = Window.partitionBy("user_id")
     return (
-        activity.join(first_seen, "user_id")
+        activity.withColumn("cohort_day", F.min("act_day").over(w))
         .groupBy("cohort_day", "act_day")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(

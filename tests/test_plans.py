@@ -364,3 +364,45 @@ def test_chargram_minhash_candidates_not_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_narrow_and_jvm_only(spark):
+    """RAG chunking: zero exchanges, zero Python boundary — the whole
+    pipeline is array slicing + explode inside one stage."""
+    df = SPECS["q_chunk_documents"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_session_labels_share_one_window_exchange(spark):
+    """lag-gap flag and running-sum windows both partition by user_id:
+    two Window operators, ONE exchange."""
+    import re
+
+    df = SPECS["q_session_labels"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+
+
+def test_retention_cohort_scans_once(spark):
+    """The window-min formulation reads events exactly once (the join
+    formulation pays a second scan + an extra shuffle)."""
+    import re
+
+    plan = formatted_plan(SPECS["q_retention_cohort"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_heavy_hitters_uses_topk_not_global_sort(spark):
+    plan = formatted_plan(SPECS["q_heavy_hitters"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_rollup_reuses_window_partitioning(spark):
+    """The cumulative-sum window and the per-source rollup share the
+    `source` hash partitioning: no third data exchange beyond the
+    window shuffle and the presentation sort."""
+    df = SPECS["q_token_budget_mix"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) <= 2
