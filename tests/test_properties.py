@@ -115,3 +115,55 @@ def test_minhash_lsh_candidates_respect_similarity(spark, data):
     }
     assert (0, 1) in cand
     assert (0, 2) not in cand
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_rnd_matches_duckdb_floor_form_bitwise(spark, xs):
+    """The floor-form snap produces the IDENTICAL double in Spark and
+    DuckDB for arbitrary inputs — the claim every hash-checked ratio
+    in the repo rests on. repr(x) round-trips the double exactly, so
+    both engines evaluate the same bits."""
+    import duckdb
+
+    from benchmark_spark.operators.aggregates import rnd, rnd_sql
+
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got = [r["y"] for r in df.select(rnd(F.col("x"), 4).alias("y")).collect()]
+    con = duckdb.connect()
+    # CAST to DOUBLE: bare decimal literals parse as DECIMAL in DuckDB,
+    # but every production oracle applies rnd_sql to DOUBLE expressions
+    want = [
+        con.execute(f"SELECT {rnd_sql(f'CAST({x!r} AS DOUBLE)', 4)}").fetchone()[0]
+        for x in xs
+    ]
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=15))
+@_SETTINGS
+def test_md5_rank_matches_hashlib_everywhere(spark, keys):
+    """md5(CAST(key AS STRING)) — the repo's portable 'random' — agrees
+    bit-for-bit with hashlib (and therefore with DuckDB, itself pinned
+    in the oracle gate) for arbitrary integer keys."""
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], ["k"])
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", F.md5(F.col("k").cast("string")).alias("h")).collect()
+    }
+    for k in set(keys):
+        assert got[k] == hashlib.md5(str(k).encode()).hexdigest()
