@@ -37,6 +37,14 @@ from benchmark_spark.catalog import TABLES, table_path
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # big oracle replays (char-gram minhash at sf0.1) OOM under the
+    # default config while a Spark JVM holds most of the host's RAM:
+    # insertion order is irrelevant (compare() sorts), spilling goes to
+    # the gitignored .tmp, and the cap keeps DuckDB from fighting the
+    # JVM for the same memory
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '24GB'")
+    con.execute("SET temp_directory = '/root/repo/.tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
