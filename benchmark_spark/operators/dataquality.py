@@ -1,0 +1,341 @@
+"""Data-quality expectations and table-maintenance diffs (SURVEY.md
+§2 completeness tier — the jobs a 100 TB table owner runs nightly).
+
+Four capabilities every production lakehouse pipeline needs around
+the analytical queries themselves:
+
+  * q_dq_checks        — an expectation suite (null / range /
+                         uniqueness / referential integrity) computed
+                         in ONE fact scan + one broadcast anti-join;
+  * q_snapshot_diff    — changelog derivation between two table
+                         snapshots (the insert/update/delete census a
+                         CDC backfill starts from), via hash-compare
+                         full-outer join;
+  * q_latest_snapshot  — last-writer-wins log compaction (Kafka
+                         compacted-topic / Delta MoR read path):
+                         base + change batches -> one row per key;
+  * q_equidepth_hist   — equi-depth (ntile) histogram of a numeric
+                         column, the optimizer-statistics shape.
+
+Scale posture: the DQ scan is a single Aggregate over the fact (all
+column checks share one pass); the RI check broadcasts the dim.
+The snapshot diff shuffles only (key, row_hash, price) — comparing
+64-bit content hashes instead of full rows is what makes a 100 TB
+diff network-viable; with both snapshots bucketed by key it needs no
+shuffle at all (q_bucket_join shows that layout). Compaction is one
+shuffle by key. The ntile histogram is the one deliberate
+single-partition window here (exact equi-depth REQUIRES a total
+order); the documented cluster path is two-phase: exact-percentile
+cutpoints (one agg) broadcast back onto a map-side width_bucket
+scan, which q_length_hist's equi-width shape already demonstrates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.aggregates import dsum, dsum_sql
+from benchmark_spark.registry import register
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+        SELECT 'date_out_of_range' AS check_name,
+               CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                                        OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+                    AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'dup_orderkey',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_price',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'null_custkey',
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orphan_custkey',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        ORDER BY check_name
+    """,
+    doc=(
+        "Data-quality expectation suite (the Deequ/Great-Expectations "
+        "capability): five checks over orders emitted as one tidy "
+        "(check_name, violations) relation — date-range conformance, "
+        "key uniqueness (COUNT(*) - COUNT(DISTINCT key), i.e. surplus "
+        "rows), non-positive money, null foreign keys, and referential "
+        "integrity against customer. The four column checks are computed "
+        "in a SINGLE scan of the fact (one Aggregate with conditional "
+        "accumulators — adding a check costs zero extra I/O); the RI "
+        "check is a broadcast LEFT ANTI join, so the fact never "
+        "shuffles. At 100 TB this exact plan runs as the pre-publish "
+        "gate on every partition before it is swapped into the table: "
+        "per-partition violation counts roll up by SUM, so the suite "
+        "is also incrementally maintainable."
+    ),
+    tags=("completeness", "quality"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    scan_checks = orders.agg(
+        F.count_if(
+            (F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi)
+        ).alias("c_date"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("c_dup"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("c_price"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("c_null"),
+    ).select(
+        F.expr(
+            "stack(4, 'date_out_of_range', c_date, 'dup_orderkey', c_dup, "
+            "'nonpositive_price', c_price, 'null_custkey', c_null) "
+            "AS (check_name, violations)"
+        )
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return scan_checks.unionAll(orphans).orderBy("check_name")
+
+
+# Deterministic snapshot construction shared by query and oracle:
+# old snapshot drops keys ≡17 (mod 50); new snapshot re-prices keys
+# ≡5 (mod 37) by +10% (fixed-point, so both engines agree bit-exact).
+_DIFF_NEW_PRICE_SQL = (
+    "CASE WHEN o_orderkey % 37 = 5 "
+    "THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100 "
+    "ELSE o_totalprice END"
+)
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+        WITH old_snap AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   o_orderstatus AS st
+            FROM orders WHERE o_orderkey % 50 <> 17
+        ), new_snap AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(({_DIFF_NEW_PRICE_SQL}) * 100 + 0.5) AS BIGINT) AS cents,
+                   o_orderstatus AS st
+            FROM orders
+        ), classified AS (
+            SELECT CASE
+                     WHEN o.k IS NULL THEN 'insert'
+                     WHEN n.k IS NULL THEN 'delete'
+                     WHEN md5(o.cents || '|' || o.st) <> md5(n.cents || '|' || n.st)
+                       THEN 'update'
+                     ELSE 'unchanged'
+                   END AS change_type,
+                   COALESCE(n.k, o.k) AS k,
+                   COALESCE(n.cents, 0) AS new_cents
+            FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k % 1000003) AS BIGINT) AS key_fp,
+               CAST(SUM(new_cents) AS BIGINT) AS new_cents_total
+        FROM classified
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+    doc=(
+        "Snapshot diff / changelog derivation: given two point-in-time "
+        "snapshots of orders (old = keys ≡17 mod 50 missing; new = keys "
+        "≡5 mod 37 re-priced +10%), classify every key as insert / "
+        "delete / update / unchanged and roll the census up per change "
+        "type with a key fingerprint (so a misclassified key breaks the "
+        "hash, not just the count). Rows are compared by md5 CONTENT "
+        "HASH of the non-key columns, computed map-side BEFORE the "
+        "join: only (key, hash, cents) ever crosses the network — at "
+        "100 TB that turns a full-row diff into a ~24-byte-per-row "
+        "shuffle, and with both snapshots bucketed by key (the "
+        "q_bucket_join layout) the full-outer join needs no shuffle at "
+        "all. This is the job that derives a CDC feed when the source "
+        "cannot emit one."
+    ),
+    tags=("completeness", "maintenance", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    old_snap = orders.filter(F.col("o_orderkey") % 50 != 17).select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 37 == 5,
+        F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100,
+    ).otherwise(F.col("o_totalprice"))
+    new_snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(new_price * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    row_hash = lambda side: F.md5(  # noqa: E731 — tiny local shorthand
+        F.concat_ws("|", F.col(f"{side}.cents").cast("string"), F.col(f"{side}.st"))
+    )
+    joined = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.k").isNull(), F.lit("insert"))
+        .when(F.col("n.k").isNull(), F.lit("delete"))
+        .when(row_hash("o") != row_hash("n"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("n.k"), F.col("o.k")).alias("k"),
+            F.coalesce(F.col("n.cents"), F.lit(0)).alias("new_cents"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k") % 1000003).alias("key_fp"),
+            F.sum("new_cents").alias("new_cents_total"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "q_latest_snapshot",
+    oracle=f"""
+        WITH log AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 100, 1
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 200, 2
+            FROM orders WHERE o_orderkey % 20 = 3
+        ), latest AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+                FROM log) WHERE rn = 1
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(version) AS BIGINT) AS version_total,
+               {dsum_sql('o_totalprice', 2)} AS price_total
+        FROM latest
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Last-writer-wins log compaction (the Kafka compacted-topic / "
+        "Delta merge-on-read READ path, complementing q_merge_upsert's "
+        "WRITE path): a base snapshot plus two deterministic change "
+        "batches (keys ≡3 mod 10 at version 1, keys ≡3 mod 20 at "
+        "version 2) are unioned into an append-only log, and the "
+        "current state is one row per key = arg-max by version, via "
+        "ROW_NUMBER() DESC = 1. The per-status rollup sums versions so "
+        "a stale winner anywhere breaks the hash. One shuffle: the "
+        "union is narrow, the window and the downstream agg share the "
+        "key partitioning. At 100 TB this is exactly how a querying "
+        "engine reads base+delta files; the window's per-key state is "
+        "O(1) (running max), so skewed hot keys cost CPU, not memory."
+    ),
+    tags=("completeness", "maintenance", "window"),
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("version")
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 200).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    log = base.unionAll(v1).unionAll(v2)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("version").cast("long").alias("version_total"),
+            dsum(F.col("o_totalprice"), 2).alias("price_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_equidepth_hist",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM ranked
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc=(
+        "Equi-depth histogram of o_totalprice in 10 buckets (the "
+        "optimizer-statistics / data-skew report shape): ntile over a "
+        "total order assigns equal-population buckets; the rollup "
+        "returns each bucket's population and [lo, hi] boundary. The "
+        "ORDER BY carries the key as tiebreaker so bucket assignment "
+        "is deterministic across engines even at duplicated prices. "
+        "This is the one deliberate single-partition window in the "
+        "repo — exact equi-depth REQUIRES a total order. The 100 TB "
+        "path is two-phase instead: compute exact decile cutpoints "
+        "with one percentile aggregation (q_percentile's shape), "
+        "broadcast the 9 cutpoints, and bucket map-side — same "
+        "output, zero global sort; ntile stays correct-but-small-data."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "benchmark_spark.operators.tpch_extra",
     "benchmark_spark.operators.wordcount",
     "benchmark_spark.operators.sqltext",
+    "benchmark_spark.operators.dataquality",
     "benchmark_spark.sources.readers",
     "benchmark_spark.sources.formats",
     "benchmark_spark.functions.scalars",

@@ -585,3 +585,183 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_corrupt_ingest",
+    oracle=f"""
+        SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 <> 0) AS BIGINT) AS n_good,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey % 13 = 0)  AS BIGINT) AS n_corrupt,
+               {dsum_sql('CASE WHEN o_orderkey % 13 <> 0 THEN o_totalprice ELSE 0 END', 2)}
+                   AS good_total
+        FROM orders
+    """,
+    doc=(
+        "Malformed-record ingest (SURVEY.md §2.1 source family — the "
+        "capability FAILFAST deliberately lacks): orders is serialized to "
+        "JSON lines with every 13th key's line truncated mid-record (a "
+        "deterministic stand-in for the torn writes and encoding damage "
+        "every real 100 TB ingest contains), then read back PERMISSIVE "
+        "with columnNameOfCorruptRecord. Good rows parse into typed "
+        "columns; damaged lines land intact in _corrupt_record with all "
+        "data columns null — nothing is silently dropped, which is the "
+        "contract that makes quarantine-and-replay possible. The result "
+        "counts both populations in one pass and fixed-point-sums the "
+        "parsed money column, so the driver hash proves (a) exactly the "
+        "damaged lines were quarantined and (b) the surviving values "
+        "round-tripped losslessly. At scale the same plan splits into "
+        "good -> parquet, bad -> quarantine sink via partitionBy on "
+        "is_corrupt; the parse is map-side, zero shuffle."
+    ),
+    tags=("source", "json", "quality"),
+)
+def q_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    js = F.to_json(
+        F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    # Damage: strip the closing brace + 2 chars from every 13th key's line.
+    line = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.expr("substring(js, 1, length(js) - 3)"),
+    ).otherwise(F.col("js"))
+    stage = _stage_path(sf_dir, "corruptjson", "orders")
+    orders.select(F.col("o_orderkey"), js.alias("js")).select(
+        line.alias("value")
+    ).write.mode("overwrite").text(stage)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("good_total"),
+    )
+
+
+def zorder_col(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two small ints as a native column
+    expression (bit ops only — whole-stage-codegen friendly, no UDF).
+    Bit i of x lands at position 2i, bit i of y at 2i+1, so rows close
+    in BOTH dimensions are close in z — the property that makes
+    min/max row-group statistics selective for 2-D box predicates."""
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return acc
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey % 1000003) AS BIGINT) AS key_fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders
+        WHERE (o_custkey % 256) < 16
+          AND (month(o_orderdate) + (year(o_orderdate) - 1995) * 12)
+              BETWEEN 24 AND 36
+    """,
+    doc=(
+        "Z-order (space-filling-curve) data clustering — the Delta/"
+        "Iceberg OPTIMIZE ZORDER capability: orders is rewritten sorted "
+        "by the bit-interleave of (customer bucket, order month), two "
+        "dimensions no single sort key can co-cluster, with small "
+        "parquet row groups so min/max statistics are fine-grained. The "
+        "registered query answers a 2-D box predicate (16/256 customer "
+        "buckets x 13 months) FROM THE REWRITTEN TABLE; the oracle "
+        "computes the same aggregate from the original, proving the "
+        "rewrite is content-preserving (count + key fingerprint + exact "
+        "money sum). The payoff is measured, not claimed: "
+        "tests/test_dataquality.py counts row groups whose stats "
+        "overlap the box under z-order vs a linear key sort — z-order "
+        "touches a fraction. At 100 TB this read is the difference "
+        "between scanning ~1/50th of the table and scanning all of it; "
+        "the rewrite itself is one range-shuffle by z (the same cost as "
+        "any global sort) and is done once, amortized over every "
+        "multi-dimensional scan after it."
+    ),
+    tags=("source", "maintenance", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_zorder_orders(spark, sf_dir)
+    back = spark.read.parquet(staged)
+    return back.filter((F.col("cb") < 16) & F.col("mi").between(24, 36)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey") % 1000003).alias("key_fp"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _with_zdims(df: DataFrame) -> DataFrame:
+    return df.withColumn("cb", (F.col("o_custkey") % 256).cast("int")).withColumn(
+        "mi",
+        (F.month("o_orderdate") + (F.year("o_orderdate") - 1995) * 12).cast("int"),
+    )
+
+
+def stage_zorder_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Rewrite orders z-ordered by (cb, mi) once per SF (mtime-keyed,
+    like the compaction stage). 64 KiB row groups keep the min/max
+    statistics granular enough to measure skipping on small fixtures;
+    at cluster scale the default 128 MiB groups play the same role."""
+    staged = _stage_path(sf_dir, "zorder", "orders")
+    marker = os.path.join(staged, "_SUCCESS")
+    src_parquet = os.path.join(sf_dir, "orders.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
+        src = _with_zdims(load_table(spark, sf_dir, "orders", assert_schema=False))
+        (
+            src.withColumn("z", zorder_col(F.col("cb"), F.col("mi")))
+            .repartitionByRange(4, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .parquet(staged)
+        )
+    return staged
+
+
+def stage_linear_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Control layout for the z-order experiment: same columns, same
+    row-group size, but sorted by the 1-D primary key — the layout a
+    naive rewrite produces, against which skipping is measured."""
+    staged = _stage_path(sf_dir, "linear", "orders")
+    marker = os.path.join(staged, "_SUCCESS")
+    src_parquet = os.path.join(sf_dir, "orders.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src_parquet)
+        and os.path.getmtime(src_parquet) > os.path.getmtime(marker)
+    )
+    if stale:
+        src = _with_zdims(load_table(spark, sf_dir, "orders", assert_schema=False))
+        (
+            src.repartitionByRange(4, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .parquet(staged)
+        )
+    return staged

@@ -1,0 +1,149 @@
+"""Semantic invariants for the data-quality / table-maintenance tier
+(operators/dataquality.py + q_corrupt_ingest), beyond the oracle hash:
+each check's violation count is re-derived independently from the
+fixture, and the plan shapes that make these 100 TB-viable are pinned
+(broadcast anti-join for RI; hash-compare diff shuffles only the
+3-column projection)."""
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.operators.dataquality import (
+    q_dq_checks,
+    q_equidepth_hist,
+    q_latest_snapshot,
+    q_snapshot_diff,
+)
+from benchmark_spark.sources.readers import q_corrupt_ingest
+from tests.conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+
+
+def test_dq_checks_match_independent_counts(spark):
+    got = {r["check_name"]: r["violations"] for r in q_dq_checks(spark, SF_SMOKE).collect()}
+    orders = _orders(spark)
+    # clean fixture: the only expected violations are out-of-range dates
+    assert got["dup_orderkey"] == 0
+    assert got["null_custkey"] == 0
+    assert got["nonpositive_price"] == 0
+    assert got["orphan_custkey"] == 0
+    expected_dates = orders.filter(
+        (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).count()
+    assert got["date_out_of_range"] == expected_dates > 0
+
+
+def test_dq_checks_ri_is_broadcast_anti_join(spark):
+    plan = q_dq_checks(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # the fact side never shuffles
+
+
+def test_snapshot_diff_census_matches_construction(spark):
+    got = {r["change_type"]: r["n"] for r in q_snapshot_diff(spark, SF_SMOKE).collect()}
+    orders = _orders(spark)
+    k = F.col("o_orderkey")
+    n_inserted = orders.filter(k % 50 == 17).count()  # missing from old
+    n_updated = orders.filter((k % 37 == 5) & (k % 50 != 17)).count()
+    total = orders.count()
+    assert got.get("insert", 0) == n_inserted
+    assert got.get("update", 0) == n_updated
+    assert got.get("delete", 0) == 0  # old snapshot is a strict subset
+    assert got.get("unchanged", 0) == total - n_inserted - n_updated
+    assert n_inserted > 0 and n_updated > 0
+
+
+def test_snapshot_diff_shuffles_only_projected_columns(spark):
+    plan = q_snapshot_diff(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # column pruning reaches the scan: the diff never reads the other
+    # three orders columns, so the shuffled rows stay ~24 bytes
+    assert "o_orderdate" not in plan
+    assert "o_orderpriority" not in plan
+
+
+def test_latest_snapshot_version_accounting(spark):
+    rows = q_latest_snapshot(spark, SF_SMOKE).collect()
+    orders = _orders(spark)
+    k = F.col("o_orderkey")
+    n_v2 = orders.filter(k % 20 == 3).count()
+    n_v1_only = orders.filter((k % 10 == 3) & (k % 20 != 3)).count()
+    assert sum(r["version_total"] for r in rows) == 2 * n_v2 + n_v1_only
+    assert sum(r["n"] for r in rows) == orders.count()  # one row per key
+
+
+def test_equidepth_hist_buckets_are_balanced_and_ordered(spark):
+    rows = q_equidepth_hist(spark, SF_SMOKE).collect()
+    total = _orders(spark).count()
+    counts = [r["n"] for r in rows]
+    assert sum(counts) == total
+    assert max(counts) - min(counts) <= 1  # equi-depth by definition
+    bounds = [(r["lo"], r["hi"]) for r in rows]
+    assert all(lo <= hi for lo, hi in bounds)
+    # non-overlapping: each bucket starts at or after the previous end
+    assert all(bounds[i + 1][0] >= bounds[i][1] for i in range(len(bounds) - 1))
+
+
+def test_corrupt_ingest_quarantines_exactly_the_damaged_lines(spark):
+    row = q_corrupt_ingest(spark, SF_SMOKE).collect()[0]
+    orders = _orders(spark)
+    n_bad = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert row["n_corrupt"] == n_bad > 0
+    assert row["n_good"] == orders.count() - n_bad
+
+
+def _overlapping_row_groups(path):
+    """Count parquet row groups whose (cb, mi) min/max stats overlap
+    the q_zorder_layout box predicate (cb < 16, 24 <= mi <= 36) — the
+    groups a stats-pruning scan must actually read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = hits = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        ci, mi = names.index("cb"), names.index("mi")
+        for rg in range(pf.num_row_groups):
+            md = pf.metadata.row_group(rg)
+            s_cb, s_mi = md.column(ci).statistics, md.column(mi).statistics
+            total += 1
+            if s_cb.min < 16 and s_mi.min <= 36 and s_mi.max >= 24:
+                hits += 1
+    return total, hits
+
+
+def test_zorder_layout_skips_most_row_groups(spark):
+    from benchmark_spark.sources.readers import (
+        stage_linear_orders,
+        stage_zorder_orders,
+    )
+
+    z_total, z_hits = _overlapping_row_groups(stage_zorder_orders(spark, SF_SMOKE))
+    l_total, l_hits = _overlapping_row_groups(stage_linear_orders(spark, SF_SMOKE))
+    # same data, same row-group size: the 1-D key sort leaves both
+    # z-dimensions unclustered, so (nearly) every group overlaps the
+    # box; z-order confines the box to a fraction of the groups.
+    assert l_hits >= l_total * 0.9
+    assert z_hits < l_hits
+    assert z_hits <= z_total * 0.5
+
+
+def test_zorder_interleave_is_monotone_in_box_locality():
+    # pure-python twin of zorder_col: adjacent cells interleave to
+    # nearby z values; distant cells to distant z values
+    def z(x, y):
+        acc = 0
+        for i in range(8):
+            acc |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return acc
+
+    assert z(0, 0) == 0 and z(1, 0) == 1 and z(0, 1) == 2 and z(1, 1) == 3
+    # the 2x2 block (0..1)^2 packs into z 0..3, the (2..3)^2 block into 12..15
+    assert max(z(x, y) for x in (0, 1) for y in (0, 1)) < min(
+        z(x, y) for x in (2, 3) for y in (2, 3)
+    )

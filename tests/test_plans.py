@@ -406,3 +406,50 @@ def test_token_budget_rollup_reuses_window_partitioning(spark):
     window shuffle and the presentation sort."""
     df = SPECS["q_token_budget_mix"].fn(spark, SF_SMOKE)
     assert count_exchanges(df) <= 2
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Runtime row-level filtering (SURVEY.md §4): when a selective
+    fact-fact shuffle join can't broadcast, Catalyst builds a bloom
+    filter from the small (filtered) side and pushes might_contain
+    onto the probe side's scan — at 100 TB this drops most of the
+    probe side's shuffle bytes before the exchange. Pinned with the
+    feature forced on (local fixtures sit under the size thresholds
+    the cluster defaults assume)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem", assert_schema=False)
+        orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # probe side pre-filtered
+        assert "bloom_filter_agg" in plan  # built from the selective side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
