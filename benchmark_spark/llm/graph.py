@@ -302,3 +302,137 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tri"))
         .orderBy("node")
     )
+
+
+SEED_MOD, SEED_RESIDUE = 101, 7  # deterministic trusted-seed set
+PPR_TOP = 25
+
+_PPR_ITER_CTE = """
+    s{i} AS (
+        SELECT v.vec_id,
+               CASE WHEN v.vec_id % {seed_mod} = {seed_res}
+                    THEN {tel_num} // ({damp_den} * ANY_VALUE(ns.ns))
+                    ELSE 0 END
+               + COALESCE(SUM(({damp_num} * p.rank) // ({damp_den} * d.outdeg)), 0)
+               AS rank
+        FROM embeddings v
+        CROSS JOIN ns
+        LEFT JOIN edges e ON e.dst = v.vec_id
+        LEFT JOIN s{prev} p ON p.vec_id = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY v.vec_id
+    )
+"""
+
+
+def _ppr_oracle() -> str:
+    parts = [
+        _EDGES_CTE.format(mass=MASS),
+        f"""
+    ns AS (SELECT COUNT(*) AS ns FROM embeddings
+           WHERE vec_id % {SEED_MOD} = {SEED_RESIDUE}),
+    s0 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % {SEED_MOD} = {SEED_RESIDUE}
+                    THEN CAST({MASS} // ns.ns AS BIGINT) ELSE 0 END AS rank
+        FROM embeddings CROSS JOIN ns
+    )""",
+    ]
+    tel_num = (DAMP_DEN - DAMP_NUM) * MASS
+    for i in range(1, ITERATIONS + 1):
+        parts.append(
+            _PPR_ITER_CTE.format(
+                i=i,
+                prev=i - 1,
+                tel_num=tel_num,
+                damp_num=DAMP_NUM,
+                damp_den=DAMP_DEN,
+                seed_mod=SEED_MOD,
+                seed_res=SEED_RESIDUE,
+            )
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT vec_id, CAST(rank AS BIGINT) AS rank_fp,
+               CAST(vec_id % {SEED_MOD} = {SEED_RESIDUE} AS INT) AS is_seed
+        FROM s{ITERATIONS}
+        WHERE rank > 0
+        ORDER BY rank_fp DESC, vec_id
+        LIMIT {PPR_TOP}
+        """
+    )
+
+
+@register(
+    "q_ppr_seed_expand",
+    oracle=_ppr_oracle(),
+    doc=(
+        "Personalized PageRank seed expansion — the 'more like this' "
+        "curation primitive (LESS/DSIR-style targeted selection): all "
+        "teleport mass restarts at a small TRUSTED SEED set (vec_id ≡ "
+        f"{SEED_RESIDUE} mod {SEED_MOD}) instead of uniformly, so after 3 "
+        "damped iterations rank concentrates on vectors reachable from "
+        "the seeds through the kNN similarity graph — a transitive "
+        "semantic neighborhood, wider than 1-hop kNN but still local. "
+        "Returns the top-25 by rank (the expanded selection) with seed "
+        "flags. Same fixed-point integer mass as q_pagerank (bit-exact "
+        "replay; the WHERE rank > 0 cut drops the unreachable mass-zero "
+        "nodes deterministically). Scale: identical per-iteration cost to "
+        "global PageRank — one shuffle per round over O(N) long state — "
+        "but the useful output is the top slice, so at 100 TB the final "
+        "TakeOrderedAndProject replaces any global sort."
+    ),
+    tags=("extension", "graph", "similarity"),
+)
+def q_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    nodes = emb.select("vec_id")
+    is_seed = (F.col("vec_id") % SEED_MOD) == SEED_RESIDUE
+    n_seeds = nodes.filter(is_seed).agg(F.count(F.lit(1)).alias("ns"))
+    edges = knn_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src")
+
+    teleport_num = (DAMP_DEN - DAMP_NUM) * MASS
+    ranks = nodes.crossJoin(F.broadcast(n_seeds)).select(
+        "vec_id",
+        F.when(is_seed, F.expr(f"{MASS} div ns")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(ITERATIONS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.vec_id)
+            .select(
+                F.col("dst"),
+                F.expr(f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_seeds))
+            .join(contribs, nodes.vec_id == contribs.dst, "left")
+            .select(
+                nodes.vec_id,
+                (
+                    F.when(is_seed, F.expr(f"({teleport_num}) div ({DAMP_DEN} * ns)"))
+                    .otherwise(F.lit(0))
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(
+            "vec_id",
+            F.col("rank").alias("rank_fp"),
+            is_seed.cast("int").alias("is_seed"),
+        )
+        .orderBy(F.col("rank_fp").desc(), "vec_id")
+        .limit(PPR_TOP)
+    )

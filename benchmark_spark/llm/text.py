@@ -1153,3 +1153,97 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_fp"),
     )
+
+
+# Floor-form 4dp quality snap shared by the sweep's Spark and SQL sides
+# (same composite as q_quality, but snapped with the tie-deterministic
+# floor formula on BOTH engines so threshold comparisons agree).
+_QSNAP_SQL = """
+    (floor((0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')))
+          + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                       t -> t IN ({stop}))) * 1.0
+                   / len(string_split(text, ' ')))
+          + 0.2 * least(len(string_split(text, ' ')) / 50.0, 1.0))
+          * 10000 + 0.5) / 10000)
+""".format(stop=_STOP_SQL)
+
+
+@register(
+    "q_threshold_sweep",
+    oracle=f"""
+        WITH scored AS (
+            SELECT {_QSNAP_SQL} AS q,
+                   CAST(lang = 'en' AS INT) AS pos
+            FROM documents
+        ), grid AS (SELECT unnest(range(10, 100, 10)) AS t)
+        SELECT CAST(t AS BIGINT) AS threshold_pct,
+               CAST(COUNT(*) FILTER (WHERE q >= t / 100.0 AND pos = 1) AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE q >= t / 100.0 AND pos = 0) AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE q <  t / 100.0 AND pos = 1) AS BIGINT) AS fn,
+               CAST(COALESCE(
+                   (COUNT(*) FILTER (WHERE q >= t / 100.0 AND pos = 1)) * 10000
+                   // NULLIF(COUNT(*) FILTER (WHERE q >= t / 100.0), 0), -1)
+                   AS BIGINT) AS precision_bp,
+               CAST(COALESCE(
+                   (COUNT(*) FILTER (WHERE q >= t / 100.0 AND pos = 1)) * 10000
+                   // NULLIF(COUNT(*) FILTER (WHERE pos = 1), 0), -1)
+                   AS BIGINT) AS recall_bp
+        FROM scored CROSS JOIN grid
+        GROUP BY t
+        ORDER BY threshold_pct
+    """,
+    doc=(
+        "Quality-filter threshold sweep — the calibration step between "
+        "scoring (q_quality) and filtering (q_curation_pipeline): "
+        "precision/recall of 'quality >= t' against a reference label "
+        "(lang='en' here; in production, human or LLM-judge labels) at "
+        "every cut point t in 10%..90%, emitted as one PR table the "
+        "pipeline owner picks an operating point from. Implementation "
+        "expands each doc across the 9-point threshold grid MAP-SIDE "
+        "(explode of a constant sequence — x9 rows but zero extra scans) "
+        "and reduces with conditional counts; precision/recall are exact "
+        "integer basis points (x10000 integer division), so no float "
+        "crosses engines, and empty cells emit -1 instead of NULL. One "
+        "scan + one small shuffle (9 groups) at any corpus size; the "
+        "score is snapped floor-form 4dp on both engines so boundary "
+        "docs land on the same side of every threshold."
+    ),
+    tags=("extension", "text", "quality"),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    quality = 0.5 * ttr + 0.3 * (1 - stop) + 0.2 * F.least(n / F.lit(50.0), F.lit(1.0))
+    scored = docs.select(
+        rnd(quality).alias("q"), (F.col("lang") == "en").cast("int").alias("pos")
+    )
+    grid = scored.select(
+        "q", "pos", F.explode(F.expr("sequence(10, 90, 10)")).alias("t")
+    )
+    thr = F.col("t") / 100.0
+    counted = grid.groupBy(F.col("t").cast("long").alias("threshold_pct")).agg(
+        F.count_if((F.col("q") >= thr) & (F.col("pos") == 1)).alias("tp"),
+        F.count_if((F.col("q") >= thr) & (F.col("pos") == 0)).alias("fp"),
+        F.count_if((F.col("q") < thr) & (F.col("pos") == 1)).alias("fn"),
+    )
+    # exact integer basis points (div, never float) — matches DuckDB //
+    return counted.select(
+        "threshold_pct",
+        "tp",
+        "fp",
+        "fn",
+        F.coalesce(
+            F.expr("(tp * 10000) div nullif(tp + fp, 0)"), F.lit(-1)
+        )
+        .cast("long")
+        .alias("precision_bp"),
+        F.coalesce(
+            F.expr("(tp * 10000) div nullif(tp + fn, 0)"), F.lit(-1)
+        )
+        .cast("long")
+        .alias("recall_bp"),
+    ).orderBy("threshold_pct")

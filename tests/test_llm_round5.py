@@ -157,3 +157,35 @@ def test_ann_recall_is_bounded_and_consistent(spark):
         assert r["n_exact"] == 3
         assert 0 <= r["n_hit"] <= min(3, ann_by_anchor.get(r["a_id"], 0))
         assert abs(r["recall"] - round(r["n_hit"] / 3, 4)) < 1e-3
+
+
+def test_ppr_concentrates_mass_on_and_around_seeds(spark):
+    from benchmark_spark.llm.graph import SEED_MOD, SEED_RESIDUE, q_ppr_seed_expand
+
+    rows = q_ppr_seed_expand(spark, SF_SMOKE).collect()
+    assert rows and all(r["rank_fp"] > 0 for r in rows)
+    # the flag matches the seed-set definition row by row
+    assert all(
+        r["is_seed"] == int(r["vec_id"] % SEED_MOD == SEED_RESIDUE) for r in rows
+    )
+    # teleport restarts at seeds every round, so the top-ranked node is a seed
+    assert rows[0]["is_seed"] == 1
+    # expansion actually expands: non-seed neighbors carry rank too
+    assert any(r["is_seed"] == 0 for r in rows)
+
+
+def test_threshold_sweep_is_monotone_and_conserves_positives(spark):
+    from benchmark_spark.llm.text import q_threshold_sweep
+
+    rows = q_threshold_sweep(spark, SF_SMOKE).collect()
+    assert [r["threshold_pct"] for r in rows] == list(range(10, 100, 10))
+    # raising the cut never retrieves more: tp and recall non-increasing
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    recalls = [r["recall_bp"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    # tp + fn is the (constant) positive population at every threshold
+    assert len({r["tp"] + r["fn"] for r in rows}) == 1
+    # the sweep covers both regimes: a keep-everything and a selective cut
+    assert rows[0]["recall_bp"] == 10000
+    assert rows[-1]["tp"] < rows[0]["tp"]
