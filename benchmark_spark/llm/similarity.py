@@ -575,9 +575,11 @@ def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _build_ivf_oracle(k: int = 10, rounds: int = 2, oversample: int = 20,
-                      iters: int = 2, nprobe: int = 4) -> str:
-    """Unrolled DuckDB replay of the ENTIRE q_ann_ivf pipeline —
+def _ivf_prefix_parts(k: int = 10, rounds: int = 2, oversample: int = 20,
+                      iters: int = 2) -> list[str]:
+    """Unrolled DuckDB replay of the q_ann_ivf index BUILD (everything
+    through the final `lists` (vec_id, cid) assignment) — shared by
+    the IVF probe oracle and the cluster-balanced sampler oracle —
     k-means|| seeding (every md5 draw, fixed-point cost threshold),
     the weighted greedy k-center sweep, both Lloyd iterations, and the
     probe/re-score — as one WITH chain. Possible because every
@@ -687,6 +689,15 @@ def _build_ivf_oracle(k: int = 10, rounds: int = 2, oversample: int = 20,
         f"QUALIFY row_number() OVER (PARTITION BY x.vec_id "
         f"ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid ASC) = 1)"
     )
+    return parts
+
+
+def _build_ivf_oracle(k: int = 10, rounds: int = 2, oversample: int = 20,
+                      iters: int = 2, nprobe: int = 4) -> str:
+    """q_ann_ivf oracle: the shared index-build prefix plus the
+    anchor probe / exact re-score / top-3 tail."""
+    parts = _ivf_prefix_parts(k, rounds, oversample, iters)
+    cent = f"cent{iters}"
     parts.append(
         f"probes AS MATERIALIZED (SELECT a.vec_id AS a_id, c.cid, a.v AS a_v "
         f"FROM vecs a, {cent} c WHERE a.vec_id < 5 "
@@ -1184,4 +1195,74 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("a_id")
+    )
+
+
+_CLUSTER_SAMPLE_QUOTA = 5
+
+
+def _cluster_sample_oracle() -> str:
+    parts = _ivf_prefix_parts()
+    parts.append(
+        "sized AS MATERIALIZED (SELECT cid, COUNT(*) AS cluster_size "
+        "FROM lists GROUP BY cid)"
+    )
+    parts.append(
+        "ranked AS MATERIALIZED (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY cid "
+        "ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk "
+        "FROM lists)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT r.cid, CAST(r.rk AS BIGINT) AS rk, r.vec_id,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size
+        FROM ranked r JOIN sized s USING (cid)
+        WHERE r.rk <= {_CLUSTER_SAMPLE_QUOTA}
+        ORDER BY r.cid, r.rk
+        """
+    )
+
+
+@register(
+    "q_cluster_sample",
+    oracle=_cluster_sample_oracle(),
+    doc=(
+        "Cluster-balanced diversity sampling (the SemDeDup/D4 'pick from "
+        "every semantic region' step): the corpus is partitioned by the "
+        "same k-means-lite coarse quantizer q_ann_ivf indexes with, then "
+        "an equal quota (5) is drawn per cluster by deterministic md5 "
+        "rank — so the sample covers every semantic cluster uniformly "
+        "instead of mirroring the corpus's topic skew (a uniform sample "
+        "of a 90%-web-spam corpus is 90% web spam; a cluster-balanced "
+        "one is not). Emits (cid, rank, vec_id, cluster_size) — the "
+        "size column documents how unbalanced the corpus the sampler "
+        "just corrected for was. Scale: the quota window shuffles once "
+        "on cid; the md5 rank is a pure key function, so the sample is "
+        "reproducible under corpus growth and re-partitioning, and the "
+        "whole iterative index build replays bit-exact in the oracle "
+        "(same unrolled CTE chain as q_ann_ivf)."
+    ),
+    tags=("extension", "similarity", "sampling"),
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    centroids = kmeans_lite(emb, k=10, iters=2)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    lists = _assign(vecs, centroids)
+    sized = lists.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    )
+    ranked = lists.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rk") <= _CLUSTER_SAMPLE_QUOTA)
+        .join(sized, "cid")
+        .select(
+            "cid",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("cid", "rk")
     )

@@ -189,3 +189,32 @@ def test_threshold_sweep_is_monotone_and_conserves_positives(spark):
     # the sweep covers both regimes: a keep-everything and a selective cut
     assert rows[0]["recall_bp"] == 10000
     assert rows[-1]["tp"] < rows[0]["tp"]
+
+
+def test_cluster_sample_draws_full_quota_from_every_cluster(spark):
+    from benchmark_spark.llm.similarity import (
+        _CLUSTER_SAMPLE_QUOTA,
+        _assign,
+        kmeans_lite,
+        q_cluster_sample,
+    )
+
+    rows = q_cluster_sample(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings", assert_schema=False)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sizes = {
+        r["cid"]: r["n"]
+        for r in _assign(vecs, kmeans_lite(emb, k=10, iters=2))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r["cid"], []).append(r)
+        assert r["cluster_size"] == sizes[r["cid"]]
+    # every non-empty cluster contributes exactly min(quota, size) rows
+    assert set(got) == set(sizes)
+    for cid, members in got.items():
+        assert len(members) == min(_CLUSTER_SAMPLE_QUOTA, sizes[cid])
+        assert sorted(m["rk"] for m in members) == list(range(1, len(members) + 1))
