@@ -62,8 +62,10 @@ def build(out_dir: str, n: int) -> None:
     marker = os.path.join(out_dir, "_SUCCESS")
     # lineitem/supplier were added to the replica set in late round 5 —
     # a marker without them is a stale layout and must rebuild
-    if os.path.exists(marker) and os.path.exists(
-        os.path.join(out_dir, "lineitem.parquet")
+    if (
+        os.path.exists(marker)
+        and os.path.exists(os.path.join(out_dir, "lineitem.parquet"))
+        and os.path.exists(os.path.join(out_dir, "customer.parquet"))
     ):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -109,6 +111,14 @@ def build(out_dir: str, n: int) -> None:
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{SRC}/supplier.parquet')) "
         f"TO '{out_dir}/supplier.parquet' (FORMAT PARQUET)"
+    )
+    # customer rides the same custkey shift as orders, so the DQ
+    # referential-integrity check stays orphan-free per replica and
+    # the anti-join's build side grows linearly with the fact
+    con.execute(
+        f"COPY (SELECT * REPLACE (c_custkey + i * {CUST_SHIFT} AS c_custkey) "
+        f"FROM read_parquet('{SRC}/customer.parquet'), range({n}) _(i)) "
+        f"TO '{out_dir}/customer.parquet' (FORMAT PARQUET)"
     )
     with open(marker, "w"):
         pass
