@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "benchmark_spark.operators.sqltext",
     "benchmark_spark.operators.dataquality",
     "benchmark_spark.sources.readers",
+    "benchmark_spark.sources.pysource",
     "benchmark_spark.sources.formats",
     "benchmark_spark.functions.scalars",
     "benchmark_spark.llm.corpus",

@@ -1,0 +1,117 @@
+"""Custom connector via the Python DataSource API (Spark 4, SPIP
+SPARK-44076) — the extension surface a user needs when their feed has
+no built-in reader (an internal service, a bespoke file format, a
+metering API). The source below is a deterministic synthetic feed so
+the driver can hash-check the whole path: registration -> schema ->
+partition planning -> per-partition generator -> DataFrame.
+
+Scale posture: `partitions()` is the parallelism contract — each
+InputPartition becomes one Spark task reading independently (here 8
+disjoint id ranges; a real connector returns shards/splits/offset
+ranges). The generator yields plain tuples that Arrow batches to the
+JVM; nothing driver-side but the partition list. Predicate/column
+pushdown hooks exist on the API for connectors that can use them —
+this one materializes only its 3 declared columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from benchmark_spark.registry import register
+
+SYNTH_ROWS = 10_000
+SYNTH_PARTS = 8
+
+
+class SynthRowsReader(DataSourceReader):
+    """Deterministic feed: row k = (k, md5(k), k % 7) over disjoint
+    id ranges per partition — content depends only on k, never on the
+    partitioning, so any split count yields the same table."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", SYNTH_ROWS))
+        self.parts = int(options.get("parts", SYNTH_PARTS))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        i = partition.value
+        per = self.n // self.parts
+        lo = i * per
+        hi = (i + 1) * per if i < self.parts - 1 else self.n
+        for k in range(lo, hi):
+            yield (k, hashlib.md5(str(k).encode()).hexdigest(), k % 7)
+
+
+class SynthRowsSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthrows"
+
+    def schema(self) -> str:
+        return "id bigint, h string, grp bigint"
+
+    def reader(self, schema) -> SynthRowsReader:
+        return SynthRowsReader(self.options)
+
+
+def read_synthrows(
+    spark: SparkSession, n: int = SYNTH_ROWS, parts: int = SYNTH_PARTS
+) -> DataFrame:
+    spark.dataSource.register(SynthRowsSource)  # idempotent re-register
+    return (
+        spark.read.format("synthrows")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+        SELECT i % 7 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(md5(CAST(i AS VARCHAR))) AS min_h,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp
+        FROM range(10000) t(i)
+        GROUP BY i % 7
+        ORDER BY grp
+    """,
+    doc=(
+        "Custom connector through the Python DataSource API (Spark 4): a "
+        "user-defined source registered with spark.dataSource.register, "
+        "planned into 8 independent InputPartitions, each materialized by "
+        "a per-task Python generator and Arrow-batched to the JVM — the "
+        "path a team takes when their feed has no built-in reader. The "
+        "feed is deterministic (row k = (k, md5(k), k % 7)), so the "
+        "oracle regenerates it from range() and the driver hash checks "
+        "the ENTIRE connector path: a row lost by partition-range "
+        "arithmetic, a batch dropped in Arrow transfer, or a schema "
+        "drift all break the md5 fingerprint. At scale: partitions() is "
+        "the parallelism contract (splits/shards/offset ranges); the "
+        "connector streams — nothing driver-side but the partition list."
+    ),
+    tags=("source", "extension"),
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_synthrows(spark)
+    fp = (
+        F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long") % 1000003
+    )
+    return (
+        df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("min_h"),
+            F.sum(fp).alias("fp"),
+        )
+        .orderBy("grp")
+    )
