@@ -793,3 +793,55 @@ def q_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("p_ts") - F.unix_micros("s_ts"), F.lit(-1)
         ).alias("lag_us"),
     )
+
+
+@register(
+    "q_stream_dq",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE value < 0 OR value > 450)
+                    AS BIGINT) AS out_of_range,
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user,
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                   AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "STREAMING data-quality gate, run as a real stream: the events "
+        "readStream carries the q_dq_checks idea into flight — per "
+        "event type, row counts, out-of-range values (value < 0 or "
+        "> 450) and null user keys are counted in the SAME aggregation "
+        "that computes the production value sum, complete-mode memory "
+        "sink. This is the monitor a 100 TB ingest runs instead of a "
+        "nightly batch audit: violations surface within one trigger "
+        "interval of arriving, the conditional counters add zero extra "
+        "state (they ride the existing groupBy state rows), and the "
+        "per-type violation counts roll up by SUM across micro-batches "
+        "exactly like the batch suite rolls up across partitions. "
+        "Converges to the batch GROUP BY, which the driver hash-checks."
+    ),
+    tags=("extension", "streaming", "quality"),
+)
+def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            (F.col("value") < 0) | (F.col("value") > 450)
+        ).alias("out_of_range"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user"),
+        dsum(F.col("value"), 2).alias("total"),
+    )
+    sink = f"dq_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return spark.table(sink)

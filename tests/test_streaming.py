@@ -548,3 +548,28 @@ def test_outer_stream_join_twin_matches_registered_batch(spark):
     }
     assert must_emit <= set(got_unmatched)
     assert len(must_emit) > 0  # the assertion is not vacuous
+
+
+def test_stream_dq_runs_twice_and_matches_batch(spark):
+    """The streaming DQ gate re-runs cleanly in one session (unique
+    sinks) and equals the identical batch aggregation."""
+    from benchmark_spark.streaming.windows import q_stream_dq
+
+    a = {r["event_type"]: r for r in q_stream_dq(spark, SF_SMOKE).collect()}
+    b = {r["event_type"]: r for r in q_stream_dq(spark, SF_SMOKE).collect()}
+    assert set(a) == set(b) and all(a[k] == b[k] for k in a)
+    ev = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    batch = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if((F.col("value") < 0) | (F.col("value") > 450)).alias(
+                "out_of_range"
+            ),
+        )
+        .collect()
+    }
+    for k, r in batch.items():
+        assert a[k]["n"] == r["n"]
+        assert a[k]["out_of_range"] == r["out_of_range"]
