@@ -305,3 +305,49 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
     return docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+
+
+@register(
+    "q_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(COUNT(*) FILTER (WHERE props->>'$.missing' IS NULL)
+                    AS BIGINT) AS n_missing
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Semi-structured VARIANT column (Spark 4, SURVEY.md §2.8 JSON "
+        "family): events.props is parsed ONCE into the binary VARIANT "
+        "encoding (parse_json), then fields are extracted with typed "
+        "variant_get path access — the lakehouse pattern that replaces "
+        "per-access JSON string re-parsing (get_json_object re-parses "
+        "the string on EVERY extraction; variant_get navigates the "
+        "decoded binary). try_variant_get on an absent path yields NULL "
+        "rather than an error, counted here to pin the missing-field "
+        "contract. At 100 TB the parse cost is paid once at ingest and "
+        "the variant column is stored shredded, so this is also the "
+        "write-path recommendation for the props-style grab-bag column. "
+        "Oracle replays with DuckDB JSON path extraction."
+    ),
+    tags=("extension", "scalar", "json"),
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    v = events.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "long")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.count_if(missing.isNull()).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
