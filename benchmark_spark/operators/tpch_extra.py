@@ -675,3 +675,146 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), totals AS (
+            SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets
+        ), item AS (
+            SELECT pk, COUNT(*) AS n_item FROM baskets GROUP BY pk
+        ), pair AS (
+            SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_pair
+            FROM baskets a JOIN baskets b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        )
+        SELECT pa, pb,
+               CAST(n_pair AS BIGINT) AS support,
+               CAST((n_pair * n_orders * 10000)
+                    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_bp
+        FROM pair
+        JOIN item ia ON ia.pk = pa
+        JOIN item ib ON ib.pk = pb
+        CROSS JOIN totals
+        WHERE n_pair >= 3
+        ORDER BY lift_bp DESC, pa, pb
+        LIMIT 20
+    """,
+    doc=(
+        "Market-basket co-occurrence lift (the association-rules shape): "
+        "for every part pair ordered together in >= 3 baskets, lift = "
+        "P(a,b) / (P(a) P(b)) in exact integer basis points — > 10000 "
+        "means the pair co-occurs more than independence predicts. The "
+        "pair join is WITHIN-basket only (self-join on orderkey with "
+        "a.pk < b.pk — each unordered pair counted once), so candidate "
+        "rows are sum(basket_size^2)/2, never items^2; item counts "
+        "broadcast onto the pair table. At 100 TB the classic refinement "
+        "is frequent-item pruning first (drop items under min support "
+        "before pairing — the A-priori step); basket skew (one giant "
+        "order) is the quadratic risk and is bounded here by the order "
+        "model, or capped by a basket-size limit in production."
+    ),
+    tags=("completeness", "agg", "join"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = baskets.select("ok").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("pb"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_pair").cast("long").alias("support"),
+            F.expr("(n_pair * n_orders * 10000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), "pa", "pb")
+        .limit(20)
+    )
+
+
+@register(
+    "q_trend_fit",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+            FROM events
+            GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               (floor((CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                      / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                      * 10000 + 0.5) / 10000) AS slope_cents_per_day
+        FROM daily
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Per-group time-series trend fit: OLS slope of daily revenue "
+        "(exact integer cents) against the day index, per event type — "
+        "the 'is this metric growing?' query every operations dashboard "
+        "runs. Two-phase: the daily rollup is one shuffle on (type, "
+        "day); the five OLS sums (n, Σx, Σy, Σxy, Σx²) are then plain "
+        "integer aggregates per type, so the slope numerator/denominator "
+        "are EXACT BIGINTs and the final single division of two exact "
+        "integers is IEEE-identical across engines (snapped floor-form "
+        "4dp). Same fixed-point-OLS trick as q_zipf_slope, pointed at "
+        "the time domain. At 100 TB the daily table is O(groups x days) "
+        "— thousands of rows from trillions — so the fit itself is free."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_days"),
+            (F.floor(slope * 10000 + F.lit(0.5)) / 10000).alias(
+                "slope_cents_per_day"
+            ),
+        )
+        .orderBy("event_type")
+    )

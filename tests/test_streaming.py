@@ -573,3 +573,65 @@ def test_stream_dq_runs_twice_and_matches_batch(spark):
     for k, r in batch.items():
         assert a[k]["n"] == r["n"]
         assert a[k]["out_of_range"] == r["out_of_range"]
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark):
+    """Exactly-once recovery: a file-source stream stopped after two
+    chunks and RESTARTED (new query object, same checkpoint) over the
+    grown directory processes only the unseen chunks — no re-emission,
+    no gaps. This is the failure-and-redeploy contract a 100 TB
+    streaming job survives on."""
+    import glob
+    import os
+    import shutil
+
+    from benchmark_spark.catalog import SCHEMAS
+    from benchmark_spark.streaming.windows import (
+        await_done,
+        events_stream_chunks,
+        scratch_dir,
+    )
+
+    # materialize the canonical 4-chunk staging, then build a growing
+    # source dir: phase 1 sees chunks 0-1, phase 2 adds chunks 2-3
+    events_stream_chunks(spark, SF_SMOKE)
+    chunks_dir = os.path.join(
+        "/root/repo/.scratch", f"stream_chunks_{os.path.basename(SF_SMOKE)}"
+    )
+    chunks = sorted(glob.glob(os.path.join(chunks_dir, "chunk_*.parquet")))
+    assert len(chunks) == 4
+    src = scratch_dir()
+    sink = scratch_dir()
+    ckpt = scratch_dir()
+
+    def run_phase(upto):
+        for c in chunks[:upto]:
+            dst = os.path.join(src, os.path.basename(c))
+            if not os.path.exists(dst):
+                shutil.copy(c, dst)
+        q = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "chunk_*.parquet"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_done(q)
+        return spark.read.schema(SCHEMAS["events"]).parquet(sink)
+
+    phase1 = run_phase(2).count()
+    expected1 = sum(
+        spark.read.schema(SCHEMAS["events"]).parquet(c).count() for c in chunks[:2]
+    )
+    assert phase1 == expected1
+
+    total = sum(
+        spark.read.schema(SCHEMAS["events"]).parquet(c).count() for c in chunks
+    )
+    phase2 = run_phase(4)
+    assert phase2.count() == total  # chunks 0-1 NOT reprocessed
+    # and specifically no duplicated event ids
+    assert phase2.select("event_id").distinct().count() == total

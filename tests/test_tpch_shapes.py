@@ -121,3 +121,28 @@ def test_waiting_suppliers_broadcasts_supplier_at_scale(spark):
     assert "SortMergeJoin LeftAnti" in plan or "ShuffledHashJoin LeftAnti" in plan
     # the hinted dim join survives as a broadcast even with the threshold off
     assert "BroadcastHashJoin" in plan
+
+
+def test_basket_lift_pairs_are_canonical_and_supported(spark):
+    from benchmark_spark.operators.tpch_extra import q_basket_lift
+
+    rows = q_basket_lift(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["pa"] < r["pb"] for r in rows)  # each pair once
+    assert all(r["support"] >= 3 for r in rows)
+    assert all(r["lift_bp"] > 0 for r in rows)
+    # sorted by lift desc with deterministic tiebreak
+    lifts = [r["lift_bp"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_trend_fit_covers_the_full_fixture_month(spark):
+    from benchmark_spark.operators.tpch_extra import q_trend_fit
+
+    rows = q_trend_fit(spark, SF_SMOKE).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "purchase", "signup", "error"
+    }
+    # the fixture spans ~30 days; every type is active most days
+    assert all(25 <= r["n_days"] <= 31 for r in rows)
+    assert all(r["slope_cents_per_day"] is not None for r in rows)
