@@ -708,11 +708,12 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Market-basket co-occurrence lift (the association-rules shape): "
         "for every part pair ordered together in >= 3 baskets, lift = "
         "P(a,b) / (P(a) P(b)) in exact integer basis points — > 10000 "
-        "means the pair co-occurs more than independence predicts. The "
-        "pair join is WITHIN-basket only (self-join on orderkey with "
-        "a.pk < b.pk — each unordered pair counted once), so candidate "
-        "rows are sum(basket_size^2)/2, never items^2; item counts "
-        "broadcast onto the pair table. At 100 TB the classic refinement "
+        "means the pair co-occurs more than independence predicts. Pairs "
+        "are generated IN-ARRAY per basket (one shuffle groups each "
+        "order's parts, a sorted-array HOF emits each unordered pair "
+        "once) — no self-join, candidate rows are sum(basket_size^2)/2, "
+        "never items^2; item counts broadcast onto the pair table. At "
+        "100 TB the classic refinement "
         "is frequent-item pruning first (drop items under min support "
         "before pairing — the A-priori step); basket skew (one giant "
         "order) is the quadratic risk and is bounded here by the order "
@@ -729,11 +730,26 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders")
     )
     item = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    # pairs generated IN-ARRAY per basket (no self-join): one shuffle
+    # groups each order's parts, then the sorted-array HOF emits each
+    # unordered pair once — sum(basket_size^2)/2 rows map-side, which
+    # is the shape that survives 100 TB (the self-join alternative
+    # shuffles the basket table twice more)
+    parts_arr = baskets.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("ps")
+    )
     pair = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        parts_arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> "
+                    "struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 3)
     )
