@@ -1,0 +1,55 @@
+"""Empty-input robustness: at 100 TB, empty partitions, freshly
+truncated tables, and zero-match filters are routine — a relational
+operator that throws on empty input is a production incident. Every
+representative operator family must return an EMPTY (or well-defined
+scalar) result, never raise."""
+
+import os
+
+import pytest
+
+from benchmark_spark.catalog import SCHEMAS
+from benchmark_spark.registry import all_specs
+
+SPECS = all_specs()
+
+# one representative per §2 family whose inputs are all relational
+# tables (streaming/staged-source queries manage their own I/O and
+# LLM tiers assert non-empty corpora by design)
+EMPTY_SAFE = [
+    "q1_scan",          # scan + filter
+    "q2_agg",           # group-by agg
+    "q5_pricing",       # wide agg battery
+    "q3_join",          # join + top-1
+    "q_join_multi",     # star join
+    "q_outer",          # outer join
+    "q_semi", "q_anti",  # existence joins
+    "q6_window",        # window function
+    "q_topk",           # global top-k
+    "q_union", "q_intersect", "q_except",  # set ops
+    "q_grouping_sets",  # multi-grouping
+    "q_having",
+    "q_dq_checks",      # the quality gate itself
+    "q_snapshot_diff",
+    "q_latest_snapshot",
+    "q_equidepth_hist",
+    "q_trend_fit",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for table, schema in SCHEMAS.items():
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            os.path.join(d, f"{table}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_operator_survives_empty_tables(spark, empty_sf, name):
+    rows = SPECS[name].fn(spark, empty_sf).collect()
+    # global aggregates may legally emit one all-null/zero row;
+    # everything else must be empty — but never raise
+    assert len(rows) <= 6

@@ -39,10 +39,19 @@ RECHANGED_R5 = (
     "q_stream_append", "q_stream_update",
 )
 
-# added after the 50-slot window filled (52 unproven candidates for 50
-# slots): verified by the local gate + vanilla-session sim this round;
-# FIRST candidates for the round-6 window re-cut
-OVERFLOW_R5 = ("q_lateral_topn", "q_graph_reachability")
+# added after the 50-slot window filled (the round-5 registry grew far
+# past 50 unproven candidates): verified by the local gate at sf0.001
+# AND sf0.01 + vanilla-session sim this round; FIRST candidates for
+# the round-6 window re-cut
+OVERFLOW_R5 = (
+    "q_lateral_topn", "q_graph_reachability",
+    # continuation session
+    "q_dq_checks", "q_snapshot_diff", "q_latest_snapshot",
+    "q_equidepth_hist", "q_corrupt_ingest", "q_zorder_layout",
+    "q_ppr_seed_expand", "q_threshold_sweep", "q_cluster_sample",
+    "q_fuzzy_join", "q_python_datasource", "q_stream_dq", "q_variant",
+    "q_basket_lift", "q_trend_fit",
+)
 
 
 def _green(res):
