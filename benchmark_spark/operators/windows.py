@@ -371,3 +371,77 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp.select(
         "user_id", "h", "n", F.max("v").over(w_grp).alias("v_filled")
     )
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Sort-based 2-D skyline: keep rows not strictly dominated on
+    (x maximize, y maximize). max(y) over a RANGE frame ending one
+    x-unit before the current row collects the best y among strictly
+    higher x; a row survives iff it beats that AND is the best at its
+    own x (ties on both dims all survive — none dominates another).
+    Two windows, zero self-joins: O(n log n) vs the O(n^2) NOT-EXISTS
+    definition the oracle states."""
+    above = Window.orderBy(F.col(x).desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    tie = Window.partitionBy(x)
+    return (
+        df.withColumn("_max_above", F.max(y).over(above))
+        .withColumn("_max_tie", F.max(y).over(tie))
+        .filter(
+            (F.col("_max_above").isNull() | (F.col(y) > F.col("_max_above")))
+            & (F.col(y) == F.col("_max_tie"))
+        )
+        .drop("_max_above", "_max_tie")
+    )
+
+
+
+@register(
+    "q_skyline",
+    oracle="""
+        WITH agg AS (
+            SELECT o_custkey AS custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS spend_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey, n_orders, spend_cents
+        FROM agg c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM agg d
+            WHERE d.n_orders >= c.n_orders AND d.spend_cents >= c.spend_cents
+              AND (d.n_orders > c.n_orders OR d.spend_cents > c.spend_cents)
+        )
+        ORDER BY n_orders DESC, spend_cents DESC, custkey
+    """,
+    doc=(
+        "2-D skyline / Pareto frontier: customers no other customer "
+        "strictly dominates on (order count, total spend) — the "
+        "multi-criteria 'best tradeoffs' query (top spenders AND "
+        "frequent buyers, without collapsing to one score). The oracle "
+        "states the DEFINITION (NOT EXISTS a dominator); the Spark plan "
+        "implements the O(n log n) sort-based algorithm instead: order "
+        "by n_orders, a RANGE frame takes max(spend) over strictly "
+        "higher counts, and a row survives iff it beats that max and is "
+        "the best at its own count — two windows, zero self-joins, so "
+        "the driver hash also proves the fast algorithm equals the "
+        "quadratic definition. Scale: the skyline runs on the ROLLUP "
+        "(O(customers), not O(orders)); the global order is one range "
+        "shuffle, and the standard refinement is a grid pre-filter "
+        "(drop points dominated within their partition) before the sort."
+    ),
+    tags=("completeness", "window"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "spend_cents"
+        ),
+    )
+    return skyline_2d(agg, "n_orders", "spend_cents").select(
+        "custkey", "n_orders", "spend_cents"
+    ).orderBy(F.desc("n_orders"), F.desc("spend_cents"), "custkey")

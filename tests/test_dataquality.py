@@ -164,3 +164,34 @@ def test_fuzzy_join_rematches_nearly_all_damaged_names(spark):
     correct = sum(r["name_correct"] for r in rows)
     assert correct >= len(rows) * 0.8
     assert all(3000 <= r["jacc_bp"] <= 10000 for r in rows)
+
+
+def test_skyline_algorithm_matches_definition_on_anticorrelated_data(spark):
+    """The window-based O(n log n) skyline must equal the quadratic
+    NOT-EXISTS definition on data with a LARGE frontier (the fixture's
+    frontier is 1-2 points; anti-correlated data maximizes it)."""
+    from benchmark_spark.operators.windows import skyline_2d
+
+    # anti-correlated frontier (x, 100-x) + dominated interior points
+    pts = [(i, float(i), float(100 - i)) for i in range(0, 101, 5)]
+    pts += [(1000 + i, float(i), float(50 - i)) for i in range(0, 45, 5)]
+    pts += [(2000, 10.0, 90.0), (2001, 10.0, 90.0)]  # full tie: both stay
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    a = df.alias("a")
+    b = df.alias("b")
+    dominated = {
+        r["id"]
+        for r in a.join(
+            b,
+            (F.col("b.x") >= F.col("a.x"))
+            & (F.col("b.y") >= F.col("a.y"))
+            & ((F.col("b.x") > F.col("a.x")) | (F.col("b.y") > F.col("a.y"))),
+        )
+        .select(F.col("a.id").alias("id"))
+        .collect()
+    }
+    want = {r["id"] for r in df.collect()} - dominated
+    assert got == want
+    assert {2000, 2001} <= got  # tied pair both on the frontier
+    assert len(got) >= 21  # the anti-correlated ridge survives intact
