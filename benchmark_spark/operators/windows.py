@@ -445,3 +445,74 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(agg, "n_orders", "spend_cents").select(
         "custkey", "n_orders", "spend_cents"
     ).orderBy(F.desc("n_orders"), F.desc("spend_cents"), "custkey")
+
+
+@register(
+    "q_attribution",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM events
+        )
+        SELECT CAST(last_click_ts IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(last_click_ts) <= 1800000000
+                    AS INT) AS attributed,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN last_click_ts IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(last_click_ts) <= 1800000000
+                             THEN epoch_us(ts) - epoch_us(last_click_ts)
+                             ELSE 0 END) AS BIGINT) AS total_lag_us
+        FROM ordered
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY attributed
+    """,
+    doc=(
+        "Last-touch attribution (the marketing-analytics sessionize-and-"
+        "attribute shape): each purchase is credited to the user's most "
+        "recent PRECEDING click if it came within 30 minutes — computed "
+        "with a last_value(... IGNORE NULLS) window over the per-user "
+        "event timeline (frame ends 1 row before current, so a purchase "
+        "never attributes to itself or the future), the idiomatic "
+        "carry-forward that needs no self-join and no per-event-type "
+        "sub-tables. Rolled up into attributed/unattributed purchase "
+        "counts, reached users, and the exact integer microsecond lag "
+        "sum. One shuffle on user_id serves both the window and the "
+        "rollup; at 100 TB the timeline partitioning is the events "
+        "table's native (user, time) layout, and the same plan runs "
+        "streaming with applyInPandasWithState holding last_click as "
+        "the per-user state row."
+    ),
+    tags=("completeness", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    timeline = events.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    lag_us = F.unix_micros("ts") - F.unix_micros("last_click_ts")
+    attributed = F.col("last_click_ts").isNotNull() & (lag_us <= 1_800_000_000)
+    return (
+        timeline.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.cast("int").alias("attributed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.when(attributed, lag_us).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("total_lag_us"),
+        )
+        .orderBy("attributed")
+    )
