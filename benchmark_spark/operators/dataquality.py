@@ -467,3 +467,135 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+        WITH groups AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsize
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(*) FILTER (WHERE gsize < 5) AS BIGINT) AS groups_at_risk,
+               CAST(COALESCE(SUM(gsize) FILTER (WHERE gsize < 5), 0)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(MIN(gsize) AS BIGINT) AS min_group_size
+        FROM groups
+    """,
+    doc=(
+        "k-anonymity risk assessment (the privacy audit run before any "
+        "dataset release, k=5): rows sharing a quasi-identifier tuple "
+        "(nation, market segment) form an equivalence class; classes "
+        "smaller than k re-identify their members. Emits class count, "
+        "at-risk classes, at-risk ROWS (the disclosure surface), and "
+        "the minimum class size (the table's actual k). Two-phase "
+        "count + a 4-accumulator rollup — one shuffle total, and at "
+        "100 TB the class table is O(distinct QI tuples), not O(rows). "
+        "The remediation loop (generalize a QI column, re-run, repeat "
+        "until min_group_size >= k) re-uses this exact query as its "
+        "fixed-point check; the PII column-level complement is "
+        "q_pii_redact."
+    ),
+    tags=("completeness", "quality", "privacy"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    groups = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("gsize") < 5).alias("groups_at_risk"),
+        F.coalesce(
+            F.sum(F.when(F.col("gsize") < 5, F.col("gsize"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("gsize").alias("min_group_size"),
+    )
+
+
+@register(
+    "q_pit_join",
+    oracle=f"""
+        WITH hist AS (
+            SELECT c_custkey, c_mktsegment, DATE '1992-01-01' AS eff_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'MOVED', DATE '1997-06-15'
+            FROM customer WHERE c_custkey % 5 = 0
+        ), versions AS (
+            SELECT c_custkey, c_mktsegment, eff_from,
+                   COALESCE(lead(eff_from) OVER (PARTITION BY c_custkey
+                                                 ORDER BY eff_from),
+                            DATE '9999-12-31') AS eff_to
+            FROM hist
+        )
+        SELECT v.c_mktsegment AS segment_at_order_time,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql('o.o_totalprice', 2)} AS revenue
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= v.eff_from
+         AND CAST(o.o_orderdate AS DATE) <  v.eff_to
+        GROUP BY v.c_mktsegment
+        ORDER BY segment_at_order_time
+    """,
+    doc=(
+        "Point-in-time (temporal) join against an SCD2 dimension: each "
+        "order joins the customer VERSION that was valid on its order "
+        "date (custkey%5 re-segmented to MOVED on 1997-06-15, so 1995-97 "
+        "orders see the original segment and later ones see MOVED) — the "
+        "as-was reporting query every warehouse with dimension history "
+        "needs, and the one an is_current join silently gets WRONG. "
+        "Equi-join on the business key with the validity interval as a "
+        "residual range predicate: Catalyst plans the key equi-join and "
+        "filters the (at most version-count) candidate rows per order, "
+        "never a cartesian. Validity intervals partition time, so "
+        "exactly one version matches per order (pinned in tests). At "
+        "100 TB the dimension history is tiny next to the fact -> "
+        "broadcast; both sides bucketed by the business key otherwise."
+    ),
+    tags=("completeness", "join"),
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    base = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1992-01-01").cast("date").alias("eff_from"),
+    )
+    changes = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("1997-06-15").cast("date").alias("eff_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("eff_from")
+    versions = (
+        base.unionByName(changes)
+        .withColumn(
+            "eff_to",
+            F.coalesce(
+                F.lead("eff_from").over(w), F.lit("9999-12-31").cast("date")
+            ),
+        )
+    )
+    od = F.col("o_orderdate").cast("date")
+    return (
+        orders.join(
+            F.broadcast(versions),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (od >= F.col("eff_from"))
+            & (od < F.col("eff_to")),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment_at_order_time"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment_at_order_time")
+    )

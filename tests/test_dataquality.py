@@ -195,3 +195,32 @@ def test_skyline_algorithm_matches_definition_on_anticorrelated_data(spark):
     assert got == want
     assert {2000, 2001} <= got  # tied pair both on the frontier
     assert len(got) >= 21  # the anti-correlated ridge survives intact
+
+
+def test_pit_join_matches_exactly_one_version_per_order(spark):
+    from benchmark_spark.operators.dataquality import q_pit_join
+
+    rows = q_pit_join(spark, SF_SMOKE).collect()
+    orders = _orders(spark)
+    # validity intervals partition time: every order matches exactly once
+    assert sum(r["n"] for r in rows) == orders.count()
+    segs = {r["segment_at_order_time"] for r in rows}
+    assert "MOVED" in segs  # post-1997 orders of custkey%5 see version 2
+    assert len(segs) >= 3
+
+
+def test_k_anonymity_summary_matches_direct_group_counts(spark):
+    from benchmark_spark.operators.dataquality import q_k_anonymity
+
+    row = q_k_anonymity(spark, SF_SMOKE).collect()[0]
+    customer = load_table(spark, SF_SMOKE, "customer", assert_schema=False)
+    sizes = [
+        r["n"]
+        for r in customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert row["n_groups"] == len(sizes)
+    assert row["groups_at_risk"] == sum(1 for s in sizes if s < 5)
+    assert row["rows_at_risk"] == sum(s for s in sizes if s < 5)
+    assert row["min_group_size"] == min(sizes)
