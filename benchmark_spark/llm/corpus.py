@@ -879,3 +879,68 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_AES_DEN = float((1 << 60) + 1)  # md5 60-bit uniform -> u in (0, 1]
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH weighted AS (
+            SELECT doc_id,
+                   (floor(len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
+                       AS weight
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, weight,
+                   floor((-ln((CAST('0x' || substring(md5('aes|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                              / {_AES_DEN!r})
+                          / weight) * 1000000000 + 0.5) / 1000000000 AS aes_key
+            FROM weighted
+        )
+        SELECT doc_id, weight, aes_key
+        FROM keyed
+        ORDER BY aes_key, doc_id
+        LIMIT 50
+    """,
+    doc=(
+        "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "A-ES): each doc draws a reproducible md5 uniform u and the "
+        "sample is the top-k by u^(1/w) — equivalently the SMALLEST "
+        "-ln(u)/w, computed here to spend one libm call instead of a "
+        "pow — with w = the doc's type-token ratio, so higher-quality "
+        "docs are proportionally likelier but any doc CAN be drawn "
+        "(the property the q_importance_sample Bernoulli filter and "
+        "the q_reservoir_sample uniform draw each lack). The exp-key "
+        "trick makes weighted-without-replacement a plain "
+        "TakeOrderedAndProject: one scan, no sequential state, "
+        "mergeable across any partitioning — the 100 TB property. "
+        "Keys are floor-snapped to 9dp (grid >> last-ulp libm noise, "
+        "<< key spacing) with doc_id tiebreaks, so the top-50 boundary "
+        "is bit-stable across engines and the driver hash checks the "
+        "actual sampled ids."
+    ),
+    tags=("extension", "text", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    weight = F.floor(
+        F.size(F.array_distinct(toks)) / F.size(toks) * 10000 + F.lit(0.5)
+    ) / 10000
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(_AES_DEN)
+    key = F.floor((-F.log(u)) / F.col("weight") * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        docs.select("doc_id", weight.alias("weight"))
+        .select("doc_id", "weight", key.alias("aes_key"))
+        .orderBy("aes_key", "doc_id")
+        .limit(50)
+    )

@@ -64,6 +64,15 @@ def main() -> None:
     print(f"z-order rewrite: box query answered from the re-clustered table "
           f"({z['n']} rows, fingerprint {z['key_fp']})")
 
+    # 5b. release gates: privacy risk + catalog reconciliation
+    ka = get_query("q_k_anonymity").fn(spark, sf_dir).collect()[0]
+    print(f"k-anonymity: actual k = {ka['min_group_size']} "
+          f"({ka['rows_at_risk']} rows in classes below k=5)")
+    fz = get_query("q_fuzzy_join").fn(spark, sf_dir)
+    n_match = fz.count()
+    print(f"catalog reconciliation: {n_match} damaged names re-matched "
+          f"by trigram Jaccard")
+
     # 6. statistics refresh for the optimizer / skew report
     prof = get_query("q_profile").fn(spark, sf_dir).collect()
     for p in prof:

@@ -218,3 +218,23 @@ def test_cluster_sample_draws_full_quota_from_every_cluster(spark):
     for cid, members in got.items():
         assert len(members) == min(_CLUSTER_SAMPLE_QUOTA, sizes[cid])
         assert sorted(m["rk"] for m in members) == list(range(1, len(members) + 1))
+
+
+def test_weighted_sample_is_biased_toward_high_weight_docs(spark):
+    from benchmark_spark.llm.corpus import q_weighted_sample
+
+    sample = q_weighted_sample(spark, SF_SMOKE)
+    rows = sample.collect()
+    assert len(rows) == 50
+    keys = [r["aes_key"] for r in rows]
+    assert keys == sorted(keys)  # smallest keys win
+    assert all(0 < r["weight"] <= 1 for r in rows)
+    # A-ES inclusion probability rises with weight: the sampled docs'
+    # mean weight must exceed the corpus mean (deterministic draw, so
+    # this is a fixed fact of the fixture, not a flaky expectation)
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    w = F.size(F.array_distinct(toks)) / F.size(toks)
+    corpus_mean = docs.select(F.avg(w)).first()[0]
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
