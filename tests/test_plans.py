@@ -453,3 +453,35 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pit_join_broadcasts_history_and_is_not_cartesian(spark):
+    plan = formatted_plan(SPECS["q_pit_join"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_path_stays_jvm_side(spark):
+    plan = formatted_plan(SPECS["q_variant"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_threshold_sweep_scans_documents_once(spark):
+    from benchmark_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(SPECS["q_threshold_sweep"].fn(spark, SF_SMOKE))
+    # the 9-point grid rides one scan (map-side explode), never 9 scans
+    assert plan.count("FileScan") == 1
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    plan = formatted_plan(SPECS["q_weighted_sample"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-50
+
+
+def test_attribution_shuffles_once_on_user(spark):
+    df = SPECS["q_attribution"].fn(spark, SF_SMOKE)
+    # window on user_id + rollup: hashpartitioning exchanges only
+    # (no join in the plan at all)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
