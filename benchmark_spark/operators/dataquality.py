@@ -599,3 +599,72 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order_time")
     )
+
+
+@register(
+    "q_pseudonymize",
+    oracle=f"""
+        WITH cust_masked AS (
+            SELECT md5('pseud|' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+                   c_mktsegment
+            FROM customer
+        ), orders_masked AS (
+            SELECT md5('pseud|' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o.cust_token) AS BIGINT) AS n_tokens,
+               {dsum_sql('o.o_totalprice', 2)} AS revenue,
+               MIN(o.cust_token) AS min_token
+        FROM orders_masked o
+        JOIN cust_masked c USING (cust_token)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    doc=(
+        "FK-preserving pseudonymization (the privacy-engineering "
+        "release transform): the customer key is replaced on BOTH "
+        "tables by a salted deterministic md5 token, so direct "
+        "identifiers leave the dataset while every equi-join and "
+        "distinct-count over the key still works — proven here by "
+        "joining the two MASKED tables and aggregating per segment "
+        "(counts, token cardinality, exact revenue, plus a token "
+        "fingerprint so the mapping itself is hash-checked). "
+        "Tokenization is a map-side expression — zero shuffle added; "
+        "the join keys change value but keep their distribution, so "
+        "partitioning/bucketing strategies carry over unchanged. In "
+        "production the salt lives in a vault and rotating it is a "
+        "full re-key (documented trade vs. a lookup-table vault with "
+        "deletable entries — the GDPR-erasable variant, whose apply "
+        "step is exactly q_targeted_delete's anti-join rewrite). "
+        "Complements q_pii_redact (free text) and q_k_anonymity "
+        "(quasi-identifiers)."
+    ),
+    tags=("completeness", "quality", "privacy", "join"),
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer", assert_schema=False)
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+
+    def token(col: str):
+        return F.md5(F.concat(F.lit("pseud|"), F.col(col).cast("string")))
+
+    cust_masked = customer.select(
+        token("c_custkey").alias("cust_token"), "c_mktsegment"
+    )
+    orders_masked = orders.select(
+        token("o_custkey").alias("cust_token"), "o_totalprice"
+    )
+    return (
+        orders_masked.join(F.broadcast(cust_masked), "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cust_token").alias("n_tokens"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.min("cust_token").alias("min_token"),
+        )
+        .orderBy("c_mktsegment")
+    )

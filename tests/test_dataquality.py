@@ -224,3 +224,28 @@ def test_k_anonymity_summary_matches_direct_group_counts(spark):
     assert row["groups_at_risk"] == sum(1 for s in sizes if s < 5)
     assert row["rows_at_risk"] == sum(s for s in sizes if s < 5)
     assert row["min_group_size"] == min(sizes)
+
+
+def test_pseudonymize_preserves_joins_and_cardinality(spark):
+    from benchmark_spark.operators.dataquality import q_pseudonymize
+
+    rows = q_pseudonymize(spark, SF_SMOKE).collect()
+    orders = _orders(spark)
+    customer = load_table(spark, SF_SMOKE, "customer", assert_schema=False)
+    # the masked join keeps every order (FK integrity survives masking)
+    assert sum(r["n"] for r in rows) == orders.count()
+    # token cardinality == original key cardinality (no collisions)
+    n_active = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_tokens"] for r in rows) == n_active
+    # and no raw key leaks: tokens are 32-hex strings
+    assert all(len(r["min_token"]) == 32 for r in rows)
+    # revenue identical to the unmasked rollup
+    unmasked = {
+        r["c_mktsegment"]: r["rev"]
+        for r in orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["revenue"] * 100 - unmasked[r["c_mktsegment"]]) < 1
