@@ -944,3 +944,72 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("aes_key", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "q_kl_novelty",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(c) AS n FROM per_tok GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT token, COUNT(*) AS cw FROM tok GROUP BY token
+        ),
+        total AS (SELECT COUNT(*) AS big_n FROM tok)
+        SELECT p.doc_id,
+               CAST(d.n AS BIGINT) AS n_tokens,
+               {dsum_sql(
+                   'floor((p.c * 1.0 / d.n) * ln((p.c * 1.0 / d.n) '
+                   '/ (co.cw * 1.0 / t.big_n)) * 1000000 + 0.5) / 1000000', 6)}
+                   AS kl_nats
+        FROM per_tok p
+        JOIN per_doc d ON p.doc_id = d.doc_id
+        JOIN corpus co ON p.token = co.token
+        CROSS JOIN total t
+        GROUP BY p.doc_id, d.n
+    """,
+    doc=(
+        "Per-document KL divergence from the corpus unigram "
+        "distribution (nats) — the domain-shift / novelty score: high "
+        "KL flags documents whose vocabulary usage departs from the "
+        "corpus (new domain, different language register, spam); near "
+        "zero means the doc is distributionally typical. The "
+        "directed-KL complement of q_entropy (self-information) and "
+        "q_unigram_lm (corpus-model surprisal): surprisal weights by "
+        "the CORPUS model, KL by the DOC's own frequencies, so a doc "
+        "repeating one rare word scores high here but middling there. "
+        "Every input (c, n, cw, N) is an exact integer on both "
+        "engines; each term is floor-snapped to 6dp before the exact "
+        "fixed-point sum (negative terms snap identically — floor(x + "
+        "0.5) is total-ordered, no half-tie roulette). One (doc, "
+        "token) shuffle + a broadcast-sized vocabulary join; at "
+        "100 TB the vocabulary table is Heaps-law sublinear in the "
+        "corpus, so this stays a broadcast."
+    ),
+    tags=("extension", "text"),
+)
+def q_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cw"))
+    total = tok.agg(F.count(F.lit(1)).alias("big_n"))
+    p_doc = F.col("c") * 1.0 / F.col("n")
+    p_corpus = F.col("cw") * 1.0 / F.col("big_n")
+    term = F.floor(p_doc * F.log(p_doc / p_corpus) * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        per_tok.join(per_doc, "doc_id")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "n")
+        .agg(dsum(term, 6).alias("kl_nats"))
+        .select("doc_id", F.col("n").cast("long").alias("n_tokens"), "kl_nats")
+    )

@@ -238,3 +238,16 @@ def test_weighted_sample_is_biased_toward_high_weight_docs(spark):
     corpus_mean = docs.select(F.avg(w)).first()[0]
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_kl_novelty_is_nonnegative_and_zero_free_only_for_typical_docs(spark):
+    from benchmark_spark.llm.corpus import q_kl_novelty
+
+    rows = q_kl_novelty(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    assert len(rows) == docs.count()
+    # Gibbs' inequality: KL(doc || corpus) >= 0 (up to the 6dp snap)
+    assert all(r["kl_nats"] >= -1e-4 for r in rows)
+    # the corpus is not degenerate: scores spread, not constant
+    vals = sorted(r["kl_nats"] for r in rows)
+    assert vals[-1] > vals[0] + 0.1

@@ -66,6 +66,7 @@ def build(out_dir: str, n: int) -> None:
         os.path.exists(marker)
         and os.path.exists(os.path.join(out_dir, "lineitem.parquet"))
         and os.path.exists(os.path.join(out_dir, "customer.parquet"))
+        and os.path.exists(os.path.join(out_dir, "events.parquet"))
     ):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -119,6 +120,19 @@ def build(out_dir: str, n: int) -> None:
         f"COPY (SELECT * REPLACE (c_custkey + i * {CUST_SHIFT} AS c_custkey) "
         f"FROM read_parquet('{SRC}/customer.parquet'), range({n}) _(i)) "
         f"TO '{out_dir}/customer.parquet' (FORMAT PARQUET)"
+    )
+    # events: ids and users shift per replica, timestamps stay — the
+    # same 30-day window carries N x the traffic (the growth model
+    # windowed/attribution analytics face); part is a constant dim
+    con.execute(
+        f"COPY (SELECT * REPLACE (event_id + i * 10000000 AS event_id, "
+        f"user_id + i * {CUST_SHIFT} AS user_id) "
+        f"FROM read_parquet('{SRC}/events.parquet'), range({n}) _(i)) "
+        f"TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SRC}/part.parquet')) "
+        f"TO '{out_dir}/part.parquet' (FORMAT PARQUET)"
     )
     with open(marker, "w"):
         pass
