@@ -121,3 +121,63 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY vec_id
         """
     )
+
+
+@register(
+    "q_sql_script",
+    oracle="""
+        WITH ks AS (SELECT unnest(range(0, 21)) AS k),
+        counts AS (
+            SELECT k, 512000.0 / power(2, k) AS thr,
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE o.o_totalprice > 512000.0 / power(2, k)) AS n
+            FROM ks
+        )
+        SELECT thr AS threshold,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(k AS BIGINT) AS iters
+        FROM counts
+        WHERE n >= 1000 OR k = 20
+        ORDER BY k
+        LIMIT 1
+    """,
+    doc=(
+        "SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): a data-DEPENDENT "
+        "control loop entirely inside one SQL statement — halve a price "
+        "threshold until at least 1000 orders qualify, returning the "
+        "final threshold, count, and iteration tally. This is the "
+        "procedural surface (migration path for stored-procedure "
+        "workloads) the DataFrame API covers with a driver-side Python "
+        "loop (connected_components, kmeans_lite): here the LOOP STATE "
+        "LIVES IN SQL VARIABLES and each iteration plans one count "
+        "query. The oracle replays the loop declaratively (thresholds "
+        "are exact powers-of-two divisions of 2^9*1000, so the doubles "
+        "agree bit-exactly and 'first k meeting the condition' is the "
+        "loop's fixpoint). Scale: per-iteration cost is one pruned "
+        "aggregate; at 100 TB you'd replace the linear halving with the "
+        "same loop over a pre-computed q_equidepth_hist (one scan total) "
+        "— the script surface is the orchestration, not the algorithm."
+    ),
+    tags=("completeness", "sql", "agg"),
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 512000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE iters INT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+          WHILE n < 1000 AND iters < 20 DO
+            SET thr = thr / 2;
+            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+            SET iters = iters + 1;
+          END WHILE;
+          SELECT CAST(thr AS DOUBLE) AS threshold,
+                 CAST(n AS BIGINT) AS n_orders,
+                 CAST(iters AS BIGINT) AS iters;
+        END
+        """
+    )
