@@ -516,3 +516,194 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed")
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM ordered WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), outdeg AS (
+            SELECT prev_type, SUM(n) AS total FROM pairs GROUP BY prev_type
+        )
+        SELECT p.prev_type, p.event_type,
+               CAST(p.n AS BIGINT) AS n,
+               CAST((p.n * 10000) // o.total AS BIGINT) AS prob_bp
+        FROM pairs p JOIN outdeg o USING (prev_type)
+        ORDER BY p.prev_type, p.event_type
+    """,
+    doc=(
+        "Event-transition (Markov) matrix: for every adjacent pair of "
+        "events in each user's timeline, the count and empirical "
+        "probability of event_type B following A — the product-analytics "
+        "'what do users do next?' matrix that feeds journey maps and "
+        "next-step prediction baselines. lag() over the per-user "
+        "timeline gives each event its predecessor with no self-join; "
+        "probabilities are exact integer basis points of per-source "
+        "counts. One user_id shuffle for the window, one small shuffle "
+        "for the |types|^2-row matrix. At 100 TB the matrix stays tiny "
+        "while the timeline scan is embarrassingly partition-parallel "
+        "under the (user, time) layout — same posture as "
+        "q_session_labels and q_attribution, which share the shuffle."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(outdeg), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 10000) div total").cast("long").alias("prob_bp"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+@register(
+    "q_ab_readout",
+    oracle="""
+        WITH assigned AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp1|' ||
+                        CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                   THEN 'control' ELSE 'treatment' END AS arm,
+                   user_id, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) // COUNT(*)
+                   AS BIGINT) AS mean_cents
+        FROM assigned
+        GROUP BY arm
+        ORDER BY arm
+    """,
+    doc=(
+        "A/B experiment readout: users are assigned to control/treatment "
+        "by a salted md5 hash of their id (the standard deterministic "
+        "bucketing — same user always lands in the same arm, across "
+        "sessions, engines, and reruns, with no assignment table to "
+        "store or join), then per-arm purchase counts, reached users, "
+        "exact integer revenue and its per-event mean are rolled up. "
+        "The salt ('exp1') is the experiment key: a new experiment "
+        "re-randomizes by changing the salt only. Assignment is a "
+        "map-side expression — the readout costs exactly one "
+        "aggregation; at 100 TB per-arm/per-day cells roll up by SUM "
+        "into the sequential-test dashboard. Mean as integer division "
+        "of exact sums keeps the hash float-free."
+    ),
+    tags=("completeness", "agg"),
+)
+def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    arm = F.when(h % 2 == 0, F.lit("control")).otherwise(F.lit("treatment"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(arm.alias("arm"), "user_id", cents.alias("cents"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("value_cents"),
+            F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '2001-09-01') AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+                   ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+                   ntile(5) OVER (ORDER BY monetary, o_custkey) AS m,
+                   monetary
+            FROM rfm
+        )
+        SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+               CAST(m AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary) AS BIGINT) AS monetary_cents
+        FROM scored
+        GROUP BY r, f, m
+        ORDER BY r, f, m
+    """,
+    doc=(
+        "RFM customer segmentation (recency / frequency / monetary "
+        "quintiles — the classic CRM value matrix): per customer, days "
+        "since last order at a fixed as-of date, order count, and exact "
+        "integer lifetime cents; each metric is quintiled with ntile "
+        "(key tiebreaks make bucket assignment engine-deterministic) "
+        "and customers roll up per (r, f, m) cell. Higher score = "
+        "better (recency ntile runs DESC so recent buyers score 5). "
+        "The quintile windows run on the customer ROLLUP — O(customers) "
+        "after one fact shuffle — so the single-partition ntile is a "
+        "dim-sized sort, same deliberate trade as q_equidepth_hist, "
+        "with the same documented cutpoint-broadcast path at 100 TB."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))),
+        )
+        .withColumn("f", F.ntile(5).over(Window.orderBy("frequency", "o_custkey")))
+        .withColumn("m", F.ntile(5).over(Window.orderBy("monetary", "o_custkey")))
+    )
+    return (
+        scored.groupBy(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("long").alias("monetary_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )

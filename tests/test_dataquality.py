@@ -249,3 +249,46 @@ def test_pseudonymize_preserves_joins_and_cardinality(spark):
     }
     for r in rows:
         assert abs(r["revenue"] * 100 - unmasked[r["c_mktsegment"]]) < 1
+
+
+def test_event_transitions_rows_sum_to_timeline_pairs(spark):
+    from benchmark_spark.operators.windows import q_event_transitions
+
+    rows = q_event_transitions(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes one transition
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    # per-source probabilities sum to ~10000 bp (integer-division slack)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["prev_type"], 0)
+        by_src[r["prev_type"]] += r["prob_bp"]
+    assert all(9990 <= s <= 10000 for s in by_src.values())
+
+
+def test_ab_readout_covers_all_purchases_deterministically(spark):
+    from benchmark_spark.operators.windows import q_ab_readout
+
+    a = {r["arm"]: r for r in q_ab_readout(spark, SF_SMOKE).collect()}
+    b = {r["arm"]: r for r in q_ab_readout(spark, SF_SMOKE).collect()}
+    assert a.keys() == {"control", "treatment"}
+    assert all(a[k] == b[k] for k in a)  # same user -> same arm, always
+    ev = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert a["control"]["n_purchases"] + a["treatment"]["n_purchases"] == n_purch
+    # hash bucketing splits ~50/50 (loose bound; deterministic fact)
+    ratio = a["control"]["n_purchases"] / n_purch
+    assert 0.35 < ratio < 0.65
+
+
+def test_rfm_cells_partition_the_customer_base(spark):
+    from benchmark_spark.operators.windows import q_rfm_segments
+
+    rows = q_rfm_segments(spark, SF_SMOKE).collect()
+    orders = _orders(spark)
+    assert sum(r["n_customers"] for r in rows) == (
+        orders.select("o_custkey").distinct().count()
+    )
+    assert all(1 <= r[k] <= 5 for r in rows for k in ("r", "f", "m"))
