@@ -707,3 +707,73 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+            FROM events
+            GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        ), stats AS (
+            SELECT event_type, COUNT(*) AS nd, SUM(y) AS s FROM daily GROUP BY event_type
+        ), cusum AS (
+            SELECT d.event_type, d.x,
+                   SUM(st.nd * d.y - st.s) OVER (
+                       PARTITION BY d.event_type ORDER BY d.x) AS c
+            FROM daily d JOIN stats st USING (event_type)
+        )
+        SELECT event_type,
+               CAST(x AS BIGINT) AS peak_day,
+               CAST(abs(c) AS BIGINT) AS peak_cusum,
+               CAST(CASE WHEN c >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+        FROM cusum
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(c) DESC, x) = 1
+        ORDER BY event_type
+    """,
+    doc=(
+        "CUSUM change-point detection per event type: daily revenue "
+        "deviations from the period mean accumulate in a running sum "
+        "whose peak |CUSUM| marks the most likely level-shift day — the "
+        "ops-monitoring 'when did this metric change?' query. Mean "
+        "subtraction is kept EXACT by scaling: deviation = N*y_day - "
+        "S_total (integers), so the cumulative sum, its argmax day, and "
+        "the shift direction are all integer-exact across engines — no "
+        "float mean ever exists. Two-phase daily rollup, a broadcast of "
+        "per-type (N, S), one per-type ordered window over O(days) rows: "
+        "the fact collapses before any sequential math, same posture as "
+        "q_trend_fit. At 100 TB a streaming twin holds (running sum, "
+        "running peak) as two state values per type."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("y").alias("s")
+    )
+    wc = Window.partitionBy("event_type").orderBy("x")
+    cusum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("c", F.sum(F.col("nd") * F.col("y") - F.col("s")).over(wc))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("c")).desc(), F.asc("x"))
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("x").cast("long").alias("peak_day"),
+            F.abs(F.col("c")).cast("long").alias("peak_cusum"),
+            F.when(F.col("c") >= 0, 1).otherwise(-1).cast("long").alias("direction"),
+        )
+        .orderBy("event_type")
+    )

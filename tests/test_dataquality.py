@@ -292,3 +292,29 @@ def test_rfm_cells_partition_the_customer_base(spark):
         orders.select("o_custkey").distinct().count()
     )
     assert all(1 <= r[k] <= 5 for r in rows for k in ("r", "f", "m"))
+
+
+def test_cusum_peak_is_the_true_argmax_of_the_walk(spark):
+    from benchmark_spark.operators.windows import q_cusum_changepoint
+
+    rows = {r["event_type"]: r for r in q_cusum_changepoint(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events", assert_schema=False)
+    # recompute the walk for one type in plain python
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+        .orderBy("x")
+        .collect()
+    )
+    nd, s = len(daily), sum(r["y"] for r in daily)
+    c, walk = 0, []
+    for r in daily:
+        c += nd * r["y"] - s
+        walk.append((r["x"], c))
+    peak = max(walk, key=lambda t: (abs(t[1]), -t[0]))
+    got = rows["click"]
+    assert got["peak_day"] == peak[0]
+    assert got["peak_cusum"] == abs(peak[1])
+    # the walk returns to ~0 by construction (sum of deviations == 0)
+    assert walk[-1][1] == 0
