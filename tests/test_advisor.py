@@ -1,0 +1,52 @@
+"""Plan-advisor rules: each anti-pattern rule must fire on a plan
+that exhibits it and stay silent on the clean twin."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udf
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.plans.advisor import advise
+from benchmark_spark.registry import get_query
+from tests.conftest import SF_SMOKE
+
+
+def _rules(findings):
+    return {f.rule for f in findings}
+
+
+def test_flags_cartesian_product(spark):
+    a = load_table(spark, SF_SMOKE, "nation", assert_schema=False)
+    b = load_table(spark, SF_SMOKE, "region", assert_schema=False)
+    bad = a.crossJoin(b.hint("shuffle_replicate_nl"))
+    assert "cartesian-product" in _rules(advise(bad))
+
+
+def test_flags_row_python_udf_but_not_pandas(spark):
+    orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+    slow = udf(lambda x: x * 2.0, "double")
+    bad = orders.select(slow(F.col("o_totalprice")).alias("d"))
+    assert "row-python-udf" in _rules(advise(bad))
+    good = orders.select((F.col("o_totalprice") * 2.0).alias("d"))
+    assert "row-python-udf" not in _rules(advise(good))
+
+
+def test_headline_queries_are_clean(spark):
+    for name in ("q1_scan", "q2_agg", "q3_join", "q5_pricing", "q6_window"):
+        findings = advise(get_query(name).fn(spark, SF_SMOKE))
+        errors = [f for f in findings if f.severity == "error"]
+        assert not errors, (name, errors)
+
+
+def test_flags_wide_read_narrow_output(spark):
+    # Catalyst prunes through filters and even Python UDFs (verified:
+    # a UDF filter still narrows ReadSchema), so the wide-read flag
+    # fires only when the expressions genuinely consume every column —
+    # e.g. serializing whole rows to emit one value. The advisor warns
+    # so the user confirms the full-width read is intended.
+    orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+    wide = orders.select(
+        F.length(F.to_json(F.struct(*orders.columns))).alias("n")
+    )
+    assert "column-pruning" in _rules(advise(wide))
+    narrow = orders.select((F.col("o_totalprice") * 2).alias("d"))
+    assert "column-pruning" not in _rules(advise(narrow))
