@@ -777,3 +777,93 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ltv_curve",
+    oracle="""
+        WITH first_seen AS (
+            SELECT o_custkey,
+                   MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+            FROM orders GROUP BY o_custkey
+        ), sized AS (
+            SELECT cohort_m, COUNT(*) AS cohort_size
+            FROM first_seen GROUP BY cohort_m
+        ), aged AS (
+            SELECT f.cohort_m,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                       - f.cohort_m AS age,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   o.o_custkey
+            FROM orders o JOIN first_seen f ON o.o_custkey = f.o_custkey
+        ), cells AS (
+            SELECT cohort_m, age,
+                   SUM(cents) AS rev_cents,
+                   COUNT(DISTINCT o_custkey) AS n_active
+            FROM aged GROUP BY cohort_m, age
+        )
+        SELECT printf('%04d-%02d', (cohort_m - 1) // 12, ((cohort_m - 1) % 12) + 1)
+                   AS cohort,
+               CAST(age AS BIGINT) AS age_months,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age)
+                    AS BIGINT) AS cum_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age)
+                    // ANY_VALUE(s.cohort_size) AS BIGINT) AS ltv_per_cust_cents
+        FROM cells JOIN sized s USING (cohort_m)
+        GROUP BY cohort_m, age, n_active, rev_cents
+        ORDER BY cohort, age_months
+    """,
+    doc=(
+        "Cohort LTV curves (the money complement of q_retention_cohort): "
+        "customers cohorted by first-order month; per (cohort, age) the "
+        "active-customer count and the CUMULATIVE revenue to that age, "
+        "plus per-customer LTV as exact integer cents over the cohort "
+        "size — the curve every subscription/commerce business tracks "
+        "and projects forward. Cohort month travels as an integer "
+        "(y*12+m) through every computation and is formatted to "
+        "'YYYY-MM' only at the edge, so no date arithmetic or bare DATE "
+        "column touches the cross-engine hash. Plan: one first-seen agg "
+        "(shuffle on customer), a co-keyed fact join, a (cohort, age) "
+        "rollup, and a per-cohort cumulative window over O(ages) rows — "
+        "the fact collapses before the sequential pass, the same "
+        "posture as q_trend_fit/q_cusum_changepoint."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders", assert_schema=False)
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_seen = orders.groupBy("o_custkey").agg(F.min(mkey).alias("cohort_m"))
+    sized = first_seen.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    aged = orders.join(first_seen, "o_custkey").select(
+        "cohort_m",
+        (mkey - F.col("cohort_m")).alias("age"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_custkey",
+    )
+    cells = aged.groupBy("cohort_m", "age").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.countDistinct("o_custkey").alias("n_active"),
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age")
+    cohort_str = F.format_string(
+        "%04d-%02d", ((F.col("cohort_m") - 1) / 12).cast("int"),
+        ((F.col("cohort_m") - 1) % 12 + 1).cast("int"),
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort_m")
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select(
+            cohort_str.alias("cohort"),
+            F.col("age").cast("long").alias("age_months"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents div cohort_size").cast("long").alias(
+                "ltv_per_cust_cents"
+            ),
+        )
+        .orderBy("cohort", "age_months")
+    )

@@ -318,3 +318,26 @@ def test_cusum_peak_is_the_true_argmax_of_the_walk(spark):
     assert got["peak_cusum"] == abs(peak[1])
     # the walk returns to ~0 by construction (sum of deviations == 0)
     assert walk[-1][1] == 0
+
+
+def test_ltv_curve_is_monotone_and_consistent(spark):
+    from benchmark_spark.operators.windows import q_ltv_curve
+
+    rows = q_ltv_curve(spark, SF_SMOKE).collect()
+    orders = _orders(spark)
+    # cumulative revenue never decreases within a cohort
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for members in by_cohort.values():
+        cums = [m["cum_cents"] for m in sorted(members, key=lambda m: m["age_months"])]
+        assert cums == sorted(cums)
+        assert all(m["ltv_per_cust_cents"] <= m["cum_cents"] for m in members)
+    # the final cumulative across cohorts equals total corpus revenue
+    total = sum(max(m["cum_cents"] for m in ms) for ms in by_cohort.values())
+    expect = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).first()[0]
+    assert total == expect
+    # age-0 cell exists for every cohort (the first order defines it)
+    assert all(min(m["age_months"] for m in ms) == 0 for ms in by_cohort.values())

@@ -53,7 +53,7 @@ OVERFLOW_R5 = (
     "q_basket_lift", "q_trend_fit", "q_skyline", "q_attribution",
     "q_k_anonymity", "q_pit_join", "q_weighted_sample", "q_pseudonymize",
     "q_kl_novelty", "q_sql_script", "q_event_transitions", "q_ab_readout",
-    "q_rfm_segments", "q_cusum_changepoint",
+    "q_rfm_segments", "q_cusum_changepoint", "q_ltv_curve",
 )
 
 
