@@ -341,3 +341,39 @@ def test_ltv_curve_is_monotone_and_consistent(spark):
     assert total == expect
     # age-0 cell exists for every cohort (the first order defines it)
     assert all(min(m["age_months"] for m in ms) == 0 for ms in by_cohort.values())
+
+
+def test_twophase_equidepth_matches_ntile_up_to_boundary_ties(spark):
+    from benchmark_spark.operators.dataquality import (
+        q_equidepth_hist,
+        q_equidepth_twophase,
+    )
+    from benchmark_spark.plans.inspect import simple_plan
+
+    two = {r["bucket"]: r for r in q_equidepth_twophase(spark, SF_SMOKE).collect()}
+    one = {r["bucket"]: r for r in q_equidepth_hist(spark, SF_SMOKE).collect()}
+    total = _orders(spark).count()
+    assert sum(r["n"] for r in two.values()) == total
+    # same decile structure: per-bucket populations agree within the
+    # duplicate-straddles-cutpoint slack
+    assert set(two) == set(one)
+    for b in one:
+        assert abs(two[b]["n"] - one[b]["n"]) <= 2
+    # and the scale property the variant exists for: NO sort anywhere
+    plan = simple_plan(q_equidepth_twophase(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
+
+
+def test_grouping_id_separates_subtotals_from_data(spark):
+    from benchmark_spark.operators.dataquality import q_grouping_id
+
+    rows = q_grouping_id(spark, SF_SMOKE).collect()
+    gids = {}
+    for r in rows:
+        gids.setdefault(r["gid"], []).append(r)
+    assert set(gids) == {0, 1, 3}  # detail, per-status subtotal, grand
+    total = _orders(spark).count()
+    assert sum(r["n"] for r in gids[0]) == total
+    assert sum(r["n"] for r in gids[1]) == total
+    assert gids[3][0]["n"] == total and gids[3][0]["status"] == "(all)"
