@@ -377,3 +377,17 @@ def test_grouping_id_separates_subtotals_from_data(spark):
     assert sum(r["n"] for r in gids[0]) == total
     assert sum(r["n"] for r in gids[1]) == total
     assert gids[3][0]["n"] == total and gids[3][0]["status"] == "(all)"
+
+
+def test_hotcold_salting_exercises_both_paths(spark):
+    from benchmark_spark.operators.skew import HOT_THRESHOLD, q_salted_hotcold
+
+    li = load_table(spark, SF_SMOKE, "lineitem", assert_schema=False)
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_hot = freq.filter(F.col("c") > HOT_THRESHOLD).count()
+    n_cold = freq.filter(F.col("c") <= HOT_THRESHOLD).count()
+    # the fixture must make the query exercise BOTH the salted and the
+    # plain path, else the rewrite is vacuously correct
+    assert n_hot > 0 and n_cold > 0
+    rows = q_salted_hotcold(spark, SF_SMOKE).collect()
+    assert sum(r["n"] for r in rows) == li.count()  # no row lost or duplicated

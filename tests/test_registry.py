@@ -54,7 +54,7 @@ OVERFLOW_R5 = (
     "q_k_anonymity", "q_pit_join", "q_weighted_sample", "q_pseudonymize",
     "q_kl_novelty", "q_sql_script", "q_event_transitions", "q_ab_readout",
     "q_rfm_segments", "q_cusum_changepoint", "q_ltv_curve",
-    "q_equidepth_twophase", "q_grouping_id",
+    "q_equidepth_twophase", "q_grouping_id", "q_salted_hotcold",
 )
 
 
