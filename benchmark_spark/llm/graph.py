@@ -436,3 +436,76 @@ def q_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), "vec_id")
         .limit(PPR_TOP)
     )
+
+
+@register(
+    "q_triangle_degree",
+    oracle=_TRIANGLE_ORACLE,
+    doc=(
+        "Per-node triangle counting under DEGREE orientation — the "
+        "Ortmann/Brandes skew fix q_triangle_count's docstring "
+        "promises, implemented and hash-proven: each undirected edge "
+        "is oriented from its lower-(degree, id) endpoint to the "
+        "higher one, so a hub of degree d fans out wedges only toward "
+        "HIGHER-degree nodes — wedge count drops from O(d^2) at the "
+        "hub to the arboricity-bounded total, which is what makes "
+        "triangle counting survive power-law graphs at 100 TB (the "
+        "id orientation keeps a hub's wedges whenever its id is low). "
+        "Per-node triangle counts are orientation-invariant, so this "
+        "query shares q_triangle_count's oracle verbatim: the driver "
+        "hash proves the skew-safe enumeration finds exactly the same "
+        "triangles. Same two joins; one extra degree aggregation "
+        "(node-sized) broadcast onto the edge list."
+    ),
+    tags=("extension", "similarity", "graph"),
+)
+def q_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # orient lower-(degree, id) -> higher-(degree, id): a DAG, so each
+    # triangle is enumerated exactly once, and hubs fan out only upward
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy("node")
+    )

@@ -251,3 +251,12 @@ def test_kl_novelty_is_nonnegative_and_zero_free_only_for_typical_docs(spark):
     # the corpus is not degenerate: scores spread, not constant
     vals = sorted(r["kl_nats"] for r in rows)
     assert vals[-1] > vals[0] + 0.1
+
+
+def test_degree_oriented_triangles_equal_id_oriented(spark):
+    from benchmark_spark.llm.graph import q_triangle_count, q_triangle_degree
+
+    a = {r["node"]: r["n_tri"] for r in q_triangle_count(spark, SF_SMOKE).collect()}
+    b = {r["node"]: r["n_tri"] for r in q_triangle_degree(spark, SF_SMOKE).collect()}
+    assert a == b  # orientation changes enumeration order, never counts
+    assert sum(a.values()) % 3 == 0  # each triangle counted at 3 nodes
