@@ -391,3 +391,31 @@ def test_hotcold_salting_exercises_both_paths(spark):
     assert n_hot > 0 and n_cold > 0
     rows = q_salted_hotcold(spark, SF_SMOKE).collect()
     assert sum(r["n"] for r in rows) == li.count()  # no row lost or duplicated
+
+
+def test_skyline_grid_prunes_and_preserves_the_frontier(spark):
+    from benchmark_spark.operators.windows import q_skyline, q_skyline_grid
+    from benchmark_spark.registry import get_query
+
+    full = [tuple(r) for r in q_skyline(spark, SF_SMOKE).collect()]
+    grid = [tuple(r) for r in q_skyline_grid(spark, SF_SMOKE).collect()]
+    assert grid == full  # dominated-only pruning: identical frontier
+    # and the pre-filter actually discards points on this fixture
+    orders = _orders(spark)
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "spend_cents"
+        ),
+    )
+    pts = agg.withColumn("gx", F.expr("n_orders div 2")).withColumn(
+        "gy", F.expr("spend_cents div 2000000")
+    )
+    cells = pts.groupBy("gx", "gy").count()
+    c, d = cells.alias("c"), cells.alias("d")
+    doomed = c.join(
+        d,
+        (F.col("d.gx") > F.col("c.gx")) & (F.col("d.gy") > F.col("c.gy")),
+        "left_semi",
+    ).count()
+    assert doomed > cells.count() * 0.5  # most cells never reach the sort
