@@ -635,3 +635,79 @@ def test_checkpoint_restart_resumes_exactly_once(spark):
     assert phase2.count() == total  # chunks 0-1 NOT reprocessed
     # and specifically no duplicated event ids
     assert phase2.select("event_id").distinct().count() == total
+
+
+def test_stateful_attribution_twin_matches_batch(spark):
+    """The streaming twin q_attribution's docstring promises: per-user
+    last_click held as ONE state row via applyInPandasWithState over
+    the 4-chunk stream; cumulative attributed/unattributed purchase
+    counts must equal the batch IGNORE-NULLS window form exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from benchmark_spark.operators.windows import q_attribution
+    from benchmark_spark.streaming.windows import events_stream_chunks
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_purch", T.LongType()),
+            T.StructField("n_attr", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_click_us", T.LongType()),
+            T.StructField("n_purch", T.LongType()),
+            T.StructField("n_attr", T.LongType()),
+        ]
+    )
+
+    def attribute(key, pdfs, state: GroupState):
+        last_click, n_purch, n_attr = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            ts_us = int(r["ts"].value // 1000)  # pandas ns -> us
+            if r["event_type"] == "purchase":
+                n_purch += 1
+                if last_click is not None and ts_us - last_click <= 1_800_000_000:
+                    n_attr += 1
+            if r["event_type"] == "click":
+                last_click = ts_us
+        state.update((last_click, n_purch, n_attr))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purch": [n_purch], "n_attr": [n_attr]}
+        )
+
+    stream = events_stream_chunks(spark, SF_SMOKE)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "attr_state_sink"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_purch").alias("np"), F.max("n_attr").alias("na"))
+        .agg(F.sum("np").alias("n_purchases"), F.sum("na").alias("n_attr"))
+        .collect()[0]
+    )
+    batch = {r["attributed"]: r for r in q_attribution(spark, SF_SMOKE).collect()}
+    batch_total = sum(r["n_purchases"] for r in batch.values())
+    batch_attr = batch.get(1, {"n_purchases": 0})["n_purchases"]
+    assert final["n_purchases"] == batch_total
+    assert final["n_attr"] == batch_attr
