@@ -224,3 +224,73 @@ def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.groupBy("word").agg(F.sum("one").cast("long").alias("cnt"))
+
+
+@register(
+    "q_udtf_poly",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        tri AS (
+            SELECT ts[CAST(i AS INT)]     AS w1,
+                   ts[CAST(i AS INT) + 1] AS w2,
+                   ts[CAST(i AS INT) + 2] AS w3
+            FROM toks, unnest(range(1, len(ts) - 1)) t(i)
+            WHERE len(ts) >= 3
+        )
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tri
+        GROUP BY w1, w2, w3
+        ORDER BY cnt DESC, w1, w2, w3
+        LIMIT 10
+    """,
+    doc=(
+        "POLYMORPHIC UDTF (Spark 4 analyze-time schema, SURVEY.md §2.10): "
+        "a Python table function whose OUTPUT SCHEMA is computed from its "
+        "argument value at plan time — ngrams(text, n) emits n word "
+        "columns (w1..wn), so n=3 plans a 3-column relation and n=5 a "
+        "5-column one from the same function, the capability fixed-"
+        "signature UDTFs (q_udtf) cannot express (dynamic pivots, "
+        "schema-from-config extractors). Registered form: LATERAL "
+        "ngrams(text, 3) over documents -> top-10 corpus trigrams; the "
+        "oracle replays with list slicing, so the driver hash proves the "
+        "Python emission matches the native form exactly. Python "
+        "boundary is the point here (the UDF-surface family); the "
+        "native trigram path is q_bigram_counts' array-HOF shape."
+    ),
+    tags=("udf", "extension"),
+)
+def q_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = n.value
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(f"w{i + 1}", T.StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("poly_ngrams", NGrams)
+    load_table(spark, sf_dir, "documents", assert_schema=False).createOrReplaceTempView(
+        "docs_poly"
+    )
+    return spark.sql(
+        """
+        SELECT t.w1, t.w2, t.w3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM docs_poly d, LATERAL poly_ngrams(d.text, 3) t
+        GROUP BY t.w1, t.w2, t.w3
+        ORDER BY cnt DESC, w1, w2, w3
+        LIMIT 10
+        """
+    )

@@ -36,3 +36,33 @@ def test_two_step_wordcount_equals_fused(spark):
     fused = _counts(SPECS["q4_wordcount"].fn(spark, SF_SMOKE), "word", "cnt")
     two_step = _counts(SPECS["q4_two_step"].fn(spark, SF_SMOKE), "word", "total")
     assert fused == two_step
+
+
+def test_polymorphic_udtf_schema_tracks_argument(spark):
+    """The analyze() contract: the same UDTF plans different schemas
+    for different argument values."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NG:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(f"w{i + 1}", T.StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ng_schema_probe", NG)
+    two = spark.sql("SELECT * FROM ng_schema_probe('a b c d', 2)")
+    four = spark.sql("SELECT * FROM ng_schema_probe('a b c d', 4)")
+    assert two.columns == ["w1", "w2"]
+    assert four.columns == ["w1", "w2", "w3", "w4"]
+    assert two.count() == 3 and four.count() == 1
