@@ -20,7 +20,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from benchmark_spark.registry import register
 
@@ -115,3 +120,114 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+FEED_TOTAL = 2_000
+FEED_BATCH = 500
+
+
+class SynthFeedReader(SimpleDataSourceStreamReader):
+    """Deterministic offset-tracked stream: rows [pos, pos+batch) per
+    micro-batch until FEED_TOTAL — the offset/commit contract every
+    real streaming connector (queue consumer, CDC tail, metering API)
+    implements. Content is a pure function of the row id, so replays
+    after failure produce identical rows (exactly-once on top of
+    checkpointed offsets)."""
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        if pos >= FEED_TOTAL:
+            return iter([]), {"pos": pos}
+        end = min(pos + FEED_BATCH, FEED_TOTAL)
+        rows = [
+            (k, hashlib.md5(str(k).encode()).hexdigest(), k % 7)
+            for k in range(pos, end)
+        ]
+        return iter(rows), {"pos": end}
+
+
+class SynthFeedSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthfeed"
+
+    def schema(self) -> str:
+        return "id bigint, h string, grp bigint"
+
+    def simpleStreamReader(self, schema) -> SynthFeedReader:
+        return SynthFeedReader()
+
+
+@register(
+    "q_python_stream_source",
+    oracle="""
+        SELECT i % 7 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(md5(CAST(i AS VARCHAR))) AS min_h,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp
+        FROM range(2000) t(i)
+        GROUP BY i % 7
+        ORDER BY grp
+    """,
+    doc=(
+        "CUSTOM STREAMING connector through the Python DataSource API "
+        "(the readStream side of q_python_datasource): a user-defined "
+        "SimpleDataSourceStreamReader feeds 4 offset-tracked micro-"
+        "batches of 500 rows into a complete-mode aggregation; offsets "
+        "live in the checkpoint, so restart/replay semantics come from "
+        "the engine, and the feed being a pure function of the offset "
+        "is what turns replayed batches into exactly-once results — "
+        "the contract every queue/CDC/API connector must meet. The "
+        "driver hash proves no batch was lost, duplicated, or "
+        "truncated across the offset hand-offs (same md5 fingerprint "
+        "rule as the batch connector). The query polls the stream to "
+        "completion and raises on timeout rather than returning a "
+        "partial sink (await_done discipline)."
+    ),
+    tags=("source", "extension", "streaming"),
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    spark.dataSource.register(SynthFeedSource)
+    agg = (
+        spark.readStream.format("synthfeed")
+        .load()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("min_h"),
+            F.sum(
+                F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long") % 1000003
+            ).alias("fp"),
+        )
+    )
+    sink = f"pyfeed_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/root/repo/.scratch/pyfeed_ckpt_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spark.table(sink).agg(F.sum("n")).first()[0]
+            if done == FEED_TOTAL:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                f"synthfeed stream incomplete: {done}/{FEED_TOTAL} rows"
+            )
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("grp")

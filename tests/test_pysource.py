@@ -44,3 +44,13 @@ def test_observe_collects_dq_metrics_without_extra_scan(spark):
     assert got["n_rows"] == orders.count()
     assert got["nonpositive_price"] == 0
     assert got["null_custkey"] == 0
+
+
+def test_python_stream_source_runs_twice_and_counts_all_batches(spark):
+    from benchmark_spark.sources.pysource import FEED_TOTAL, q_python_stream_source
+
+    a = {r["grp"]: r for r in q_python_stream_source(spark, SF_SMOKE).collect()}
+    b = {r["grp"]: r for r in q_python_stream_source(spark, SF_SMOKE).collect()}
+    assert a.keys() == set(range(7))
+    assert sum(r["n"] for r in a.values()) == FEED_TOTAL  # all 4 batches
+    assert all(a[k] == b[k] for k in a)  # fresh checkpoint, same feed
