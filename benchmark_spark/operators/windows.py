@@ -937,3 +937,117 @@ def q_skyline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(survivors, "n_orders", "spend_cents").select(
         "custkey", "n_orders", "spend_cents"
     ).orderBy(F.desc("n_orders"), F.desc("spend_cents"), "custkey")
+
+
+@register(
+    "q_path_trigrams",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type)    OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE p2 IS NOT NULL
+        GROUP BY p2, p1, event_type
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT 10
+    """,
+    doc=(
+        "Top event-type PATHS (length-3 journeys): the sequential-"
+        "pattern complement of q_event_transitions' one-step matrix — "
+        "'view -> click -> purchase' vs 'view -> click -> view' is the "
+        "difference the transition matrix cannot see (Markov order-1 "
+        "forgets step 1). Two stacked lag() calls over the shared "
+        "per-user window produce each event's two predecessors with "
+        "ZERO additional shuffles beyond the one user_id exchange; "
+        "counts roll into at most |types|^3 rows regardless of corpus "
+        "size, then TakeOrderedAndProject. The general-n form swaps "
+        "the lags for the same windowed collect + in-array n-gram HOF "
+        "q_bigram_counts uses on tokens."
+    ),
+    tags=("completeness", "window", "agg"),
+)
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("p1", F.lag("event_type").over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+@register(
+    "q_conversion_lag",
+    oracle="""
+        WITH pairs AS (
+            SELECT s.user_id,
+                   min(epoch_us(p.ts) - epoch_us(s.ts)) AS lag_us
+            FROM events s
+            JOIN events p
+              ON s.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts > s.ts
+            WHERE s.event_type = 'signup'
+            GROUP BY s.user_id, s.event_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(floor(quantile_cont(lag_us, 0.5))  AS BIGINT) AS p50_us,
+               CAST(floor(quantile_cont(lag_us, 0.95)) AS BIGINT) AS p95_us,
+               CAST(MIN(lag_us) AS BIGINT) AS min_us,
+               CAST(MAX(lag_us) AS BIGINT) AS max_us
+        FROM pairs
+    """,
+    doc=(
+        "Conversion-lag distribution: per signup, the time to the "
+        "user's FIRST subsequent purchase, summarized as exact "
+        "interpolated percentiles (p50/p95) plus the support count — "
+        "the funnel-latency readout that turns q_funnel's 'did they "
+        "convert' into 'how fast'. Lags are exact integer microseconds "
+        "(epoch subtraction), and floor() snaps the interpolated "
+        "quantile to an integer so no raw float crosses the hash. The "
+        "per-user equi-join anchors the shuffle; the min-per-signup "
+        "aggregation collapses the pair fan-out before the tiny global "
+        "percentile. At 100 TB the percentile swaps to "
+        "percentile_approx under the q_approx_stats_bounded error "
+        "contract; everything upstream is unchanged."
+    ),
+    tags=("completeness", "agg", "join"),
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("event_id").alias("sid"),
+        F.col("ts").alias("sts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    pairs = (
+        signups.join(
+            purchases, (F.col("su") == F.col("pu")) & (F.col("pts") > F.col("sts"))
+        )
+        .groupBy("su", "sid")
+        .agg(
+            F.min(F.unix_micros("pts") - F.unix_micros("sts")).alias("lag_us")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("lag_us", 0.5)).cast("long").alias("p50_us"),
+        F.floor(F.percentile("lag_us", 0.95)).cast("long").alias("p95_us"),
+        F.min("lag_us").cast("long").alias("min_us"),
+        F.max("lag_us").cast("long").alias("max_us"),
+    )

@@ -419,3 +419,21 @@ def test_skyline_grid_prunes_and_preserves_the_frontier(spark):
         "left_semi",
     ).count()
     assert doomed > cells.count() * 0.5  # most cells never reach the sort
+
+
+def test_path_trigrams_counts_match_timeline_arithmetic(spark):
+    from benchmark_spark.operators.windows import q_path_trigrams
+
+    rows = q_path_trigrams(spark, SF_SMOKE).collect()
+    assert len(rows) == 10 and all(r["n"] > 0 for r in rows)
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_conversion_lag_bounds_are_ordered(spark):
+    from benchmark_spark.operators.windows import q_conversion_lag
+
+    r = q_conversion_lag(spark, SF_SMOKE).collect()[0]
+    assert r["n_converted"] > 0
+    assert r["min_us"] <= r["p50_us"] <= r["p95_us"] <= r["max_us"]
+    assert r["min_us"] > 0  # strictly-after purchases only

@@ -56,7 +56,7 @@ OVERFLOW_R5 = (
     "q_rfm_segments", "q_cusum_changepoint", "q_ltv_curve",
     "q_equidepth_twophase", "q_grouping_id", "q_salted_hotcold",
     "q_triangle_degree", "q_skyline_grid", "q_udtf_poly",
-    "q_python_stream_source",
+    "q_python_stream_source", "q_path_trigrams", "q_conversion_lag",
 )
 
 
