@@ -81,40 +81,37 @@ def register(
 # registered queries that have never been inside a driver window across
 # r1-r4 (all judge-verified green locally in r4) — this closes the
 # coverage loop: with a green r5, every registered query has at least
-# one driver-green row across rounds. Then the 2 queries new in round
-# 5 (the driver-checkable bounded-error sketch companion; the banded
-# char-gram near-dup), then the 9 queries whose Spark expression AND
-# oracle changed this round (events.value aggregates migrated from
-# round(SUM,2) to the exact fixed-point dsum form — ADVICE.md r4), then
-# the 19 late-round-5 additions (TPC-H Q6/Q12/Q21 shapes; token-budget
-# mixing, bigram/Zipf/Heaps corpus stats, cosine range search, outer
-# stream join, compaction, retention/WAU/session-label analytics,
-# triangle counting, profiling, RAG chunking, skew/outlier/chi2
-# diagnostics), then the remaining re-proof slots: rows whose only
-# driver evidence is r1 (before the round-2 exact-float driver hash).
-# Everything displaced is driver-green in r1-r4 and stays checked by
-# the local gate (tools/check_oracle.py runs all of them).
+# one driver-green row across rounds. The round-6 re-cut (VERDICT.md
+# r5 item 1) finishes that program: the 40 registered queries that have
+# never been inside any driver window across r1-r5 (all judge-verified
+# green via the full tools/check_oracle.py gate in the r5 judging
+# session) take the first 40 slots, so a green CORRECTNESS_r06 gives
+# every one of the 224 registered queries driver-green evidence across
+# rounds. The remaining 10 slots re-prove the rows whose only driver
+# evidence is r1 (before the round-2 exact-float driver hash).
+# Everything displaced is driver-green in r2-r5 and stays checked by
+# the local gate (tools/check_oracle.py runs all of them every round;
+# tools/gate_sf01.py re-runs the full gate at sf0.1).
 _PRIORITY = (
-    # never driver-checked across rounds 1-4 (judge-verified r4)
-    "q_order_dist", "q_big_orders", "q_dormant_rich", "q_string_agg",
-    "q_pmi_bigrams", "q_entropy", "q_hybrid_search",
-    "q_importance_sample", "q_incremental_dedup", "q_stream_foreach_batch",
-    # new in round 5
-    "q_approx_stats_bounded", "q_chargram_minhash",
-    "q_nation_volume", "q_mkt_share", "q_brand_revenue",
-    "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
-    "q_gap_fill", "q_schema_evolution",
-    "q_forecast_revenue", "q_shipmode", "q_waiting_suppliers",
-    "q_token_budget_mix", "q_bigram_lm", "q_zipf_slope", "q_cosine_range",
-    "q_outer_stream_join", "q_compaction", "q_retention_cohort",
-    "q_trailing_active", "q_session_labels", "q_heaps_law",
-    "q_triangle_count", "q_profile", "q_chunk_documents",
-    "q_heavy_hitters", "q_zscore_outliers", "q_crosstab_chi2",
-    # expression/oracle changed in round 5 (dsum migration) — re-prove
-    "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
-    "q_watermark", "q_stream_session", "q_stream_sliding",
-    "q_stream_append", "q_stream_update",
-    "q_ann_recall", "q_targeted_delete",
+    # never driver-checked across rounds 1-5 (judge-gate-verified r5)
+    "q_attribution", "q_skyline", "q_skyline_grid", "q_pit_join",
+    "q_fuzzy_join", "q_variant", "q_sql_script", "q_udtf_poly",
+    "q_python_datasource", "q_python_stream_source",
+    "q_graph_reachability", "q_lateral_topn", "q_dq_checks",
+    "q_k_anonymity", "q_pseudonymize", "q_snapshot_diff",
+    "q_latest_snapshot", "q_salted_hotcold", "q_corrupt_ingest",
+    "q_zorder_layout", "q_equidepth_hist", "q_equidepth_twophase",
+    "q_grouping_id", "q_ab_readout", "q_trend_fit",
+    "q_cusum_changepoint", "q_ltv_curve", "q_rfm_segments",
+    "q_event_transitions", "q_path_trigrams", "q_conversion_lag",
+    "q_basket_lift", "q_kl_novelty", "q_weighted_sample",
+    "q_threshold_sweep", "q_cluster_sample", "q_ppr_seed_expand",
+    "q_triangle_degree", "q_stream_dq",
+    "q_approx_stats",  # rows-only by design (sketch); bounded twin green r5
+    # only driver evidence is r1 — re-prove under the exact-float hash
+    "q1_scan_mid", "q1_scan_tight", "q_cross_join", "q_frame",
+    "q_full_outer", "q_in_subquery", "q_lag", "q_limit_offset",
+    "q_null_pred", "q_range_frame",
 )
 
 

@@ -2,62 +2,23 @@
 
 The external correctness harness hash-checks only the FIRST 50
 registry entries, so the ordering in registry._PRIORITY IS part of
-the driver contract. Round-5 cut (VERDICT.md r4 item 1): the 10
-queries with zero driver evidence across rounds 1-4, the 2 round-5
-additions, the 9 queries whose expression+oracle changed this round
-(events.value aggregates migrated to the exact fixed-point dsum
-form), then re-proof slots for the oldest-evidence greens (r1-only
-rows first). Queries displaced from the window must all be
-driver-green in some prior round.
+the driver contract. Round-6 cut (VERDICT.md r5 item 1): the 40
+queries with zero driver evidence across rounds 1-5 take the first
+40 slots — a green CORRECTNESS_r06 completes driver evidence for
+all 224 registered queries — and the remaining 10 re-prove rows
+whose only driver evidence predates the round-2 exact-float hash.
+These invariants are DERIVED from the committed CORRECTNESS_r0N.json
+artifacts rather than hand-maintained lists, so a future re-cut only
+has to update _PRIORITY and the round list below.
 """
 
+import glob
 import json
 
 from benchmark_spark.registry import _PRIORITY, all_specs
 
-# zero driver evidence across rounds 1-4 (union of CORRECTNESS_r01-r04
-# keys vs the registry before the round-5 additions)
-NEVER_CHECKED = (
-    "q_order_dist", "q_big_orders", "q_dormant_rich", "q_string_agg",
-    "q_pmi_bigrams", "q_entropy", "q_hybrid_search",
-    "q_importance_sample", "q_incremental_dedup", "q_stream_foreach_batch",
-)
-
-# first driver exposure this round
-NEW_IN_R5 = (
-    "q_approx_stats_bounded", "q_chargram_minhash",
-    "q_nation_volume", "q_mkt_share", "q_brand_revenue",
-    "q_winnow_fingerprint", "q_bpe_pretokenize", "q_stream_enrich",
-    "q_gap_fill", "q_schema_evolution",
-)
-
-# Spark expression AND oracle changed in round 5 (dsum migration) —
-# prior green evidence no longer covers the current form
-RECHANGED_R5 = (
-    "q7_tumble", "q7_tumble_stream", "q_sliding", "q_session",
-    "q_watermark", "q_stream_session", "q_stream_sliding",
-    "q_stream_append", "q_stream_update",
-)
-
-# added after the 50-slot window filled (the round-5 registry grew far
-# past 50 unproven candidates): verified by the local gate at sf0.001
-# AND sf0.01 + vanilla-session sim this round; FIRST candidates for
-# the round-6 window re-cut
-OVERFLOW_R5 = (
-    "q_lateral_topn", "q_graph_reachability",
-    # continuation session
-    "q_dq_checks", "q_snapshot_diff", "q_latest_snapshot",
-    "q_equidepth_hist", "q_corrupt_ingest", "q_zorder_layout",
-    "q_ppr_seed_expand", "q_threshold_sweep", "q_cluster_sample",
-    "q_fuzzy_join", "q_python_datasource", "q_stream_dq", "q_variant",
-    "q_basket_lift", "q_trend_fit", "q_skyline", "q_attribution",
-    "q_k_anonymity", "q_pit_join", "q_weighted_sample", "q_pseudonymize",
-    "q_kl_novelty", "q_sql_script", "q_event_transitions", "q_ab_readout",
-    "q_rfm_segments", "q_cusum_changepoint", "q_ltv_curve",
-    "q_equidepth_twophase", "q_grouping_id", "q_salted_hotcold",
-    "q_triangle_degree", "q_skyline_grid", "q_udtf_poly",
-    "q_python_stream_source", "q_path_trigrams", "q_conversion_lag",
-)
+# Rounds whose CORRECTNESS artifacts existed when this window was cut.
+ROUNDS_SEEN = (1, 2, 3, 4, 5)
 
 
 def _green(res):
@@ -67,8 +28,30 @@ def _green(res):
     )
 
 
-def _load(path):
-    return json.load(open(path))
+def _evidence():
+    """name -> latest round with any driver evidence (green or not)."""
+    seen = {}
+    for i in ROUNDS_SEEN:
+        data = json.load(open(f"/root/repo/CORRECTNESS_r0{i}.json"))
+        for name in data:
+            seen[name] = i
+    return seen
+
+
+def _green_rounds():
+    """name -> set of rounds where the driver recorded a green result."""
+    greens = {}
+    for i in ROUNDS_SEEN:
+        data = json.load(open(f"/root/repo/CORRECTNESS_r0{i}.json"))
+        for name, res in data.items():
+            if _green(res):
+                greens.setdefault(name, set()).add(i)
+    return greens
+
+
+def test_correctness_artifacts_present():
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json"))
+    assert len(files) >= len(ROUNDS_SEEN)
 
 
 def test_priority_window_shape():
@@ -81,40 +64,48 @@ def test_priority_names_lead_registry_order():
     assert names[:50] == list(_PRIORITY)
 
 
-def test_window_carries_all_unproven_queries():
+def test_window_carries_all_never_checked_queries():
+    """Every registered query with zero driver evidence across the seen
+    rounds must sit inside the 50-slot window this round."""
+    seen = _evidence()
+    never = [n for n in all_specs() if n not in seen]
     window = set(_PRIORITY)
-    missing = [
-        n for n in NEVER_CHECKED + NEW_IN_R5 + RECHANGED_R5 if n not in window
-    ]
-    assert not missing, f"unproven queries outside the driver window: {missing}"
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-driver-checked queries outside the window: {missing}"
 
 
 def test_displaced_queries_are_all_driver_green():
     """Anything pushed below position 50 must already be proven by the
-    driver itself (green in r1-r4) — the window only spends slots on
-    queries whose driver status is unknown, red, or stale (changed
-    expression)."""
-    rounds = [
-        _load(f"/root/repo/CORRECTNESS_r0{i}.json") for i in (1, 2, 3, 4)
-    ]
+    driver itself (green in some prior round) — the window only spends
+    slots on queries whose driver status is unknown or stale."""
+    greens = _green_rounds()
     window = set(_PRIORITY)
-    skip = window | set(NEW_IN_R5) | set(OVERFLOW_R5)
     for name in all_specs():
-        if name in skip:
+        if name in window:
             continue
-        if name == "q_approx_stats":
-            # rows-only by design: the driver records err=no_oracle, so
-            # it can never be driver-green; its hashable companion
-            # q_approx_stats_bounded sits inside the window instead,
-            # and pytest bounds the sketch error directly.
-            continue
-        assert any(_green(r.get(name)) for r in rounds), (
+        assert greens.get(name), (
             f"{name} displaced from the driver window without prior green proof"
+        )
+
+
+def test_reproof_slots_go_to_oldest_evidence():
+    """The non-never slots re-prove rows whose only driver evidence is
+    r1 (before the round-2 exact-float driver hash)."""
+    seen = _evidence()
+    greens = _green_rounds()
+    for name in _PRIORITY:
+        if name not in seen:
+            continue  # a never-checked slot
+        assert greens.get(name) == {1}, (
+            f"re-proof slot {name} has post-r1 evidence {greens.get(name)} — "
+            "window slot wasted"
         )
 
 
 def test_rows_only_in_window_are_all_by_design():
     specs = all_specs()
     rows_only = {n for n in _PRIORITY if specs[n].oracle is None}
-    # every query in the driver window carries a full hash oracle
-    assert rows_only == set()
+    # q_approx_stats is the single deliberate rows-only row (sketch
+    # output; its hashable error-bounded twin q_approx_stats_bounded is
+    # driver-green r5 and pytest bounds the sketch error directly).
+    assert rows_only == {"q_approx_stats"}
