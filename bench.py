@@ -112,9 +112,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     disk_queries: dict[str, float] | None = None
+    disk_floor: float | None = None
     if mode in ("both", "disk"):
         # disk pass FIRST — nothing cached yet, queries re-scan parquet
-        disk_queries, _ = _measure(spark, sf_dir)
+        disk_queries, disk_floor = _measure(spark, sf_dir)
 
     payload: dict[str, object]
     if mode in ("both", "mem"):
@@ -136,9 +137,21 @@ def main() -> None:
     }
     if floor is not None:
         payload["floor_sec"] = floor
+        # floor-normalized work term (VERDICT.md r5 item 4): total minus
+        # one zero-work action floor per query. The floor (py4j round
+        # trip + job scheduling + Arrow collect on this host) swung +51%
+        # between rounds 4 and 5 while work_sec stayed constant at
+        # 0.111 s — this is the round-over-round comparable number;
+        # `value` includes host scheduling noise x len(HEADLINE).
+        payload["work_sec"] = round(total - len(per_query) * floor, 4)
     if disk_queries is not None:
         payload["disk_queries"] = disk_queries
         payload["disk_total"] = round(sum(disk_queries.values()), 4)
+        if disk_floor is not None:
+            payload["disk_floor_sec"] = disk_floor
+            payload["disk_work_sec"] = round(
+                payload["disk_total"] - len(disk_queries) * disk_floor, 4
+            )
     print(json.dumps(payload))
 
 

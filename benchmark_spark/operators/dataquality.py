@@ -433,8 +433,21 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = part.select(F.col("p_partkey").alias("ck"), F.col("p_name").alias("cname"))
 
     def trigrams(col: str):
+        # length gate (ADVICE.md r5): for strings shorter than 3 chars
+        # Spark's sequence(1, length-2) auto-REVERSES (sequence(1,0) =
+        # [1,0], measured) and emits bogus sub-trigram fragments, while
+        # the DuckDB oracle's range(1, len-1) is simply empty — a
+        # cross-engine divergence. A greatest(...) clamp can't express
+        # "empty" (sequence's floor is a 1-element list), so gate on
+        # length explicitly: short names yield zero trigrams on both
+        # engines.
         return F.array_distinct(
-            F.expr(f"transform(sequence(1, length({col}) - 2), i -> substring({col}, i, 3))")
+            F.expr(
+                f"CASE WHEN length({col}) >= 3 THEN"
+                f" transform(sequence(1, length({col}) - 2),"
+                f" i -> substring({col}, i, 3))"
+                f" ELSE CAST(array() AS array<string>) END"
+            )
         )
 
     dtri = (

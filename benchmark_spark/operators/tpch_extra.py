@@ -785,7 +785,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_days,
                (floor((CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
-                      / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                      / CAST(nullif(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0)
+                             AS DOUBLE))
                       * 10000 + 0.5) / 10000) AS slope_cents_per_day
         FROM daily
         GROUP BY event_type
@@ -823,7 +824,12 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum("y")
     sxy = F.sum(F.col("x") * F.col("y"))
     sxx = F.sum(F.col("x") * F.col("x"))
-    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    # nullif-guarded denominator (ADVICE.md r5): a group with a single
+    # active day has n*Σx² - (Σx)² = 0, and NaN/Inf render differently
+    # between Spark and DuckDB — both engines now emit NULL instead.
+    slope = (n * sxy - sx * sy).cast("double") / F.nullif(
+        n * sxx - sx * sx, F.lit(0)
+    ).cast("double")
     return (
         daily.groupBy("event_type")
         .agg(

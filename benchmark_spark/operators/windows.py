@@ -375,24 +375,28 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Sort-based 2-D skyline: keep rows not strictly dominated on
-    (x maximize, y maximize). max(y) over a RANGE frame ending one
-    x-unit before the current row collects the best y among strictly
-    higher x; a row survives iff it beats that AND is the best at its
-    own x (ties on both dims all survive — none dominates another).
-    Two windows, zero self-joins: O(n log n) vs the O(n^2) NOT-EXISTS
-    definition the oracle states."""
-    above = Window.orderBy(F.col(x).desc()).rangeBetween(
-        Window.unboundedPreceding, -1
-    )
+    (x maximize, y maximize). Rows are re-indexed by dense_rank over x
+    descending — consecutive integers by construction — so a RANGE
+    frame ending at -1 on that rank collects the best y among STRICTLY
+    higher x regardless of how x values are spaced (ADVICE.md r5: a
+    raw RANGE offset on x itself silently under-collects when distinct
+    x values sit closer than 1 apart, e.g. fractional scores). A row
+    survives iff it beats that max AND is the best at its own x (ties
+    on both dims all survive — none dominates another). Two windows on
+    one global ordering, zero self-joins: O(n log n) vs the O(n^2)
+    NOT-EXISTS definition the oracle states."""
+    rank = Window.orderBy(F.col(x).desc())
+    above = Window.orderBy("_xr").rangeBetween(Window.unboundedPreceding, -1)
     tie = Window.partitionBy(x)
     return (
-        df.withColumn("_max_above", F.max(y).over(above))
+        df.withColumn("_xr", F.dense_rank().over(rank))
+        .withColumn("_max_above", F.max(y).over(above))
         .withColumn("_max_tie", F.max(y).over(tie))
         .filter(
             (F.col("_max_above").isNull() | (F.col(y) > F.col("_max_above")))
             & (F.col(y) == F.col("_max_tie"))
         )
-        .drop("_max_above", "_max_tie")
+        .drop("_xr", "_max_above", "_max_tie")
     )
 
 

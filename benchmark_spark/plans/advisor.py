@@ -79,7 +79,19 @@ def advise(df: DataFrame) -> list[Finding]:
                 "out of the pre-filter hot path.",
             )
         )
-    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+    # count only real shuffle barriers (ADVICE.md r5): lines whose node
+    # is a plain Exchange, excluding BroadcastExchange AND
+    # ReusedExchange — a ReusedExchange line repeats the original's
+    # "Exchange hashpartitioning(...)" descriptor but reads an
+    # already-shuffled output, so substring counting double-reported
+    # plans with exchange reuse.
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    )
     if n_exchanges > 6:
         findings.append(
             Finding(

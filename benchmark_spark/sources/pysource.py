@@ -191,8 +191,13 @@ class SynthFeedSource(DataSource):
     tags=("source", "extension", "streaming"),
 )
 def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import time
     import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from benchmark_spark.streaming.windows import scratch_dir
 
     spark.dataSource.register(SynthFeedSource)
     agg = (
@@ -208,7 +213,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"pyfeed_sink_{uuid.uuid4().hex[:8]}"
-    ckpt = f"/root/repo/.scratch/pyfeed_ckpt_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir()
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -218,9 +223,16 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
+        done = None
         deadline = time.time() + 120
         while time.time() < deadline:
-            done = spark.table(sink).agg(F.sum("n")).first()[0]
+            # the memory sink's table registration can lag start() on a
+            # slow first micro-batch — a missing table is "not yet", not
+            # an error (ADVICE.md r5)
+            try:
+                done = spark.table(sink).agg(F.sum("n")).first()[0]
+            except AnalysisException:
+                done = None
             if done == FEED_TOTAL:
                 break
             time.sleep(0.5)
@@ -230,4 +242,8 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         q.stop()
+        # offsets are only needed while the query runs; the memory sink
+        # outlives stop(), the checkpoint need not (unbounded .scratch
+        # growth otherwise — ADVICE.md r5)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink).orderBy("grp")

@@ -197,6 +197,25 @@ def test_skyline_algorithm_matches_definition_on_anticorrelated_data(spark):
     assert len(got) >= 21  # the anti-correlated ridge survives intact
 
 
+def test_skyline_handles_fractional_x_spacing(spark):
+    """Regression (ADVICE.md r5): distinct x values closer than 1 apart.
+    The pre-fix RANGE frame on raw x treated x=10.0 as NOT strictly
+    above x=10.5-1=9.5, so a point dominated by a neighbor within 1.0
+    survived. dense_rank re-indexing makes spacing irrelevant."""
+    from benchmark_spark.operators.windows import skyline_2d
+
+    pts = [
+        (1, 10.5, 5.0),   # frontier (best x)
+        (2, 10.0, 4.0),   # dominated by id=1 (x and y both lower)
+        (3, 10.0, 6.0),   # frontier (beats id=1 on y)
+        (4, 9.75, 6.0),   # dominated by id=3
+        (5, 9.5, 7.0),    # frontier
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {1, 3, 5}
+
+
 def test_pit_join_matches_exactly_one_version_per_order(spark):
     from benchmark_spark.operators.dataquality import q_pit_join
 
