@@ -151,15 +151,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def probe_file(path: str) -> str | None:
+    """A footer-sniffable parquet file for ``path``: the path itself,
+    or the first part file when it's a directory dataset (partitioned /
+    multi-file — the writer gives every part the same physical schema).
+    None for an empty directory."""
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return parts[0] if parts else None
+
+
 def ts_unit(path: str, column: str = "ts") -> str:
     """Physical time unit ('ns'/'us'/'ms'/'s') of a timestamp column,
     read from the parquet footer. Fixture regenerations have switched
     units between rounds; sniffing the footer keeps the read path
     correct under either (a 1000x unit mistake silently compresses a
-    30-day stream into 43 minutes — round-3 postmortem)."""
+    30-day stream into 43 minutes — round-3 postmortem). Directory
+    datasets are sniffed through their first part file."""
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(path).schema_arrow.field(column).type
+    probe = probe_file(path)
+    if probe is None:
+        return "us"
+    t = pq.ParquetFile(probe).schema_arrow.field(column).type
     return getattr(t, "unit", "us")
 
 
@@ -167,14 +182,9 @@ def ts_unit(path: str, column: str = "ts") -> str:
 def _nanos_ts_columns_cached(path: str, mtime: float) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
-    probe = path
-    if os.path.isdir(path):
-        # directory dataset (partitioned / multi-file): sniff one part
-        # file — the writer gives every part the same physical schema
-        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-        if not parts:
-            return ()
-        probe = parts[0]
+    probe = probe_file(path)
+    if probe is None:
+        return ()
     schema = pq.ParquetFile(probe).schema_arrow
     return tuple(f.name for f in schema if getattr(f.type, "unit", None) == "ns")
 
@@ -233,6 +243,12 @@ def load_table(
             raise ValueError(f"{name} nanos projection drifted: {got}")
         return df
     df = spark.read.schema(expected).parquet(table_path(sf_dir, name))
+    if df.columns != [f.name for f in expected.fields]:
+        # hive-partitioned directory: Spark appends partition columns
+        # at the END regardless of the provided schema — restore the
+        # catalog's column order (identity projection otherwise,
+        # removed by Catalyst)
+        df = df.select(*[f.name for f in expected.fields])
     if assert_schema:
         actual = spark.read.parquet(table_path(sf_dir, name)).schema
 
@@ -243,8 +259,15 @@ def load_table(
             # the form the DuckDB oracle sees. Treat as equivalent.
             return "timestamp" if t == "timestamp_ntz" else t
 
-        exp_simple = [(f.name, norm(f.dataType.simpleString())) for f in expected.fields]
-        act_simple = [(f.name, norm(f.dataType.simpleString())) for f in actual.fields]
+        # sorted by name: a hive-partitioned directory surfaces its
+        # partition columns last, and load_table normalizes order
+        # anyway — drift detection is about names/types, not position
+        exp_simple = sorted(
+            (f.name, norm(f.dataType.simpleString())) for f in expected.fields
+        )
+        act_simple = sorted(
+            (f.name, norm(f.dataType.simpleString())) for f in actual.fields
+        )
         if exp_simple != act_simple:
             raise ValueError(
                 f"schema drift for table {name!r}: expected {exp_simple}, footer has {act_simple}"

@@ -34,6 +34,12 @@ DEFAULT_CONF: dict[str, str] = {
     # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects;
     # read it as raw long and convert (catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # write timestamps as annotated int64 micros, not legacy INT96:
+    # INT96 is deprecated, unreadable by many engines (and pyarrow
+    # reports it as nanos, confusing footer sniffers), so every sink
+    # this engine writes — CTAS, compaction, partitioned copies — must
+    # round-trip through the catalog's own reader.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
@@ -69,4 +75,5 @@ def tune_for_queries(spark: SparkSession, shuffle_partitions: int = 32) -> Spark
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

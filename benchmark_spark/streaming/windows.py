@@ -94,19 +94,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical schema either way.
     """
     src = table_path(sf_dir, "events")
-    stage = os.path.join(
-        "/root/repo/.scratch", f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    # re-create rather than reuse a stale link: the stage dir is keyed
-    # by basename(sf_dir), so a link left by a run against a different
-    # parent directory (or a since-removed fixture) would silently feed
-    # the stream old data
-    if os.path.islink(link) and os.readlink(link) != src:
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        # directory dataset (partitioned / multi-file fixture): already
+        # the directory the file stream source wants — feed it directly,
+        # each part file becomes its own discoverable input
+        stage = src
+    else:
+        # single-file fixture: stage a symlink dir (no data copy)
+        stage = os.path.join(
+            "/root/repo/.scratch", f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        # re-create rather than reuse a stale link: the stage dir is
+        # keyed by basename(sf_dir), so a link left by a run against a
+        # different parent directory (or a since-removed fixture) would
+        # silently feed the stream old data
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(src, link)
     if ts_unit(src) != "ns":
         return spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2,14 +2,22 @@
 """Run the full registry against the DuckDB oracle locally (the
 driver-gate mimic). Usage:
 
-    python tools/check_oracle.py [sf_dir] [name ...]
+    python tools/check_oracle.py [sf_dir] [--json OUT.json] [name ...]
 
 Defaults to /root/testdata/sf0.01 and all registered queries.
 Exit code = number of failing queries.
+
+--json writes a per-query artifact in the CORRECTNESS_rN.json shape
+(rows/schema/hash keys all driven by the same ok flag — the local
+gate's compare is a single combined verdict), so a full sf0.1 run
+becomes a committed, regenerable evidence file:
+
+    python tools/check_oracle.py /root/testdata/sf0.1 --json GATE_sf01_r06.json
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -22,6 +30,11 @@ from benchmark_spark.testing import compare, duckdb_connection, run_rows_only
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
     specs = all_specs()
@@ -36,22 +49,54 @@ def main() -> int:
     spark = get_spark("check-oracle", shuffle_partitions=8)
     con = duckdb_connection(sf_dir)
     failures = 0
+    artifact: dict[str, dict] = {}
     for name, spec in specs.items():
         t0 = time.time()
+        err = None
         try:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is None:
                 res = run_rows_only(name, df)
+                err = "no_oracle"
             else:
                 res = compare(name, df, con, spec.oracle)
         except Exception as e:  # noqa: BLE001 - report and continue
             failures += 1
-            print(f"[ERROR] {name}: {type(e).__name__}: {str(e).splitlines()[0][:300]}")
+            err = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            print(f"[ERROR] {name}: {err}")
+            artifact[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": err,
+                "secs": round(time.time() - t0, 2),
+            }
             continue
         if not res.ok:
             failures += 1
         print(f"{res.message()}  ({time.time() - t0:.2f}s)")
+        artifact[name] = {
+            "rows_match": res.ok or res.spark_rows == res.oracle_rows,
+            "schema_match": res.ok,
+            "hash_match": res.ok if spec.oracle is not None else None,
+            "spark_rows": res.spark_rows,
+            "oracle_rows": res.oracle_rows,
+            "err": err if err else (res.mismatches[0][:300] if res.mismatches else None),
+            "secs": round(time.time() - t0, 2),
+        }
     print(f"\n{len(specs) - failures}/{len(specs)} passed")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "queries_run": len(specs),
+            "passed": len(specs) - failures,
+            "failed": failures,
+        }
+        with open(json_out, "w") as f:
+            json.dump({"_summary": summary, **artifact}, f, indent=1)
+        print(f"artifact written: {json_out}")
     return failures
 
 
