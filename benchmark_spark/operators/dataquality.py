@@ -404,11 +404,14 @@ _FUZZY_MIN_BP = 3000  # Jaccard >= 0.30 to accept a match
         "NAME equals the pre-damage original (duplicate catalog names "
         "make key-equality the wrong correctness notion). Jaccard is "
         "exact integer basis points from distinct-trigram counts — no "
-        "float crosses engines. Scale: candidate pairs are bounded by "
-        "trigram co-occurrence; at 100 TB the standard refinement is "
-        "dropping stop-trigrams (document-frequency cap) before the "
-        "block join, exactly like the token-blocked near-dup tiers; "
-        "the per-record argmax is one window over the candidate set."
+        "float crosses engines. Scale: CANONICALIZE FIRST — both sides "
+        "dedupe to distinct name strings before any pair is formed, so "
+        "the similarity join runs in name space (O(distinct names^2) "
+        "worst case, not O(rows^2)) and per-name verdicts broadcast "
+        "back onto the keyed rows; measured sf0.1: 2.9 s vs >15 min "
+        "for the row-level trigram block join this replaced. At 100 TB "
+        "with genuinely diverse names the further refinements are "
+        "prefix filtering / stop-trigram caps on the name-space join."
     ),
     tags=("completeness", "quality", "join"),
 )
@@ -450,31 +453,64 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    dtri = (
-        dirty.select("dk", "orig", F.explode(trigrams("dname")).alias("tri"))
-        .withColumn("na", F.count(F.lit(1)).over(Window.partitionBy("dk")))
+    # CANONICALIZE-FIRST matching (round 6 scale fix): the naive block
+    # join on every shared trigram expanded sum_t f_d(t) x f_c(t) pair
+    # rows — ~356M at sf0.1 (measured; one AQE-coalesced task ground
+    # >15 min), because the fixture's catalog has only 64 DISTINCT
+    # names across 20k parts (8 adjectives x 8 nouns) and 78 distinct
+    # trigrams, so frequency-based blocking has nothing rare to block
+    # on. Jaccard depends only on the NAME STRINGS, so the entity-
+    # resolution standard applies: dedupe both sides to distinct name
+    # strings (dirty: <=64 x ~10 deletion variants; clean: 64), run
+    # the trigram-blocked similarity join in NAME space — O(distinct
+    # names^2) worst case instead of O(rows^2) — and broadcast the
+    # per-name verdicts back onto the keyed rows. Exactness of the
+    # key-level tiebreak (jacc DESC, ck ASC over all candidate pairs):
+    # all parts sharing a cname score identically, so the winning ck is
+    # min(ck) within the best-scoring cname, with ties across cnames
+    # broken by that same min — encoded as (jacc DESC, best_ck ASC)
+    # over cname groups. Dropped zero-intersection name pairs can
+    # never win: they'd score jacc_bp = 0 < the 3000 floor.
+    dn = (
+        dirty.select("dname")
+        .distinct()
+        .withColumn("dtris", trigrams("dname"))
+        .withColumn("na", F.size("dtris"))
     )
-    ctri = (
-        clean.select("ck", "cname", F.explode(trigrams("cname")).alias("tri"))
-        .withColumn("nb", F.count(F.lit(1)).over(Window.partitionBy("ck")))
+    cn = (
+        clean.groupBy(F.col("cname"))
+        .agg(F.min("ck").alias("best_ck"))
+        .withColumn("ctris", trigrams("cname"))
+        .withColumn("nb", F.size("ctris"))
+    )
+    cand = (
+        dn.select("dname", F.explode("dtris").alias("tri"))
+        .join(cn.select("cname", F.explode("ctris").alias("tri")), "tri")
+        .select("dname", "cname")
+        .distinct()
     )
     pairs = (
-        dtri.join(ctri, "tri")
-        .groupBy("dk", "ck")
-        .agg(
-            F.any_value("orig").alias("orig"),
-            F.any_value("cname").alias("cname"),
-            F.expr("(count(*) * 10000) div (any_value(na) + any_value(nb) - count(*))")
-            .alias("jacc_bp"),
+        cand.join(dn, "dname")
+        .join(cn, "cname")
+        .withColumn("isect", F.size(F.array_intersect("dtris", "ctris")))
+        .select(
+            "dname",
+            "cname",
+            "best_ck",
+            F.expr("(isect * 10000) div (na + nb - isect)").alias("jacc_bp"),
         )
     )
-    w = Window.partitionBy("dk").orderBy(F.desc("jacc_bp"), F.asc("ck"))
-    return (
+    w = Window.partitionBy("dname").orderBy(F.desc("jacc_bp"), F.asc("best_ck"))
+    best = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("jacc_bp") >= _FUZZY_MIN_BP))
+        .select("dname", "cname", "best_ck", "jacc_bp")
+    )
+    return (
+        dirty.join(F.broadcast(best), "dname")
         .select(
             F.col("dk").alias("p_partkey"),
-            F.col("ck").alias("matched_key"),
+            F.col("best_ck").alias("matched_key"),
             F.col("jacc_bp").cast("long").alias("jacc_bp"),
             (F.col("cname") == F.col("orig")).cast("long").alias("name_correct"),
         )
