@@ -222,6 +222,50 @@ def lsh_candidates(
     )
 
 
+def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs via per-doc
+    shingle-ARRAY intersection (round 6 scale fix): the previous
+    cand -> sh(pa) -> sh(pb) join expanded every candidate pair by its
+    shingle count (~1.3B intermediate rows at sf0.1's 6.5M candidates,
+    which AQE coalesced into a near-single-task grind — measured ~25
+    min for the char-gram tier). Collapsing the shingle table to one
+    array row per doc makes verification two small-side joins (the doc
+    lists broadcast at these sizes; at cluster scale they hash-join on
+    doc_id) plus a map-side array_intersect per candidate — no
+    pair x shingle expansion exists in the plan at all. Same output:
+    pairs with exact shingle-Jaccard >= threshold, 4dp floor-rounded.
+    (Mirrors the DuckDB oracle's doclists/list_intersect form — both
+    engines verify through the identical algebra.)
+
+    The explicit repartition is load-bearing: the candidate set is
+    byte-SMALL (6.5M pairs ~ 100 MB at sf0.1) but compute-HEAVY
+    (~100 us of string-set intersection per pair), and AQE's
+    size-based coalescing collapsed it to ONE partition — the whole
+    verify ran in a single task (measured 627 s; 32-way it's ~20 s).
+    Byte-based partition sizing is the wrong cost model whenever
+    per-row CPU dominates; pin the fan-out by hand."""
+    lists = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shset"))
+    la = lists.alias("la")
+    lb = lists.alias("lb")
+    width = cand.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        cand.repartition(width, "a_id", "b_id")
+        .join(la, F.col("la.doc_id") == F.col("a_id"))
+        .join(lb, F.col("lb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("la.shset", "lb.shset")).alias("isect"),
+            F.size("la.shset").alias("na"),
+            F.size("lb.shset").alias("nb"),
+        )
+    )
+    jac = F.col("isect") / (F.col("na") + F.col("nb") - F.col("isect"))
+    return scored.filter(jac >= threshold).select(
+        "a_id", "b_id", rnd(jac, 4).alias("jaccard")
+    )
+
+
 # The oracle replays the ENTIRE pipeline in DuckDB: the md5-derived
 # permutation hashes are bit-identical across engines (60-bit hex
 # prefix -> BIGINT), so signatures, banding, candidate pairs, and the
@@ -372,30 +416,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(corpus)
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig)
-    # verify candidates with exact shingle Jaccard (join runs only on
-    # candidate pairs, not the corpus cross product)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pa = sh.alias("pa")
-    pb = sh.alias("pb")
-    inter = (
-        cand.join(pa, F.col("pa.doc_id") == F.col("a_id"))
-        .join(
-            pb,
-            (F.col("pb.doc_id") == F.col("b_id"))
-            & (F.col("pb.shingle") == F.col("pa.shingle")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("isect"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
-    return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
-        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
-        .filter(jac >= 0.5)
-        .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
-    )
+    # verify candidates with exact shingle Jaccard (array intersection
+    # on candidate pairs only — see verify_jaccard)
+    return verify_jaccard(sh, cand, 0.5)
 
 
 # DuckDB replay of the whole SimHash pipeline: the 60-bit token hash
@@ -784,23 +807,4 @@ def q_chargram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingles(corpus)
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pa, pb = sh.alias("pa"), sh.alias("pb")
-    inter = (
-        cand.join(pa, F.col("pa.doc_id") == F.col("a_id"))
-        .join(
-            pb,
-            (F.col("pb.doc_id") == F.col("b_id"))
-            & (F.col("pb.shingle") == F.col("pa.shingle")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("isect"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
-    return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
-        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
-        .filter(jac >= 0.6)
-        .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
-    )
+    return verify_jaccard(sh, cand, 0.6)
