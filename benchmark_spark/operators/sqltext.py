@@ -105,7 +105,15 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "graph", "sql"),
 )
 def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    knn_edges(spark, sf_dir).createOrReplaceTempView("knn_edges_view")
+    # localCheckpoint BEFORE the recursion (round 6; same lineage-replay
+    # fix round 5 applied to the Pregel loops): the UnionLoop re-derives
+    # every view it references on EACH of the 8 iterations, so the LSH
+    # bucket join + top-k behind knn_edges ran 8x (measured 86 s at
+    # sf0.1; the loop itself is milliseconds once edges are a
+    # materialized scan)
+    knn_edges(spark, sf_dir).localCheckpoint(eager=True).createOrReplaceTempView(
+        "knn_edges_view"
+    )
     return spark.sql(
         """
         WITH RECURSIVE reach(node, hop) AS (
