@@ -124,7 +124,10 @@ def main() -> None:
             load_table(spark, sf_dir, t, assert_schema=False).cache().count()
         per_query, floor = _measure(spark, sf_dir)
     else:
-        per_query, floor = disk_queries, None  # disk-only run
+        # disk-only run (scale_probe loops): keep the measured floor so
+        # the floor-normalized work_sec is reported here too (ADVICE r6
+        # — 'both' mode already reports disk_floor_sec/disk_work_sec)
+        per_query, floor = disk_queries, disk_floor
         disk_queries = None
 
     total = round(sum(per_query.values()), 4)

@@ -173,7 +173,12 @@ def ts_unit(path: str, column: str = "ts") -> str:
 
     probe = probe_file(path)
     if probe is None:
-        return "us"
+        # An empty directory dataset is a broken fixture; a silent 'us'
+        # default would just defer the failure to a confusing read-path
+        # error downstream (ADVICE r6) — fail fast at the catalog layer.
+        raise FileNotFoundError(
+            f"ts_unit: no parquet part file found under directory dataset {path!r}"
+        )
     t = pq.ParquetFile(probe).schema_arrow.field(column).type
     return getattr(t, "unit", "us")
 

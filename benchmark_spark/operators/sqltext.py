@@ -105,15 +105,21 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "graph", "sql"),
 )
 def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint BEFORE the recursion (round 6; same lineage-replay
-    # fix round 5 applied to the Pregel loops): the UnionLoop re-derives
-    # every view it references on EACH of the 8 iterations, so the LSH
-    # bucket join + top-k behind knn_edges ran 8x (measured 86 s at
-    # sf0.1; the loop itself is milliseconds once edges are a
-    # materialized scan)
-    knn_edges(spark, sf_dir).localCheckpoint(eager=True).createOrReplaceTempView(
-        "knn_edges_view"
-    )
+    # Materialize the edges ONCE before the recursion (round 6; same
+    # lineage-replay fix round 5 applied to the Pregel loops): the
+    # UnionLoop re-derives every view it references on EACH of the 8
+    # iterations, so the LSH bucket join + top-k behind knn_edges ran
+    # 8x (measured 86 s at sf0.1; the loop itself is milliseconds once
+    # edges are a materialized scan). Round 7 (ADVICE r6): .cache()
+    # instead of localCheckpoint — localCheckpoint runs the full kNN
+    # pipeline at DataFrame-construction time even with eager=False
+    # (AQE executes stages when the plan is converted to an RDD,
+    # measured 15 s at sf0.1 before any action), whereas the cached
+    # view is truly lazy: iteration 1 populates the InMemoryRelation
+    # and iterations 2..8 read it (measured: first action ~= ONE
+    # pipeline run, re-collect 0.08 s), so instantiating the registry
+    # spec does zero cluster work and the 8x replay win is unchanged.
+    knn_edges(spark, sf_dir).cache().createOrReplaceTempView("knn_edges_view")
     return spark.sql(
         """
         WITH RECURSIVE reach(node, hop) AS (

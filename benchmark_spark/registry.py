@@ -76,42 +76,39 @@ def register(
 
 
 # The external correctness harness checks the FIRST 50 registry entries
-# only (verified: CORRECTNESS_r01-r04.json are exactly all_queries()
-# positions 1-50). Round-5 re-cut (VERDICT.md r4 item 1): first the 10
-# registered queries that have never been inside a driver window across
-# r1-r4 (all judge-verified green locally in r4) — this closes the
-# coverage loop: with a green r5, every registered query has at least
-# one driver-green row across rounds. The round-6 re-cut (VERDICT.md
-# r5 item 1) finishes that program: the 40 registered queries that have
-# never been inside any driver window across r1-r5 (all judge-verified
-# green via the full tools/check_oracle.py gate in the r5 judging
-# session) take the first 40 slots, so a green CORRECTNESS_r06 gives
-# every one of the 224 registered queries driver-green evidence across
-# rounds. The remaining 10 slots re-prove the rows whose only driver
-# evidence is r1 (before the round-2 exact-float driver hash).
-# Everything displaced is driver-green in r2-r5 and stays checked by
-# the local gate (tools/check_oracle.py runs all of them every round;
-# tools/gate_sf01.py re-runs the full gate at sf0.1).
+# only (verified: CORRECTNESS_r01-r06.json are exactly all_queries()
+# positions 1-50 of their round). Rounds 5-6 used the window to give
+# every registered query at least one driver-green round (r5: the 10
+# never-checked; r6: the remaining 40 — CORRECTNESS_r06 49/50 hash +
+# q_approx_stats rows-only by design completed the program).
 _PRIORITY = (
-    # never driver-checked across rounds 1-5 (judge-gate-verified r5)
-    "q_attribution", "q_skyline", "q_skyline_grid", "q_pit_join",
-    "q_fuzzy_join", "q_variant", "q_sql_script", "q_udtf_poly",
-    "q_python_datasource", "q_python_stream_source",
-    "q_graph_reachability", "q_lateral_topn", "q_dq_checks",
-    "q_k_anonymity", "q_pseudonymize", "q_snapshot_diff",
-    "q_latest_snapshot", "q_salted_hotcold", "q_corrupt_ingest",
-    "q_zorder_layout", "q_equidepth_hist", "q_equidepth_twophase",
-    "q_grouping_id", "q_ab_readout", "q_trend_fit",
-    "q_cusum_changepoint", "q_ltv_curve", "q_rfm_segments",
-    "q_event_transitions", "q_path_trigrams", "q_conversion_lag",
-    "q_basket_lift", "q_kl_novelty", "q_weighted_sample",
-    "q_threshold_sweep", "q_cluster_sample", "q_ppr_seed_expand",
-    "q_triangle_degree", "q_stream_dq",
-    "q_approx_stats",  # rows-only by design (sketch); bounded twin green r5
-    # only driver evidence is r1 — re-prove under the exact-float hash
-    "q1_scan_mid", "q1_scan_tight", "q_cross_join", "q_frame",
-    "q_full_outer", "q_in_subquery", "q_lag", "q_limit_offset",
-    "q_null_pred", "q_range_frame",
+    # Round-7 re-cut: with CORRECTNESS_r06 green, every one of the 224
+    # registered queries has driver-green evidence across r1-r6 (union)
+    # — the coverage program is complete. From round 7 on the window
+    # rotates by EVIDENCE AGE so driver (fully independent) proof stays
+    # fresh: these 50 are exactly the rows whose latest driver-green
+    # round is oldest (5 rows last green in r1, all 36 rows last green
+    # in r2, plus the 9 highest-value r3-latest rows — the scale-
+    # critical dedup/ANN/maintenance tier). Everything displaced is
+    # driver-green in r3-r6 and stays checked by the local full gate
+    # (tools/check_oracle.py every round; tools/gate_sf01.py at 10x).
+    # latest driver evidence r1
+    "q_sliding_frame", "q_sort_multi", "q_value_funcs", "q_union_all",
+    "q_union",
+    # latest driver evidence r2
+    "q_pred_mix", "q_agg_funcs", "q_join_multi", "q_broadcast_join",
+    "q_semi", "q_outer", "q_range_join", "q_asof", "q_rank_funcs",
+    "q_topk", "q_intersect", "q_except", "q_intersect_all",
+    "q_except_all", "q4_two_step", "q_ann_lsh", "q_string", "q_date",
+    "q_math", "q_cond", "q_array", "q_json", "q_cast", "q_hash",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_textstats", "q_langid", "q_binary_meta", "q_stream_dedup",
+    "q_scalar_udf", "q_pandas_udf", "q_grouped_agg_udf", "q_udtf",
+    "q_pipe_wordcount",
+    # latest driver evidence r3 — scale-critical dedup/ANN/maintenance
+    "q_dedup_clusters", "q_ann_ivf", "q_knn_sq8", "q_dedup_embed_lsh",
+    "q_jaccard_chargram", "q_curation_pipeline", "q_multimodal_features",
+    "q_incremental_agg", "q_merge_upsert",
 )
 
 

@@ -389,7 +389,8 @@ def test_sliding_stream_converges_to_batch(spark):
 # by the stable applyInPandasWithState test above; revisit TWS when
 # the runtime ships an intact protobuf. (Round-5 probe: `import
 # google.protobuf` still raises ModuleNotFoundError — unchanged.
-# Round-6 probe 2026-08-14: still ModuleNotFoundError — unchanged.)
+# Round-6 probe 2026-08-14: still ModuleNotFoundError — unchanged.
+# Round-7 probe 2026-08-14: still ModuleNotFoundError — unchanged.)
 
 
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
