@@ -167,3 +167,151 @@ def test_md5_rank_matches_hashlib_everywhere(spark, keys):
     }
     for k in set(keys):
         assert got[k] == hashlib.md5(str(k).encode()).hexdigest()
+
+
+def _pareto(points):
+    """Brute-force 2-D Pareto frontier (maximize both): the NOT-EXISTS
+    definition the skyline oracles state."""
+    return {
+        (x, y)
+        for x, y in points
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for a, b in points
+        )
+    }
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_skyline_2d_equals_brute_force(spark, pts):
+    """skyline_2d (two windows, zero self-joins) == the O(n^2)
+    NOT-EXISTS definition for arbitrary points incl. ties on either
+    or both dimensions."""
+    from benchmark_spark.operators.windows import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == _pareto(pts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=30_000),
+)
+@_SETTINGS
+def test_grid_prune_never_drops_a_frontier_point(spark, pts, sx, sy):
+    """q_skyline_grid's safety invariant, generically: a cell doomed
+    because some strictly-up-and-right cell is occupied cannot contain
+    a Pareto point — for ANY point set and ANY cell sizes. (The grid
+    only changes how much work the exact pass sees, never the answer;
+    the fixture pin in test_plans checks it fires, this checks it can
+    never misfire.)"""
+    frontier = _pareto(pts)
+    cells = {(x // sx, y // sy) for x, y in pts}
+    doomed = {
+        (gx, gy)
+        for gx, gy in cells
+        if any(ox > gx and oy > gy for ox, oy in cells)
+    }
+    survivors = {(x, y) for x, y in pts if (x // sx, y // sy) not in doomed}
+    assert frontier <= survivors
+    # and pruning is sound end-to-end: frontier of survivors is the
+    # frontier of the full set
+    assert _pareto(list(survivors)) == frontier
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # a_id: few anchors
+            st.integers(min_value=0, max_value=50),  # vec_id
+            st.integers(min_value=-5, max_value=5),  # coarse score: ties likely
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_topk_per_anchor_matches_sorted_reference(spark, rows, k):
+    """topk_per_anchor (the shared tail of every ANN tier) == the
+    python sort[(-score, vec_id)][:k] reference for arbitrary scores
+    INCLUDING duplicates — the tiebreak is what keeps every ANN oracle
+    hash-stable, so it must hold for any score distribution."""
+    from collections import defaultdict
+
+    from benchmark_spark.llm.similarity import topk_per_anchor
+
+    df = spark.createDataFrame(
+        [(a, v, float(s)) for a, v, s in rows], ["a_id", "vec_id", "raw"]
+    )
+    got = defaultdict(list)
+    out = topk_per_anchor(df, k).orderBy("a_id", F.desc("score"), "neighbor_id")
+    for r in out.collect():
+        got[r["a_id"]].append(r["neighbor_id"])
+    ref = defaultdict(list)
+    by_anchor = defaultdict(list)
+    for a, v, s in rows:
+        by_anchor[a].append((v, s))
+    for a, items in by_anchor.items():
+        ref[a] = [v for v, _ in sorted(items, key=lambda t: (-t[1], t[0]))[:k]]
+    assert {a: sorted(vs) for a, vs in got.items()} == {
+        a: sorted(vs) for a, vs in ref.items()
+    }
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=30),  # ts (days)
+            st.integers(min_value=0, max_value=1000),  # unique id
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[2],
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+@_SETTINGS
+def test_asof_rewrite_matches_latest_per_key_reference(spark, rows, cutoff):
+    """The q_asof rewrite (filter + row_number()=1 over ts DESC, id
+    DESC) == 'latest row per key as of the cutoff' for arbitrary data,
+    including duplicate timestamps per key (the id tiebreak decides)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, ["k", "ts", "id"])
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("id"))
+    got = {
+        (r["k"], r["ts"], r["id"])
+        for r in df.filter(F.col("ts") <= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    ref = {}
+    for k, ts, rid in rows:
+        if ts <= cutoff and (k not in ref or (ts, rid) > (ref[k][0], ref[k][1])):
+            ref[k] = (ts, rid)
+    assert got == {(k, ts, rid) for k, (ts, rid) in ref.items()}

@@ -58,23 +58,56 @@ def _timed(thunk, trials: int = TRIALS) -> tuple[float, object]:
     return round(statistics.median(samples), 3), result
 
 
-def reachability_ab(spark: SparkSession, d: str) -> dict:
-    """Both variants pay one identical edge materialization; the A/B
-    isolates the loop machinery. Cold per trial: cache/checkpoint
-    state is dropped between runs."""
-    from benchmark_spark.llm.graph import knn_edges
-    from benchmark_spark.registry import all_specs
+_REACH_SQL = """
+    WITH RECURSIVE reach(node, hop) AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN curve7_edges e ON e.src = r.node
+        WHERE r.hop < 8
+    )
+    SELECT node AS vec_id, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+"""
 
-    spec = all_specs()["q_graph_reachability"]
+
+def reachability_ab(spark: SparkSession, d: str, n: int) -> dict:
+    """WITH RECURSIVE (UnionLoop) vs explicit checkpointed BFS loop
+    over the SAME pre-materialized edge table.
+
+    Edge-growth model: the x1 kNN edge list replicated n times with
+    shifted ids — disconnected copies, so the BFS frontier stays the
+    x1 frontier while every iteration's join probes an n-times edge
+    table. That is the '30x the edge count' question VERDICT r5
+    item 5 asks; re-deriving kNN edges over the identical-vector
+    embedding replicas would instead grow LSH bucket PAIRS
+    quadratically (900x at x30) — a corpus-growth model nobody runs
+    a similarity graph under. Edge materialization happens once
+    OUTSIDE the timers for both variants, isolating loop machinery.
+    """
+    from benchmark_spark.llm.graph import knn_edges
+
+    x1_dir = f"{REPO}/.scratch/curve_x1"
+    build(x1_dir, 1)
+    edge_dir = f"{REPO}/.scratch/curve7_edges_x{n}"
+    if not os.path.exists(os.path.join(edge_dir, "_SUCCESS")):
+        base = knn_edges(spark, x1_dir).localCheckpoint(eager=True)
+        out = None
+        for i in range(n):
+            rep = base.select(
+                (F.col("src") + F.lit(i * 10_000)).cast("long").alias("src"),
+                (F.col("dst") + F.lit(i * 10_000)).cast("long").alias("dst"),
+            )
+            out = rep if out is None else out.union(rep)
+        out.write.mode("overwrite").parquet(edge_dir)
+    edges = spark.read.parquet(edge_dir).cache()
+    n_edges = edges.count()  # materialized before any timer starts
+    edges.createOrReplaceTempView("curve7_edges")
 
     def run_recursive():
-        spark.catalog.clearCache()
-        rows = spec.fn(spark, d).collect()
-        return len(rows)
+        return spark.sql(_REACH_SQL).count()
 
     def run_explicit():
-        spark.catalog.clearCache()
-        edges = knn_edges(spark, d).localCheckpoint(eager=True)
         frontier = spark.createDataFrame([(0, 0)], "node BIGINT, hop INT")
         reached = frontier.localCheckpoint(eager=True)
         for h in range(1, 9):
@@ -92,8 +125,10 @@ def reachability_ab(spark: SparkSession, d: str) -> dict:
 
     rec_sec, rec_rows = _timed(run_recursive)
     exp_sec, exp_rows = _timed(run_explicit)
+    edges.unpersist()
     assert rec_rows == exp_rows, f"variant mismatch: {rec_rows} vs {exp_rows}"
     return {
+        "edges": n_edges,
         "recursive_sec": rec_sec,
         "explicit_loop_sec": exp_sec,
         "reached_nodes": rec_rows,
@@ -174,7 +209,7 @@ def main() -> None:
         d = f"{REPO}/.scratch/curve_x{n}"
         build(d, n)
         res = {
-            "reachability": reachability_ab(spark, d),
+            "reachability": reachability_ab(spark, d, n),
             "skyline_grid": skyline_prune(spark, d),
             "ann_recall": ann_recall(spark, d),
             "window_tier": window_tier(spark, d),
