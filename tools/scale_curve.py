@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import statistics
 import sys
 import time
@@ -56,86 +55,87 @@ WARMUP = int(os.environ.get("SPARK_GRAFT_CURVE_WARMUP", "1"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_CURVE_TRIALS", "3"))
 
 
-def build(out_dir: str, n: int) -> None:
-    import duckdb
-
-    marker = os.path.join(out_dir, "_SUCCESS")
-    # lineitem/supplier were added to the replica set in late round 5 —
-    # a marker without them is a stale layout and must rebuild
-    if (
-        os.path.exists(marker)
-        and os.path.exists(os.path.join(out_dir, "lineitem.parquet"))
-        and os.path.exists(os.path.join(out_dir, "customer.parquet"))
-        and os.path.exists(os.path.join(out_dir, "events.parquet"))
-    ):
-        return
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    con = duckdb.connect()
-    con.execute(
-        f"""
-        COPY (
-            SELECT doc_id + i * {DOC_SHIFT} AS doc_id,
-                   CASE WHEN i = 0 THEN text ELSE
-                       array_to_string(list_transform(string_split(text, ' '),
-                           t -> substring(md5(t || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')
-                   END AS text,
-                   lang, source,
-                   CAST(length(CASE WHEN i = 0 THEN text ELSE
-                       array_to_string(list_transform(string_split(text, ' '),
-                           t -> substring(md5(t || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')
-                   END) AS BIGINT) AS n_chars
-            FROM read_parquet('{SRC}/documents.parquet'), range({n}) _(i)
-        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    con.execute(
-        f"COPY (SELECT vec_id + i * {VEC_SHIFT} AS vec_id, embedding, label "
-        f"FROM read_parquet('{SRC}/embeddings.parquet'), range({n}) _(i)) "
-        f"TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY (SELECT * REPLACE (o_orderkey + i * {ORDER_SHIFT} AS o_orderkey, "
-        f"o_custkey + i * {CUST_SHIFT} AS o_custkey) "
-        f"FROM read_parquet('{SRC}/orders.parquet'), range({n}) _(i)) "
-        f"TO '{out_dir}/orders.parquet' (FORMAT PARQUET)"
-    )
+# Per-table replica SELECTs (see module docstring for why each table
+# shifts/salts the way it does). {n} is the replica count.
+_SALTED_TEXT = (
+    "array_to_string(list_transform(string_split(text, ' '), "
+    "t -> substring(md5(t || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')"
+)
+_TABLE_SQL = {
+    # documents: tokens md5-salted per replica (near-dup structure
+    # constant per replica — the linear corpus-growth model)
+    "documents": f"""
+        SELECT doc_id + i * {DOC_SHIFT} AS doc_id,
+               CASE WHEN i = 0 THEN text ELSE {_SALTED_TEXT} END AS text,
+               lang, source,
+               CAST(length(CASE WHEN i = 0 THEN text ELSE {_SALTED_TEXT} END)
+                    AS BIGINT) AS n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), range({{n}}) _(i)
+    """,
+    "embeddings": f"""
+        SELECT vec_id + i * {VEC_SHIFT} AS vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet'), range({{n}}) _(i)
+    """,
+    "orders": f"""
+        SELECT * REPLACE (o_orderkey + i * {ORDER_SHIFT} AS o_orderkey,
+                          o_custkey + i * {CUST_SHIFT} AS o_custkey)
+        FROM read_parquet('{SRC}/orders.parquet'), range({{n}}) _(i)
+    """,
     # lineitem rides the same orderkey shift as orders (FKs stay
     # orphan-free per replica); partkey/suppkey are NOT shifted, so
     # per-part and per-supplier line counts grow linearly — the
     # corpus-growth model q_waiting_suppliers' self-joins care about.
-    con.execute(
-        f"COPY (SELECT * REPLACE (l_orderkey + i * {ORDER_SHIFT} AS l_orderkey) "
-        f"FROM read_parquet('{SRC}/lineitem.parquet'), range({n}) _(i)) "
-        f"TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY (SELECT * FROM read_parquet('{SRC}/supplier.parquet')) "
-        f"TO '{out_dir}/supplier.parquet' (FORMAT PARQUET)"
-    )
+    "lineitem": f"""
+        SELECT * REPLACE (l_orderkey + i * {ORDER_SHIFT} AS l_orderkey)
+        FROM read_parquet('{SRC}/lineitem.parquet'), range({{n}}) _(i)
+    """,
+    "supplier": f"SELECT * FROM read_parquet('{SRC}/supplier.parquet')",
     # customer rides the same custkey shift as orders, so the DQ
     # referential-integrity check stays orphan-free per replica and
     # the anti-join's build side grows linearly with the fact
-    con.execute(
-        f"COPY (SELECT * REPLACE (c_custkey + i * {CUST_SHIFT} AS c_custkey) "
-        f"FROM read_parquet('{SRC}/customer.parquet'), range({n}) _(i)) "
-        f"TO '{out_dir}/customer.parquet' (FORMAT PARQUET)"
-    )
+    "customer": f"""
+        SELECT * REPLACE (c_custkey + i * {CUST_SHIFT} AS c_custkey)
+        FROM read_parquet('{SRC}/customer.parquet'), range({{n}}) _(i)
+    """,
     # events: ids and users shift per replica, timestamps stay — the
     # same 30-day window carries N x the traffic (the growth model
     # windowed/attribution analytics face); part is a constant dim
-    con.execute(
-        f"COPY (SELECT * REPLACE (event_id + i * 10000000 AS event_id, "
-        f"user_id + i * {CUST_SHIFT} AS user_id) "
-        f"FROM read_parquet('{SRC}/events.parquet'), range({n}) _(i)) "
-        f"TO '{out_dir}/events.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY (SELECT * FROM read_parquet('{SRC}/part.parquet')) "
-        f"TO '{out_dir}/part.parquet' (FORMAT PARQUET)"
-    )
-    with open(marker, "w"):
-        pass
+    "events": f"""
+        SELECT * REPLACE (event_id + i * 10000000 AS event_id,
+                          user_id + i * {CUST_SHIFT} AS user_id)
+        FROM read_parquet('{SRC}/events.parquet'), range({{n}}) _(i)
+    """,
+    "part": f"SELECT * FROM read_parquet('{SRC}/part.parquet')",
+}
+ALL_TABLES = tuple(_TABLE_SQL)
+
+
+def build(out_dir: str, n: int, tables: tuple[str, ...] = ALL_TABLES) -> None:
+    """Build the requested replica tables, per-table incrementally: a
+    table already marked complete (per-table _SUCCESS_<t> marker, or
+    the pre-round-7 whole-dir _SUCCESS legacy marker plus the file) is
+    kept, missing ones are (re)copied. Large-multiplier runs can build
+    only the tables their query set reads (x100 documents+embeddings
+    is 3 orders of magnitude cheaper than x100 lineitem)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    legacy = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+    con = None
+    for t in tables:
+        f = os.path.join(out_dir, f"{t}.parquet")
+        marker = os.path.join(out_dir, f"_SUCCESS_{t}")
+        if os.path.exists(marker) or (legacy and os.path.exists(f)):
+            continue
+        if con is None:
+            con = duckdb.connect()
+        if os.path.exists(f):
+            os.remove(f)  # incomplete earlier copy
+        con.execute(
+            f"COPY ({_TABLE_SQL[t].format(n=n)}) TO '{f}' (FORMAT PARQUET)"
+        )
+        with open(marker, "w"):
+            pass
 
 
 def main() -> None:
@@ -149,7 +149,14 @@ def main() -> None:
     out: dict[str, dict] = {}
     for n in mults:
         d = f"{REPO}/.scratch/curve_x{n}"
-        build(d, n)
+        tables = tuple(
+            t
+            for t in os.environ.get(
+                "SPARK_GRAFT_CURVE_TABLES", ",".join(ALL_TABLES)
+            ).split(",")
+            if t
+        )
+        build(d, n, tables)
         rows = {
             "documents": n * 5000,
             "embeddings": n * 5000,
