@@ -60,3 +60,24 @@ def test_graph_reachability_hops_are_bfs_consistent(spark):
                     nxt.append(v)
         frontier = nxt
     assert got == want
+
+
+def test_graph_reachability_construction_is_lazy_and_edge_view_cached(spark):
+    """Round-7 contract (ADVICE r6): building the q_graph_reachability
+    DataFrame must run ZERO jobs (localCheckpoint — even eager=False —
+    executed the full kNN pipeline at construction under AQE), and the
+    edge view must be cache-backed so the UnionLoop's 8 iterations hit
+    one materialization instead of re-deriving the LSH pipeline."""
+    from benchmark_spark.operators.sqltext import q_graph_reachability
+
+    sc = spark.sparkContext
+    group = "reachability-lazy-probe"
+    sc.setJobGroup(group, "construction must not run jobs")
+    try:
+        q_graph_reachability(spark, SF_SMOKE)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not jobs, f"spec construction ran {len(jobs)} Spark job(s)"
+    lvl = spark.table("knn_edges_view").storageLevel
+    assert lvl.useMemory, "knn_edges_view is not cache-backed"
