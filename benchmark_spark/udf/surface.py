@@ -164,7 +164,15 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
-    return orders.groupBy("o_custkey").applyInPandas(zscore, schema=out_schema)
+    # Project BEFORE the grouped map: applyInPandas is opaque to
+    # Catalyst, so without this the whole 9-column row crosses the
+    # Arrow boundary when the UDF reads 3 (round-7 plan-advisor
+    # finding — at 100 TB the transfer is the cost).
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(zscore, schema=out_schema)
+    )
 
 
 @register(
