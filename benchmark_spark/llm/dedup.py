@@ -421,6 +421,115 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(sh, cand, 0.5)
 
 
+def capped_lsh_candidates(
+    sig: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """lsh_candidates with a hard per-bucket occupancy cap — the
+    "cap bucket size, secondary banding" relief valve SCALE.md's dedup
+    row documents for boilerplate-heavy corpora.
+
+    The plain bucket join is linear in corpus size only while bucket
+    occupancy is O(1): a web-scale corpus has boilerplate crowds
+    (license headers, navigation chrome, empty templates) whose
+    members agree on every band, and ONE such bucket of a million
+    docs is 10^12 pairs — the quadratic blowup comes back through the
+    data, not the plan. Two-stage defense, all native expressions:
+
+    1. *Secondary banding*: buckets over `bucket_cap` get their key
+       extended with the next signature row (taken modulo the
+       signature, so it always lies outside the band). Near-but-not-
+       identical crowds split; true near-dups still collide with
+       probability ~ their similarity, so recall degrades gracefully
+       exactly where the corpus is densest.
+    2. *Hard cap*: buckets STILL over the cap after extension are
+       identical-signature crowds no hash can split — they are
+       dropped from pair generation. That is a deliberate recall
+       trade: members of such a crowd are mutual near-dups of some
+       boilerplate; the downstream pipeline handles them by exact-
+       hash dedup (q_dedup_exact) an order of magnitude cheaper than
+       enumerating the crowd's O(cap^2) pairs per bucket.
+
+    Pair cost is therefore bounded by cap^2/2 per surviving bucket —
+    linear in bucket count, hence in corpus size, REGARDLESS of the
+    duplicate structure of the data. With no oversized buckets the
+    output is exactly lsh_candidates' (asserted by the registered
+    twin's shared oracle and tests/test_llm.py).
+    """
+    num_hashes = bands * rows_per_band
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            *[
+                F.col(f"h{j * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ],
+            # extension row: the next signature row after the band,
+            # wrapped modulo the signature — never one of the band's
+            # own rows, so it adds independent split power
+            F.col(f"h{(j * rows_per_band + rows_per_band) % num_hashes}").alias("ext"),
+        )
+        for j in range(bands)
+    ]
+    key1 = ["band"] + [f"r{r}" for r in range(rows_per_band)]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id",
+        F.col("b.band").alias("band"),
+        *[F.col(f"b.r{r}").alias(f"r{r}") for r in range(rows_per_band)],
+        F.col("b.ext").alias("ext"),
+    )
+    # stage 1: occupancy per raw bucket; oversized buckets switch to
+    # the extended key (kext = ext), everyone else keeps kext = -1 so
+    # small buckets are untouched. Both joins below are co-partitioned
+    # on the bucket key — the "count then join back" shape shuffles
+    # the banded rows once per stage, never the corpus.
+    n1 = banded.groupBy(*key1).agg(F.count(F.lit(1)).alias("_n1"))
+    staged = banded.join(n1, key1).withColumn(
+        "kext", F.when(F.col("_n1") > bucket_cap, F.col("ext")).otherwise(F.lit(-1))
+    )
+    key2 = key1 + ["kext"]
+    n2 = staged.groupBy(*key2).agg(F.count(F.lit(1)).alias("_n2"))
+    survivors = (
+        staged.join(n2, key2)
+        .filter(F.col("_n2") <= bucket_cap)
+        .select("doc_id", *key2)
+    )
+    x = survivors.alias("x")
+    y = survivors.alias("y")
+    cond = F.col("x.doc_id") < F.col("y.doc_id")
+    for c in key2:
+        cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    return (
+        x.join(y, cond)
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_minhash_capped",
+    oracle=_MINHASH_ORACLE,
+    doc=(
+        "q_dedup_minhash through capped_lsh_candidates (bucket_cap=256, "
+        "secondary banding + boilerplate-bucket drop): on this corpus no "
+        "bucket exceeds the cap, so the output must EQUAL the uncapped "
+        "pipeline's — the shared oracle hash-checks that the capping "
+        "machinery is a no-op exactly when it should be. The capping "
+        "behavior itself (split, drop, bounded pair count) is pinned on "
+        "planted boilerplate in tests/test_llm.py."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doubled_corpus(spark, sf_dir)
+    sh = shingles(corpus)
+    sig = minhash_signatures(sh)
+    cand = capped_lsh_candidates(sig)
+    return verify_jaccard(sh, cand, 0.5)
+
+
 # DuckDB replay of the whole SimHash pipeline: the 60-bit token hash
 # is the same md5 prefix trick as the minhash oracle, and every later
 # stage (votes, sign, banding, Hamming) is integer arithmetic both

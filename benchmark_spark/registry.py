@@ -92,6 +92,9 @@ _PRIORITY = (
     # critical dedup/ANN/maintenance tier). Everything displaced is
     # driver-green in r3-r6 and stays checked by the local full gate
     # (tools/check_oracle.py every round; tools/gate_sf01.py at 10x).
+    # never driver-checked (new in round 7) — a new row always enters
+    # through the window so its first driver evidence lands next round
+    "q_dedup_minhash_capped",
     # latest driver evidence r1
     "q_sliding_frame", "q_sort_multi", "q_value_funcs", "q_union_all",
     "q_union",
@@ -108,7 +111,7 @@ _PRIORITY = (
     # latest driver evidence r3 — scale-critical dedup/ANN/maintenance
     "q_dedup_clusters", "q_ann_ivf", "q_knn_sq8", "q_dedup_embed_lsh",
     "q_jaccard_chargram", "q_curation_pipeline", "q_multimodal_features",
-    "q_incremental_agg", "q_merge_upsert",
+    "q_incremental_agg",
 )
 
 

@@ -49,6 +49,77 @@ def test_lsh_bucketing_is_deterministic(spark):
     assert c1 == c2 > 0
 
 
+def test_capped_lsh_is_identity_without_oversized_buckets(spark):
+    """With the cap above every bucket's occupancy the capped variant
+    must emit exactly lsh_candidates' pairs (the q_dedup_minhash_capped
+    oracle asserts the same end-to-end; this pins the candidate set)."""
+    from benchmark_spark.llm.dedup import capped_lsh_candidates
+
+    sig = minhash_signatures(shingles(doubled_corpus(spark, SF_SMOKE)))
+    plain = {(r["a_id"], r["b_id"]) for r in lsh_candidates(sig).collect()}
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in capped_lsh_candidates(sig, bucket_cap=10_000).collect()
+    }
+    assert capped == plain and plain
+
+
+def test_capped_lsh_bounds_boilerplate_buckets(spark):
+    """Planted boilerplate crowd: 400 docs with IDENTICAL text share
+    every band bucket. Uncapped LSH owes 400*399/2 = 79800 pairs for
+    the crowd alone; with bucket_cap=64 the crowd's buckets survive
+    secondary banding unsplit (identical signatures) and are dropped,
+    so the crowd contributes ZERO pairs while genuine near-dups from
+    the normal corpus are still found. This is the deliberate
+    recall-for-boundedness trade documented in capped_lsh_candidates:
+    identical-text crowds belong to exact dedup, not pair enumeration."""
+    from benchmark_spark.llm.dedup import capped_lsh_candidates
+
+    corpus = doubled_corpus(spark, SF_SMOKE)
+    crowd = spark.range(400).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit("the same boilerplate license header text repeated verbatim "
+              "across every mirrored page of the crawl").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("crawl").alias("source"),
+        F.lit(100).cast("bigint").alias("n_chars"),
+    )
+    sig = minhash_signatures(shingles(corpus.unionByName(crowd)))
+    pairs = capped_lsh_candidates(sig, bucket_cap=64)
+    crowd_pairs = pairs.filter(F.col("a_id") >= 5_000_000).count()
+    assert crowd_pairs == 0
+    # the normal corpus's planted near-dups are unaffected by the crowd
+    normal = pairs.filter(
+        (F.col("a_id") < 5_000_000) & (F.col("b_id") == F.col("a_id") + 1_000_000)
+    ).count()
+    assert normal > 0
+
+
+def test_capped_lsh_secondary_banding_splits_near_crowds(spark):
+    """Deterministic split mechanics on a synthetic signature table:
+    200 docs share h0..h13 (bands 0-6 are one oversized bucket each)
+    while h14 = h15 = doc_id // 2 pairs the docs up. Band 7's raw
+    buckets are already the size-2 pairs. Band 6's oversized bucket
+    has extension row h14 (the next signature row), which splits it
+    into those same size-2 sub-buckets — SURVIVING the cap. Bands
+    0-5 extend with h2..h13 (still shared), stay oversized, and are
+    dropped. Exactly the 100 planted pairs must come out; the
+    uncapped join on the same signatures owes 7 * 19900 + 100
+    bucket-pairs, which is the quadratic bill the cap refuses."""
+    from benchmark_spark.llm.dedup import capped_lsh_candidates, lsh_candidates
+
+    sig = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(1000 + i).cast("long").alias(f"h{i}") for i in range(14)],
+        (F.col("id") / 2).cast("long").alias("h14"),
+        (F.col("id") / 2).cast("long").alias("h15"),
+    )
+    capped = capped_lsh_candidates(sig, bucket_cap=64)
+    got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(100)}
+    assert lsh_candidates(sig).count() == 200 * 199 // 2
+
+
 def test_simhash_places_planted_pairs_within_threshold(spark):
     pairs = SPECS["q_dedup_simhash"].fn(spark, SF_SMOKE)
     planted = pairs.filter(F.col("b_id") == F.col("a_id") + 1_000_000)

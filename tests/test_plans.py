@@ -234,7 +234,7 @@ def test_llm_candidate_joins_are_not_cartesian(spark):
     blow-up the LSH design exists to avoid. (The ANN tiers' single
     broadcast cross joins are anchor-sized by construction and are
     checked separately below.)"""
-    for name in ("q_dedup_minhash", "q_dedup_simhash"):
+    for name in ("q_dedup_minhash", "q_dedup_simhash", "q_dedup_minhash_capped"):
         plan = formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -72,9 +72,13 @@ def test_priority_names_lead_registry_order():
 def test_every_registered_query_has_driver_green_evidence():
     """The r5-r6 coverage program is complete: every registered query
     is driver-green in at least one round — which is what frees the
-    window to rotate by staleness at all."""
+    window to rotate by staleness at all. A query with NO driver
+    evidence yet is allowed only while it sits in the window (a new
+    row must enter through the window so its first driver check lands
+    the very next round)."""
     greens = _green_rounds()
-    missing = [n for n in all_specs() if not greens.get(n)]
+    window = set(_PRIORITY)
+    missing = [n for n in all_specs() if not greens.get(n) and n not in window]
     assert not missing, f"queries with zero driver-green evidence: {missing}"
 
 
@@ -84,7 +88,9 @@ def test_window_slots_go_to_stalest_evidence():
     driver confirmed recently."""
     greens = _green_rounds()
     for name in _PRIORITY:
-        latest = max(greens[name])
+        # a never-checked row (no evidence at all) is the stalest
+        # possible and always belongs in the window
+        latest = max(greens.get(name) or [0])
         assert latest <= WINDOW_MAX_LATEST_GREEN, (
             f"window slot {name} already driver-green in r{latest} — slot wasted"
         )
