@@ -315,3 +315,69 @@ def test_asof_rewrite_matches_latest_per_key_reference(spark, rows, cutoff):
         if ts <= cutoff and (k not in ref or (ts, rid) > (ref[k][0], ref[k][1])):
             ref[k] = (ts, rid)
     assert got == {(k, ts, rid) for k, (ts, rid) in ref.items()}
+
+
+def _ref_lsh_pairs(rows, cap=None, bands=8, rpb=2):
+    """Python reference of (capped_)lsh_candidates' semantics: band
+    buckets on exact row values; with a cap, oversized buckets split
+    once on the next signature row and sub-buckets still over the cap
+    are dropped. `rows` is [(doc_id, [h0..h15])]."""
+    from collections import defaultdict
+
+    num_hashes = bands * rpb
+    pairs = set()
+    for j in range(bands):
+        buckets = defaultdict(list)
+        for doc, hs in rows:
+            key = tuple(hs[j * rpb:(j + 1) * rpb])
+            buckets[key].append((doc, hs[(j * rpb + rpb) % num_hashes]))
+        for members in buckets.values():
+            if cap is not None and len(members) > cap:
+                sub = defaultdict(list)
+                for doc, ext in members:
+                    sub[ext].append(doc)
+                groups = [g for g in sub.values() if len(g) <= cap]
+            else:
+                groups = [[d for d, _ in members]]
+            for g in groups:
+                g = sorted(g)
+                for i in range(len(g)):
+                    for k in range(i + 1, len(g)):
+                        pairs.add((g[i], g[k]))
+    return pairs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # doc_id
+            st.lists(
+                st.integers(min_value=0, max_value=3), min_size=16, max_size=16
+            ),
+        ),
+        min_size=2,
+        max_size=22,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_capped_lsh_matches_reference_semantics(spark, rows, cap):
+    """capped_lsh_candidates == the Python reference for ARBITRARY
+    signature tables and caps: small buckets untouched, oversized ones
+    split exactly once on the next signature row, still-oversized
+    sub-buckets dropped. Hash values 0..3 force heavy bucket
+    collisions the fixtures never produce. (Signature values are
+    non-negative in production — md5-derived — so the kext=-1
+    sentinel cannot collide; the strategy mirrors that.)"""
+    from benchmark_spark.llm.dedup import capped_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(doc, *hs) for doc, hs in rows],
+        ["doc_id"] + [f"h{i}" for i in range(16)],
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in capped_lsh_candidates(df, bucket_cap=cap).collect()
+    }
+    assert got == _ref_lsh_pairs(rows, cap=cap)
