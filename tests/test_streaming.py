@@ -422,6 +422,54 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert n2 == n1
 
 
+def test_watermark_bounds_streaming_state(spark):
+    """The watermark must EVICT closed windows between micro-batches:
+    max in-flight state rows stay well below the total window-group
+    count, and numRowsRemoved is nonzero. This pins the property the
+    measured tools/curve_stream.py curve rests on (max state constant
+    at 490 rows while input grew 100x) — a regression that stopped
+    eviction (watermark dropped, output mode flipped to complete,
+    chunking collapsed to one batch) fails here, in-suite."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.streaming.windows import events_stream_chunks
+
+    stream = events_stream_chunks(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    sink = f"wm_bound_{_uuid.uuid4().hex[:8]}"
+    from benchmark_spark.streaming.windows import await_done, scratch_dir
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    state_max, removed, batches = 0, 0, 0
+    for p in q.recentProgress:
+        if p["numInputRows"]:
+            batches += 1
+        for so in p.get("stateOperators", []):
+            state_max = max(state_max, so["numRowsTotal"])
+            removed += so.get("numRowsRemoved", 0)
+    emitted = spark.table(sink).count()
+    assert batches >= 2, "source collapsed to a single micro-batch"
+    assert removed > 0, "watermark never evicted state"
+    # in-flight state must be a strict fraction of all window-groups —
+    # complete-mode-like accumulation would hold ~all of them at once
+    assert 0 < state_max < emitted * 0.8, (state_max, emitted)
+
+
 def test_stream_update_really_multibatch(spark):
     """The update-mode sink must show per-batch re-emissions (more rows
     than keys) — otherwise the 4-chunk source collapsed to one batch
