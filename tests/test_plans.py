@@ -485,3 +485,60 @@ def test_attribution_shuffles_once_on_user(spark):
     # (no join in the plan at all)
     plan = formatted_plan(df)
     assert "Join" not in plan
+
+
+def test_aqe_skew_split_fires_on_skewed_join(spark):
+    """SCALE.md's first line of skew defense is AQE skew-join
+    splitting (measured 1.8-2.8x in tools/curve_skew.py); this pins
+    that the mechanism actually FIRES on this Spark version and conf
+    surface: a sort-merge join with half the probe rows on one key
+    must show skew=true in the executed plan once the thresholds see
+    the hot partition. If an upgrade or conf change silently disables
+    splitting, the straggler comes back with no test noticing.
+
+    Two real limitations found while building this pin (Spark 4.1.2,
+    reproduced both ways; recorded in SCALE.md's skew section):
+    * the rule only matches when BOTH join children read DIRECTLY
+      from ENSURE_REQUIREMENTS shuffle stages — a dim derived as
+      fact.distinct() leaves the distinct's HashAggregate between
+      shuffle and join and the split silently never happens
+      (co-partitioned reuse can cost you the skew defense);
+    * an aggregate placed above the join in the SAME query stage
+      (e.g. a global count) also suppresses the split, even with
+      forceOptimizeSkewedJoin=true — the join must be its stage's
+      terminal consumer of the two shuffles.
+    The positive case pinned here is the shape the engine's fact
+    joins actually have: join output flowing to the next stage."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        fact = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k",
+            "repeat(md5(CAST(id AS STRING)), 3) AS pad",
+        )
+        dim = spark.range(200_000).selectExpr("id AS dk")
+        df = fact.join(dim, fact.k == dim.dk)
+        assert len(df.collect()) == 200_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-join splitting did not fire"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
