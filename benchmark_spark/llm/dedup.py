@@ -457,6 +457,14 @@ def capped_lsh_candidates(
     duplicate structure of the data. With no oversized buckets the
     output is exactly lsh_candidates' (asserted by the registered
     twin's shared oracle and tests/test_llm.py).
+
+    The cap is the ONLY defense that applies here, not merely the
+    cheaper one: AQE skew-join splitting cannot rescue the uncapped
+    pair join, because its `.distinct()` is an aggregate above the
+    join in the same query stage — one of the two suppression shapes
+    measured in tests/test_plans.py::test_aqe_skew_split_fires_* —
+    and we verified directly that a 1,500-doc hot bucket (1.1M pairs
+    from one bucket) executes with no skew=true in the plan.
     """
     num_hashes = bands * rows_per_band
     band_cols = [
