@@ -459,12 +459,14 @@ def capped_lsh_candidates(
     twin's shared oracle and tests/test_llm.py).
 
     The cap is the ONLY defense that applies here, not merely the
-    cheaper one: AQE skew-join splitting cannot rescue the uncapped
-    pair join, because its `.distinct()` is an aggregate above the
-    join in the same query stage — one of the two suppression shapes
-    measured in tests/test_plans.py::test_aqe_skew_split_fires_* —
-    and we verified directly that a 1,500-doc hot bucket (1.1M pairs
-    from one bucket) executes with no skew=true in the plan.
+    cheaper one: AQE skew-join splitting decides from INPUT partition
+    bytes, and a crowded bucket is small on the way in — a 1,500-doc
+    bucket is ~300 KB of banded rows, indistinguishable from its
+    neighbors — while owing 1.1M pairs on the way out. Output
+    multiplicity is invisible to AQE; we verified directly that the
+    uncapped pair join over that hot bucket executes with no
+    skew=true anywhere in its plan. Only a rule that reasons about
+    occupancy (pairs ~ n^2), like this cap, can bound it.
     """
     num_hashes = bands * rows_per_band
     band_cols = [

@@ -3,14 +3,22 @@
 AQE's skew-join splitting is the first line of defense at runtime;
 salting is the explicit fallback when one join key dominates (the
 Query-2c "Zipfian sourceIP" shape at ~254M groups [P]). The fallback
-is not hypothetical: the AQE rule only fires when both join children
-read DIRECTLY from ENSURE_REQUIREMENTS shuffle stages and the join is
-its stage's terminal consumer — an aggregate-derived join input or an
-agg above the join in the same stage silently suppresses the split
-(measured on Spark 4.1.2; pinned in tests/test_plans.py::
-test_aqe_skew_split_fires_on_skewed_join, A/B curve in
-tools/curve_skew.py, discussion in SCALE.md "Skew"). Salting keeps
-working in exactly those shapes. The salt is
+is not hypothetical — three measured limits of the AQE rule (Spark
+4.1.2; pinned in tests/test_plans.py::test_aqe_skew_split_fires_*,
+advisor rule skew-split-blocked, A/B curve in tools/curve_skew.py,
+discussion in SCALE.md "Skew"):
+  1. it only fires when both join children read DIRECTLY from
+     ENSURE_REQUIREMENTS shuffle stages (a distinct()-derived dim
+     interposes its aggregate and loses the split);
+  2. a final-mode aggregate that consumes the join's output
+     partitioning in the same stage (distinct/groupBy on the join
+     key right above the join) blocks it, since splitting would
+     break that requirement;
+  3. it decides from INPUT partition bytes, so output-amplification
+     skew (a small-but-crowded LSH bucket owing n^2 pairs) is
+     invisible to it entirely.
+Salting — and occupancy-aware rewrites like capped_lsh_candidates —
+keep working in exactly those shapes. The salt is
 derived from xxhash64 of row content — deterministic, executor-local,
 no driver randomness — so results are reproducible and the operators
 remain oracle-checkable: a salted join/agg must produce EXACTLY the

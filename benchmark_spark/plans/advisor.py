@@ -119,6 +119,7 @@ def advise(df: DataFrame) -> list[Finding]:
                     "the way). Check ReadSchema in explain('formatted').",
                 )
             )
+    findings.extend(_skew_split_blocked(df))
     if "SortMergeJoin" in plan and "TakeOrderedAndProject" not in plan:
         # SMJ against a side that also appears filtered-to-small hints
         # a missed broadcast; purely advisory
@@ -132,6 +133,112 @@ def advise(df: DataFrame) -> list[Finding]:
                     "fact-side shuffles dominate the bill otherwise.",
                 )
             )
+    return findings
+
+
+# Operators that may legally sit between a shuffle join and its
+# Exchange without disabling AQE skew-split (the rule's pattern is
+# SMJ/SHJ over Sort(ShuffleQueryStage); codegen wrappers are
+# transparent). Anything ELSE on that path — an aggregate (e.g. a
+# distinct-derived dim), a window, a generate — makes the child not a
+# direct shuffle read, and the split silently never happens: measured
+# on Spark 4.1.2 and pinned in tests/test_plans.py::
+# test_aqe_skew_split_fires_on_skewed_join.
+_SKEW_TRANSPARENT = ("Sort", "WholeStageCodegen", "InputAdapter", "Project", "Filter")
+_SKEW_JOINS = ("SortMergeJoin", "ShuffledHashJoin")
+
+
+def _skew_split_blocked(df: DataFrame) -> list[Finding]:
+    """Tree-walk the physical plan for shuffle joins whose child path
+    to the Exchange passes through a non-transparent operator —
+    those joins cannot be rescued by AQE skew-join splitting."""
+    try:
+        root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        if root.nodeName() == "AdaptiveSparkPlan":
+            # the adaptive wrapper hides its input; initialPlan is the
+            # EnsureRequirements output — Exchanges present, which is
+            # exactly the shape the skew rule pattern-matches against
+            root = root.initialPlan()
+    except Exception:  # pragma: no cover - plan unavailable
+        return []
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.length())]
+
+    def blocker_on_path(node) -> str | None:
+        """First non-transparent operator between here and the nearest
+        Exchange/ShuffleQueryStage, or None if the path is direct."""
+        name = node.nodeName()
+        if "Exchange" in name or "ShuffleQueryStage" in name or "AQEShuffleRead" in name:
+            return None
+        if not any(name.startswith(t) for t in _SKEW_TRANSPARENT):
+            return name
+        for c in children(node):
+            b = blocker_on_path(c)
+            if b is not None:
+                return b
+        return None
+
+    findings: list[Finding] = []
+    stack = [(root, 0)]  # (node, aggregates seen since last Exchange above)
+    while stack:
+        node, aggs_above = stack.pop()
+        name = node.nodeName()
+        if "Exchange" in name or "ShuffleQueryStage" in name:
+            aggs_above = 0
+        elif name.startswith(("HashAggregate", "ObjectHashAggregate", "SortAggregate")):
+            aggs_above += 1
+        kids = children(node)
+        stack.extend((k, aggs_above) for k in kids)
+        if not any(name.startswith(j) for j in _SKEW_JOINS):
+            continue
+        if aggs_above >= 2:
+            # a partial+final aggregate pair sits above this join with
+            # no Exchange between: the final agg's distribution
+            # requirement is satisfied BY the join's hash partitioning
+            # (that is why no exchange was inserted), so splitting the
+            # skewed partition would break it and AQE reverts the
+            # split. Measured: distinct() directly above a skewed join
+            # never shows skew=true, while a groupBy on unrelated keys
+            # (partial agg only, final after its own exchange) splits
+            # fine. This is the uncapped-LSH pair-join shape.
+            findings.append(
+                Finding(
+                    "skew-split-blocked",
+                    "warn",
+                    f"a final-mode aggregate consumes {name}'s output "
+                    "partitioning in the same stage (e.g. distinct() "
+                    "or groupBy on the join key directly above the "
+                    "join): AQE cannot split a skewed partition "
+                    "without breaking that requirement, so the split "
+                    "silently never happens (measured on Spark "
+                    "4.1.2). If this join key can be skewed, "
+                    "materialize the join output before aggregating, "
+                    "aggregate on different keys, or bound the skew "
+                    "at the source (capped_lsh_candidates pattern).",
+                )
+            )
+        for side, child in zip(("left", "right"), kids):
+            # broadcast children are not shuffle reads and not at risk
+            if "Broadcast" in child.nodeName():
+                continue
+            blocker = blocker_on_path(child)
+            if blocker is not None:
+                findings.append(
+                    Finding(
+                        "skew-split-blocked",
+                        "warn",
+                        f"{node.nodeName()}'s {side} child reads its "
+                        f"shuffle through {blocker}: AQE skew-join "
+                        "splitting only fires when both children read "
+                        "the shuffle directly (measured on Spark 4.1.2 "
+                        "— a distinct()-derived dim loses the split "
+                        "silently). If this join key can be skewed, "
+                        "materialize the blocked side first or use "
+                        "salted_join (operators/skew.py).",
+                    )
+                )
     return findings
 
 

@@ -50,3 +50,43 @@ def test_flags_wide_read_narrow_output(spark):
     assert "column-pruning" in _rules(advise(wide))
     narrow = orders.select((F.col("o_totalprice") * 2).alias("d"))
     assert "column-pruning" not in _rules(advise(narrow))
+
+
+def test_flags_skew_split_blocked_join(spark):
+    """A shuffle join whose dim is derived via distinct() of the fact
+    cannot be AQE-skew-split (the distinct's aggregate sits between
+    shuffle and join — measured, see test_plans skew pin); the rule
+    must fire there and stay silent when both sides read the shuffle
+    directly."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+        blocked = fact.join(fact.selectExpr("k AS dk").distinct(), F.expr("k = dk"))
+        assert "skew-split-blocked" in _rules(advise(blocked))
+        direct = fact.join(
+            spark.range(7).selectExpr("id AS dk"), F.expr("k = dk")
+        )
+        assert "skew-split-blocked" not in _rules(advise(direct))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_flags_partition_consuming_agg_above_skew_join(spark):
+    """distinct() directly above a shuffle join consumes the join's
+    hash partitioning (partial+final agg pair, no exchange between),
+    which blocks AQE skew splitting (measured); a groupBy on
+    UNRELATED keys leaves only the requirement-free partial agg above
+    the join and must stay silent."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+        dim = spark.range(7).selectExpr("id AS dk", "id % 3 AS attr")
+        joined = fact.join(dim, F.expr("k = dk"))
+        blocked = joined.select("k", "dk", "v").distinct()
+        assert "skew-split-blocked" in _rules(advise(blocked))
+        fine = joined.groupBy("attr").count()
+        assert "skew-split-blocked" not in _rules(advise(fine))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

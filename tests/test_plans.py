@@ -503,12 +503,16 @@ def test_aqe_skew_split_fires_on_skewed_join(spark):
       fact.distinct() leaves the distinct's HashAggregate between
       shuffle and join and the split silently never happens
       (co-partitioned reuse can cost you the skew defense);
-    * an aggregate placed above the join in the SAME query stage
-      (e.g. a global count) also suppresses the split, even with
-      forceOptimizeSkewedJoin=true — the join must be its stage's
-      terminal consumer of the two shuffles.
-    The positive case pinned here is the shape the engine's fact
-    joins actually have: join output flowing to the next stage."""
+    * an aggregate that CONSUMES the join's output partitioning in
+      the same stage (distinct/groupBy on the join key directly
+      above the join, or a global count) suppresses the split, even
+      with forceOptimizeSkewedJoin=true; a groupBy on unrelated keys
+      (only the requirement-free partial agg above the join) still
+      splits fine.
+    Both shapes are detected mechanically by the advisor's
+    skew-split-blocked rule (plans/advisor.py). The positive case
+    pinned here is the shape the engine's fact joins actually have:
+    join output flowing to the next stage."""
     saved = {
         k: spark.conf.get(k, None)
         for k in (
