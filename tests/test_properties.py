@@ -381,3 +381,50 @@ def test_capped_lsh_matches_reference_semantics(spark, rows, cap):
         for r in capped_lsh_candidates(df, bucket_cap=cap).collect()
     }
     assert got == _ref_lsh_pairs(rows, cap=cap)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # join key (collisions)
+            st.integers(min_value=0, max_value=100),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),    # dim key (some unmatched)
+            st.integers(min_value=0, max_value=100),  # dim attr
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, fact_rows, dim_rows, buckets):
+    """salted_join == the plain equi-join as a MULTISET for arbitrary
+    data (duplicate keys on both sides, unmatched keys, any salt
+    bucket count) — the rewrite the skew playbook leans on when AQE's
+    splitter is blocked must be result-identical, not just on the
+    oracle fixtures."""
+    from collections import Counter
+
+    from benchmark_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(fact_rows, ["k", "v"])
+    dim = spark.createDataFrame(dim_rows, ["dk", "attr"])
+    got = Counter(
+        (r["k"], r["v"], r["dk"], r["attr"])
+        for r in salted_join(
+            fact, dim, "k", "dk", fact_salt_source=["v"], buckets=buckets
+        ).collect()
+    )
+    want = Counter(
+        (k, v, dk, attr)
+        for (k, v) in fact_rows
+        for (dk, attr) in dim_rows
+        if k == dk
+    )
+    assert got == want
