@@ -164,27 +164,49 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = NUM_HASHES, hash_family: str = "md5"
+) -> DataFrame:
     """k-permutation MinHash: sig_i = min over shingles of the i-th
-    derived hash, where hash_i(s) = the first 60 bits of
-    md5("i|" || s) as a BIGINT. md5 (not xxhash64) so the ENTIRE
-    pipeline is expressible identically in the DuckDB oracle —
-    cross-engine hash-verified, not rows-only. One groupBy, k
-    aggregates, all JVM-side codegen. At 100 TB swap the md5 base for
-    xxhash64-derived permutations (one line here, ~3x cheaper per
-    shingle) once an oracle is no longer in the loop."""
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    derived hash. Two hash families, same algebra:
+
+    * ``md5`` (default, the registered-query base): hash_i(s) = the
+      first 60 bits of md5("i|" || s) as a BIGINT. md5 (not xxhash64)
+      so the ENTIRE pipeline is expressible identically in the DuckDB
+      oracle — cross-engine hash-verified, not rows-only.
+    * ``xxhash64`` (the 100 TB production base): hash_i(s) =
+      xxhash64(i, s) — a seeded 64-bit non-crypto hash, no hex
+      round-trip, measurably cheaper per shingle (A/B in SCALE.md;
+      tools/ab_minhash_hash.py). Not oracle-expressible (DuckDB has
+      no xxhash64), so it is a library fast path rather than a
+      registered query; tests/test_llm.py pins planted-pair recall
+      parity with the md5 family on the doubled corpus.
+
+    Either way: one groupBy, k aggregates, all JVM-side codegen.
+    Downstream stages (banding, bucket join, exact-Jaccard verify)
+    are family-agnostic — the verify step makes precision exact, so
+    the family only moves candidate recall, which the LSH parameters
+    (not the hash quality) dominate."""
+    if hash_family == "md5":
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 

@@ -41,6 +41,49 @@ def test_minhash_jaccard_is_high_for_planted_pairs(spark):
     assert row["mn"] >= 0.5
 
 
+def test_minhash_xxhash64_family_parity(spark):
+    """The production hash family (seeded xxhash64, not oracle-
+    expressible) must lose nothing on the planted corpus: 100% recall
+    of the eligible planted pairs, and any disagreement with the md5
+    family confined to borderline organic pairs (exact-Jaccard verify
+    makes precision identical by construction, so families can only
+    differ on which near-threshold pairs become candidates — planted
+    and high-similarity pairs must never be among them). Also pins
+    that the fast path really skips the md5 hex round-trip: no md5
+    appears anywhere in its plan."""
+    sh = shingles(doubled_corpus(spark, SF_SMOKE))
+    from benchmark_spark.llm.dedup import verify_jaccard
+
+    sig_xx = minhash_signatures(sh, hash_family="xxhash64")
+    assert "md5" not in sig_xx._jdf.queryExecution().analyzed().toString().lower()
+    by_family = {
+        fam: {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in verify_jaccard(
+                sh, lsh_candidates(minhash_signatures(sh, hash_family=fam)), 0.5
+            ).collect()
+        }
+        for fam in ("md5", "xxhash64")
+    }
+    eligible = {
+        r["doc_id"]
+        for r in doubled_corpus(spark, SF_SMOKE)
+        .filter(F.col("doc_id") < 1_000_000)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+        if r["n"] >= 8
+    }
+    missing = {d for d in eligible if (d, d + 1_000_000) not in by_family["xxhash64"]}
+    assert not missing, f"fast family missed planted pairs: {sorted(missing)[:10]}"
+    diff = set(by_family["md5"]) ^ set(by_family["xxhash64"])
+    high_sim_diff = {
+        p: max(by_family["md5"].get(p, 0), by_family["xxhash64"].get(p, 0))
+        for p in diff
+        if max(by_family["md5"].get(p, 0), by_family["xxhash64"].get(p, 0)) >= 0.8
+    }
+    assert not high_sim_diff, f"families disagree on high-sim pairs: {high_sim_diff}"
+
+
 def test_lsh_bucketing_is_deterministic(spark):
     sig1 = minhash_signatures(shingles(doubled_corpus(spark, SF_SMOKE)))
     c1 = lsh_candidates(sig1).count()
