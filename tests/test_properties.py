@@ -428,3 +428,39 @@ def test_salted_join_equals_plain_join(spark, fact_rows, dim_rows, buckets):
         if k == dk
     )
     assert got == want
+
+
+def test_samplers_invariant_to_shuffle_partitioning(spark):
+    """Retry/speculation/cluster-shape safety of the sampling tier:
+    every sampler derives its randomness from content hashes (md5 of
+    row keys), never rand() or partition-local RNG, so the selected
+    rows must be BYTE-IDENTICAL under different shuffle-partition
+    counts. rand(seed) fails this exact test — it seeds per partition
+    index, so re-planning (AQE), retries onto different splits, or a
+    different cluster size silently changes the sample."""
+    from tests.conftest import SF_SMOKE
+    from benchmark_spark.registry import all_specs
+
+    specs = all_specs()
+    samplers = [
+        "q_reservoir_sample",
+        "q_stratified_sample",
+        "q_weighted_sample",
+        "q_importance_sample",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_shuffle in ("32", "5"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
+            results[n_shuffle] = {
+                q: sorted(map(tuple, specs[q].fn(spark, SF_SMOKE).collect()))
+                for q in samplers
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for q in samplers:
+        assert results["32"][q] == results["5"][q], (
+            f"{q} sampled different rows under a different shuffle width"
+        )
+        assert results["32"][q], f"{q} returned no rows"
