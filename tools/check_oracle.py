@@ -18,6 +18,7 @@ becomes a committed, regenerable evidence file:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -47,6 +48,13 @@ def main() -> int:
             return 2
         specs = {n: specs[n] for n in names}
     spark = get_spark("check-oracle", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_DISABLE_AQE"):
+        # Differential-robustness mode: the gate's answers must not
+        # depend on AQE's runtime re-planning (coalescing, skew
+        # splits, join-strategy swaps). Run with adaptive execution
+        # off and expect the same N/N (SCALE.md records the run).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("[conf] spark.sql.adaptive.enabled=false (differential mode)")
     con = duckdb_connection(sf_dir)
     failures = 0
     artifact: dict[str, dict] = {}

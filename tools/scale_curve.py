@@ -119,6 +119,19 @@ def build(out_dir: str, n: int, tables: tuple[str, ...] = ALL_TABLES) -> None:
     is 3 orders of magnitude cheaper than x100 lineitem)."""
     import duckdb
 
+    if "documents" in tables and n > 100:
+        # doc_id + i*DOC_SHIFT reaches 1,004,999 at n=101 — inside the
+        # +1,000,000 id space doubled_corpus reserves for its planted
+        # mutants. Beyond x100 the dedup-family queries silently merge
+        # colliding doc_ids (measured at x300: 127k output pairs vs
+        # the linear model's ~1.8M) — their numbers are OUT OF MODEL.
+        # Queries that don't double the corpus (ANN, aggs, LM) are
+        # unaffected.
+        print(
+            f"WARNING: documents x{n} exceeds the doubled-corpus id space "
+            "(safe through x100); dedup-family measurements are invalid",
+            file=sys.stderr,
+        )
     os.makedirs(out_dir, exist_ok=True)
     legacy = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
     con = None
