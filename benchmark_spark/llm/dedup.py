@@ -164,50 +164,79 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
+# k-permutation MinHash via ONE base hash + k universal affine
+# permutations: perm_i(s) = (a_i * base(s) + b_i) mod (2^31 - 1) —
+# the same construction Spark MLlib's MinHashLSH uses. Round-7
+# measurement replaced the previous 16-independent-hashes form: the
+# per-shingle hash work was ~93% of the whole dedup pipeline, and
+# deriving the permutations from one base cut the signature stage
+# ~2.3x with bit-identical planted-pair output (SCALE.md item 17a).
+# Constraints that make the affine form EXACT in both engines'
+# 64-bit signed arithmetic: base < 2^32 (8 hex chars of md5), a,b <
+# 2^31 => a*base + b < 2^63 (no overflow, no ANSI error), and the
+# modulus wraps the product ~2^32 times (a modulus near the product's
+# magnitude would leave every permutation monotone in the base —
+# argmin identical across all k, LSH silently degenerate; caught in
+# the round-7 spike).
+PERM_P = (1 << 31) - 1  # Mersenne prime 2147483647
+
+
+def perm_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, identical for the Spark exprs
+    and the DuckDB oracle SQL (single source of truth): 31-bit values
+    derived from md5 of the coefficient's name, a_i forced odd."""
+    import hashlib
+
+    def h31(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+    return [((h31(f"a{i}") | 1), h31(f"b{i}")) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = NUM_HASHES, hash_family: str = "md5"
 ) -> DataFrame:
-    """k-permutation MinHash: sig_i = min over shingles of the i-th
-    derived hash. Two hash families, same algebra:
+    """k-permutation MinHash: sig_i = min over shingles of
+    (a_i * base(shingle) + b_i) mod 2^31-1. Two base hashes, same
+    permutations:
 
-    * ``md5`` (default, the registered-query base): hash_i(s) = the
-      first 60 bits of md5("i|" || s) as a BIGINT. md5 (not xxhash64)
-      so the ENTIRE pipeline is expressible identically in the DuckDB
+    * ``md5`` (default, the registered-query base): base(s) = the
+      first 32 bits of md5(s) as a BIGINT. md5 (not xxhash64) so the
+      ENTIRE pipeline is expressible identically in the DuckDB
       oracle — cross-engine hash-verified, not rows-only.
-    * ``xxhash64`` (the 100 TB production base): hash_i(s) =
-      xxhash64(i, s) — a seeded 64-bit non-crypto hash, no hex
-      round-trip, measurably cheaper per shingle (A/B in SCALE.md;
-      tools/ab_minhash_hash.py). Not oracle-expressible (DuckDB has
-      no xxhash64), so it is a library fast path rather than a
-      registered query; tests/test_llm.py pins planted-pair recall
-      parity with the md5 family on the doubled corpus.
+    * ``xxhash64`` (the alternative production base): hash_i(s) =
+      xxhash64(i, s), k direct seeded hashes — measured FASTER than
+      deriving from one xxhash64 base (the affine+pmod overhead
+      exceeds the savings when the base hash is already cheap; A/B
+      in SCALE.md), which is why the families are asymmetric:
+      derive-from-one-base pays exactly when the base is expensive.
+      Not oracle-expressible (DuckDB has no xxhash64), so it is a
+      library path rather than a registered query; tests/test_llm.py
+      pins planted-pair recall parity with the md5 family on the
+      doubled corpus. Since the round-7 derivation rewrite the md5
+      family ties it — the production default is now simply the
+      registered md5 form.
 
-    Either way: one groupBy, k aggregates, all JVM-side codegen.
-    Downstream stages (banding, bucket join, exact-Jaccard verify)
-    are family-agnostic — the verify step makes precision exact, so
-    the family only moves candidate recall, which the LSH parameters
-    (not the hash quality) dominate."""
+    Either way: one groupBy, k min aggregates, all JVM-side LONG
+    codegen. Downstream stages (banding, bucket join, exact-Jaccard
+    verify) are family-agnostic — the verify step makes precision
+    exact, so the family only moves candidate recall, which the LSH
+    parameters (not the hash quality) dominate."""
     if hash_family == "md5":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        pre = sh.select("doc_id", base.alias("hb"))
         aggs = [
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(PERM_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(perm_coeffs(num_hashes))
         ]
-    elif hash_family == "xxhash64":
+        return pre.groupBy("doc_id").agg(*aggs)
+    if hash_family == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    else:
-        raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
-    return sh.groupBy("doc_id").agg(*aggs)
+        return sh.groupBy("doc_id").agg(*aggs)
+    raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
 
 
 def lsh_candidates(
@@ -289,13 +318,14 @@ def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
 
 
 # The oracle replays the ENTIRE pipeline in DuckDB: the md5-derived
-# permutation hashes are bit-identical across engines (60-bit hex
-# prefix -> BIGINT), so signatures, banding, candidate pairs, and the
+# base hash is bit-identical across engines (32-bit hex prefix ->
+# BIGINT) and the affine permutations are plain 64-bit integer
+# arithmetic, so signatures, banding, candidate pairs, and the
 # exact-Jaccard verdict all hash-match — a full cross-engine proof of
 # an approximate-dedup pipeline, not a rows-only count.
 _MINHASH_SIG_COLS = ",\n               ".join(
-    f"MIN(CAST('0x' || substring(md5('{i}|' || shingle), 1, 15) AS BIGINT)) AS h{i}"
-    for i in range(NUM_HASHES)
+    f"MIN(({a} * hb + {b}) % {PERM_P}) AS h{i}"
+    for i, (a, b) in enumerate(perm_coeffs(NUM_HASHES))
 )
 _MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
     f"SELECT doc_id, {j} AS band, h{ROWS_PER_BAND * j} AS r0,"
@@ -340,7 +370,11 @@ def _lsh_ctes(shingle_select: str) -> str:
     sigs AS (
         SELECT doc_id,
                {_MINHASH_SIG_COLS}
-        FROM sh GROUP BY doc_id
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hb
+            FROM sh
+        ) GROUP BY doc_id
     ),
     banded AS (
         {_MINHASH_BAND_SELECTS}
@@ -423,10 +457,12 @@ _CLUSTERS_ORACLE = f"""
     oracle=_MINHASH_ORACLE,
     doc=(
         "MinHash+LSH near-dup detection over the planted-near-dup corpus: "
-        "3-gram shingles -> 16 md5-derived minhashes -> 8 bands x 2 rows -> "
-        "bucket join -> exact-Jaccard verification of candidates only; emits "
-        "pairs with verified shingle-Jaccard >= 0.5. The md5 permutation base "
-        "makes every stage bit-identical in DuckDB, so the driver HASH-checks "
+        "3-gram shingles -> one md5 base hash + 16 universal affine "
+        "permutations (MLlib's MinHashLSH construction; round 7 cut the "
+        "hash work ~16x) -> 8 bands x 2 rows -> bucket join -> exact-Jaccard "
+        "verification of candidates only; emits pairs with verified "
+        "shingle-Jaccard >= 0.5. The md5 base + integer permutations make "
+        "every stage bit-identical in DuckDB, so the driver HASH-checks "
         "the whole approximate pipeline (upgraded from rows-only in round 2). "
         "tests/test_llm.py asserts every planted pair (doc, doc+1M) is "
         "recovered."
@@ -943,8 +979,9 @@ _CHARGRAM_MINHASH_ORACLE = f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT)}{_jaccard
         "Replaces q_jaccard_chargram's `source`-blocked pair join (quadratic "
         "within a block, dead when block cardinality is low) with banding "
         "that is linear in corpus size — the swap its docstring promises for "
-        "100 TB. The md5 permutation base keeps every stage bit-identical in "
-        "DuckDB, so the driver hash-checks the whole banded pipeline."
+        "100 TB. The md5 base + integer affine permutations keep every stage "
+        "bit-identical in DuckDB, so the driver hash-checks the whole banded "
+        "pipeline."
     ),
     tags=("extension", "dedup"),
 )

@@ -47,7 +47,10 @@ QUERIES = [
     ).split(",")
     if q
 ]
-DOC_SHIFT = 10_000
+# compact stride (= per-replica doc count): keeps replica ids inside
+# the <1,000,000 space doubled_corpus reserves below its planted-
+# mutant offset through x200 (the old 10,000 stride halved that range)
+DOC_SHIFT = 5_000
 VEC_SHIFT = 10_000
 ORDER_SHIFT = 1_000_000
 CUST_SHIFT = 1_000_000
@@ -119,17 +122,17 @@ def build(out_dir: str, n: int, tables: tuple[str, ...] = ALL_TABLES) -> None:
     is 3 orders of magnitude cheaper than x100 lineitem)."""
     import duckdb
 
-    if "documents" in tables and n > 100:
-        # doc_id + i*DOC_SHIFT reaches 1,004,999 at n=101 — inside the
-        # +1,000,000 id space doubled_corpus reserves for its planted
-        # mutants. Beyond x100 the dedup-family queries silently merge
-        # colliding doc_ids (measured at x300: 127k output pairs vs
-        # the linear model's ~1.8M) — their numbers are OUT OF MODEL.
-        # Queries that don't double the corpus (ANN, aggs, LM) are
-        # unaffected.
+    if "documents" in tables and n * DOC_SHIFT > 1_000_000:
+        # Replica ids cross into the +1,000,000 id space doubled_corpus
+        # reserves for its planted mutants; past that the dedup-family
+        # queries silently merge colliding doc_ids (measured at x300
+        # under the old 10k stride: 127k output pairs vs the linear
+        # model's ~1.8M) — their numbers are OUT OF MODEL. Queries
+        # that don't double the corpus (ANN, aggs, LM) are unaffected.
         print(
             f"WARNING: documents x{n} exceeds the doubled-corpus id space "
-            "(safe through x100); dedup-family measurements are invalid",
+            f"(safe through x{1_000_000 // DOC_SHIFT}); dedup-family "
+            "measurements are invalid",
             file=sys.stderr,
         )
     os.makedirs(out_dir, exist_ok=True)
