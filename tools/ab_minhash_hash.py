@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """A/B: md5-based vs xxhash64-based MinHash permutation family.
 
-benchmark_spark/llm/dedup.py computes its 16 MinHash permutations from
-md5 so the DuckDB oracle can replay the pipeline bit-identically; the
-docstring (and SCALE.md's 100 TB sizing table) claim the production
-swap to seeded xxhash64 is ~3x cheaper per shingle. This tool MEASURES
-that claim instead of asserting it, on the same salted documents
-replicas the scale curves use (tools/scale_curve.py build):
+benchmark_spark/llm/dedup.py derives its MinHash permutations from an
+md5 base hash so the DuckDB oracle can replay the pipeline
+bit-identically; xxhash64 is the alternative (non-oracle-expressible)
+base. This tool MEASURES the families' cost gap instead of asserting
+it, on the same salted documents replicas the scale curves use
+(tools/scale_curve.py build). Round-7 history this tool drove: the
+original 16-independent-md5s form measured 2.1-2.6x slower e2e than
+16 direct xxhash64 calls, which motivated rewriting the registered
+md5 family to ONE base + 16 universal affine permutations — after
+which the families tie (SCALE.md item 17a):
 
   * ``sig`` — the signature stage in isolation (shingle explode +
     one groupBy with 16 min-hash aggregates): the only stage whose
