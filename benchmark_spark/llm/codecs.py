@@ -1,0 +1,300 @@
+"""Pure-stdlib image codecs: PPM (P6), BMP (24-bit), PNG (8-bit RGB).
+
+These are REAL encoders/decoders built only on ``struct`` and ``zlib``
+(both stdlib), closing the "no media codecs in this container" gap:
+the decode kernel that previously raised NotImplementedError in
+multimodal.py now executes for three genuine on-disk formats.
+
+Format notes (all public specifications):
+  * PPM P6  — netpbm binary RGB: ASCII header ``P6 <w> <h> <maxval>``
+    (whitespace/#-comment tokenized) followed by w*h*3 raw bytes.
+  * BMP     — BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B),
+    24-bit uncompressed, rows BOTTOM-UP, pixels BGR, each row padded
+    to a 4-byte boundary.
+  * PNG     — 8-byte signature + IHDR/IDAT/IEND chunks with CRC32;
+    IDAT is zlib over per-scanline filtered bytes. The decoder
+    implements ALL FIVE filter reconstructions (None/Sub/Up/Average/
+    Paeth) per the PNG spec, not just the filter the encoder emits,
+    and verifies chunk CRCs.
+
+Every decoder normalizes to the same output: ``(fmt, width, height,
+rgb)`` where ``rgb`` is row-major top-down RGB bytes — so downstream
+operators (mean pixel, resize, per-frame features) are format-blind.
+
+Round-trip identity (encode → decode == input) is property-tested for
+all three formats in tests/test_multimodal.py (hypothesis over random
+dimensions and pixel bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers, skipping '#' comments."""
+    toks: list[int] = []
+    i = start
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i] == ord("#"):
+            while i < len(payload) and payload[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # single whitespace after maxval per spec
+
+
+def decode_ppm(payload: bytes) -> tuple[str, int, int, bytes]:
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    (width, height, maxval), pos = _ppm_tokens(payload, 3, 2)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    rgb = payload[pos : pos + 3 * width * height]
+    if len(rgb) != 3 * width * height:
+        raise ValueError("truncated PPM pixel data")
+    return "ppm", width, height, rgb
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    row_size = (3 * width + 3) & ~3
+    image_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_size - 3 * width)
+    for y in range(height - 1, -1, -1):  # bottom-up rows
+        row = rgb[3 * y * width : 3 * (y + 1) * width]
+        for x in range(width):  # RGB -> BGR
+            body += row[3 * x : 3 * x + 3][::-1]
+        body += pad
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[str, int, int, bytes]:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size, width, height_raw, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if dib_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (dib={dib_size}, bpp={bpp})")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    row_size = (3 * width + 3) & ~3
+    rgb = bytearray(3 * width * height)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = payload[offset + src_y * row_size : offset + src_y * row_size + 3 * width]
+        if len(row) != 3 * width:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):  # BGR -> RGB
+            rgb[3 * (y * width + x) : 3 * (y * width + x) + 3] = row[3 * x : 3 * x + 3][::-1]
+    return "bmp", width, height, bytes(rgb)
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, color type 2)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00"  # filter type 0 (None) per scanline
+        raw += rgb[3 * y * width : 3 * (y + 1) * width]
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
+    """Reconstruct scanlines per the PNG spec — all five filter types."""
+    stride = bpp * width
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = y * stride
+        prev = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:  # None
+            out[base : base + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                out[base + i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                out[base + i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[str, int, int, bytes]:
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    width = height = -1
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant (need 8-bit RGB, no interlace)")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + 3 * width):
+        raise ValueError("PNG pixel data length mismatch")
+    return "png", width, height, _png_unfilter(raw, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + derived kernels
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+
+
+def encode_image(fmt: str, width: int, height: int, rgb: bytes) -> bytes:
+    return _ENCODERS[fmt](width, height, rgb)
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Magic-byte dispatch to the real format decoders."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError(f"unknown image magic {payload[:8]!r}")
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode (any supported format),
+    resample with the floor mapping sx = x*w//W, sy = y*h//H, re-encode
+    as PPM (the canonical interchange format here)."""
+    _fmt, w, h, rgb = decode_image(payload)
+    out = bytearray(3 * width * height)
+    for y in range(height):
+        sy = y * h // height
+        for x in range(width):
+            sx = x * w // width
+            s = 3 * (sy * w + sx)
+            d = 3 * (y * width + x)
+            out[d : d + 3] = rgb[s : s + 3]
+    return encode_ppm(width, height, bytes(out))
+
+
+def encode_ppm_video(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Trivial video container: concatenated P6 frames back-to-back
+    (the same shape as a netpbm animation stream)."""
+    return b"".join(encode_ppm(w, h, rgb) for (w, h, rgb) in frames)
+
+
+def decode_ppm_video(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Real container parsing: walk the byte stream, parse each P6
+    header to find the frame's pixel-block length, split into frames."""
+    frames: list[tuple[int, int, bytes]] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        (width, height, maxval), body = _ppm_tokens(payload, 3, pos + 2)
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        end = body + 3 * width * height
+        if end > len(payload):
+            raise ValueError("truncated frame")
+        frames.append((width, height, payload[body:end]))
+        pos = end
+    return frames
+
+
+def sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Real frame sampling over the PPM-stream container: parse all
+    frames, pick n_frames evenly spaced ones, re-encode each standalone."""
+    frames = decode_ppm_video(payload)
+    total = len(frames)
+    if total == 0:
+        return []
+    idx = [min(i * total // n_frames, total - 1) for i in range(n_frames)]
+    return [encode_ppm(w, h, rgb) for (w, h, rgb) in (frames[i] for i in idx)]

@@ -1,0 +1,143 @@
+"""Property tests for the stdlib image codecs (benchmark_spark/llm/
+codecs.py) — the round-8 real-decode kernels — plus Spark-side checks
+for the registered decode/resize/video queries.
+
+Codec properties are pure Python (no Spark): encode->decode identity
+over random dimensions and pixels for all three formats, PNG decode of
+all five filter types (which our encoder never emits), CRC rejection,
+BMP padding edge cases, and video container framing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from benchmark_spark.llm import codecs
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@st.composite
+def images(draw, max_dim=12):
+    w = draw(st.integers(1, max_dim))
+    h = draw(st.integers(1, max_dim))
+    rgb = draw(st.binary(min_size=3 * w * h, max_size=3 * w * h))
+    return w, h, rgb
+
+
+@settings(max_examples=60, deadline=None)
+@given(images(), st.sampled_from(["ppm", "bmp", "png"]))
+def test_roundtrip_identity(img, fmt):
+    w, h, rgb = img
+    assert codecs.decode_image(codecs.encode_image(fmt, w, h, rgb)) == (fmt, w, h, rgb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(images(max_dim=9))
+def test_png_all_filter_types_decode(img):
+    """Our encoder only emits filter 0; a spec-complete decoder must
+    reconstruct Sub/Up/Average/Paeth too. Filter each scanline with
+    type y%5 using the reference filter definitions and check the
+    decoder inverts them."""
+    w, h, rgb = img
+
+    def filt(ftype, line, prev, bpp=3):
+        out = bytearray([ftype])
+        for i, b in enumerate(line):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: codecs._paeth(left, up, ul)}[
+                ftype
+            ]
+            out.append((b - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for y in range(h):
+        line = rgb[3 * y * w : 3 * (y + 1) * w]
+        raw += filt(y % 5, line, prev)
+        prev = line
+    png = (
+        codecs.PNG_SIG
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(png) == ("png", w, h, rgb)
+
+
+def test_png_crc_rejected():
+    png = bytearray(codecs.encode_png(2, 2, bytes(12)))
+    png[20] ^= 0xFF  # corrupt an IHDR byte; CRC check must fire
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_image(bytes(png))
+
+
+def test_bmp_row_padding():
+    """Widths whose 3*w is not a multiple of 4 exercise row padding."""
+    for w in (1, 2, 3, 5, 6, 7):
+        rgb = bytes((i * 29) % 256 for i in range(3 * w * 4))
+        assert codecs.decode_bmp(codecs.encode_bmp(w, 4, rgb)) == ("bmp", w, 4, rgb)
+
+
+def test_ppm_comment_and_whitespace_header():
+    rgb = bytes(range(18))
+    payload = b"P6 # comment\n# another\n  3\t2 \n255\n" + rgb
+    assert codecs.decode_ppm(payload) == ("ppm", 3, 2, rgb)
+
+
+def test_unknown_magic_raises():
+    with pytest.raises(ValueError, match="unknown image magic"):
+        codecs.decode_image(b"\x00\x01\x02\x03garbage")
+
+
+@settings(max_examples=25, deadline=None)
+@given(images(max_dim=9), st.integers(1, 10), st.integers(1, 10))
+def test_resize_nearest_neighbor_exact(img, rw, rh):
+    w, h, rgb = img
+    out = codecs.decode_image(codecs.resize_image(codecs.encode_image("png", w, h, rgb), rw, rh))
+    assert out[:3] == ("ppm", rw, rh)
+    for y in range(rh):
+        for x in range(rw):
+            s = 3 * ((y * h // rh) * w + (x * w // rw))
+            d = 3 * (y * rw + x)
+            assert out[3][d : d + 3] == rgb[s : s + 3]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(images(max_dim=6), min_size=1, max_size=6), st.integers(1, 5))
+def test_video_container_framing_and_sampling(frames, n):
+    frames = [(w, h, rgb) for (w, h, rgb) in frames]
+    vid = codecs.encode_ppm_video(frames)
+    assert codecs.decode_ppm_video(vid) == frames
+    sampled = codecs.sample_frames(vid, n)
+    assert len(sampled) == n
+    total = len(frames)
+    expect = [frames[min(i * total // n, total - 1)] for i in range(n)]
+    assert [codecs.decode_image(s)[1:] for s in sampled] == expect
+
+
+def test_decode_queries_smoke(spark):
+    """Registered real-decode queries: shapes, format mix, determinism.
+    (Value correctness vs the DuckDB oracle is covered by the gate.)"""
+    from benchmark_spark.registry import all_specs
+
+    specs = all_specs()
+    dec = specs["q_decode_image"].fn(spark, SF_SMOKE)
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    assert len(rows) == 500
+    assert {r["fmt"] for r in rows.values()} == {"ppm", "bmp", "png"}
+    for d, r in list(rows.items())[:20]:
+        assert (r["width"], r["height"]) == (4 + d % 5, 3 + d % 4)
+    rs = specs["q_resize_image"].fn(spark, SF_SMOKE)
+    assert rs.filter("width != 8 OR height != 6 OR fmt != 'ppm'").count() == 0
+    vf = specs["q_video_frames"].fn(spark, SF_SMOKE)
+    assert vf.count() == 1000  # 2 sampled frames per doc
+    assert vf.filter("sample_id NOT IN (0, 1)").count() == 0

@@ -238,18 +238,24 @@ def test_frame_sample_plumbing(spark):
     assert reg.filter(F.length("frame_hex") != 2 * F.col("frame_bytes")).count() == 0
 
 
-def test_real_decode_stubs_raise():
+def test_real_decode_kernels_are_real():
+    """Round 8: the formerly-stubbed kernels execute for real (stdlib
+    PPM/BMP/PNG codecs); unknown magic raises ValueError, not
+    NotImplementedError. Full round-trip properties: tests/test_codecs.py."""
     import pytest as _pytest
 
+    from benchmark_spark.llm import codecs
     from benchmark_spark.llm.multimodal import decode_image, resize_image, sample_frames
 
-    for fn, args in [
-        (decode_image, (b"x",)),
-        (resize_image, (b"x", 2, 2)),
-        (sample_frames, (b"x", 3)),
-    ]:
-        with _pytest.raises(NotImplementedError):
-            fn(*args)
+    rgb = bytes(range(36))
+    for fmt in ("ppm", "bmp", "png"):
+        assert decode_image(codecs.encode_image(fmt, 4, 3, rgb)) == (fmt, 4, 3, rgb)
+    resized = resize_image(codecs.encode_image("bmp", 4, 3, rgb), 8, 6)
+    assert decode_image(resized)[:3] == ("ppm", 8, 6)
+    vid = codecs.encode_ppm_video([(4, 3, rgb), (4, 3, rgb[::-1])])
+    assert [decode_image(f)[3] for f in sample_frames(vid, 2)] == [rgb, rgb[::-1]]
+    with _pytest.raises(ValueError):
+        decode_image(b"not an image")
 
 
 def test_dedup_clusters_group_planted_pairs(spark):
