@@ -76,42 +76,39 @@ def register(
 
 
 # The external correctness harness checks the FIRST 50 registry entries
-# only (verified: CORRECTNESS_r01-r06.json are exactly all_queries()
+# only (verified: CORRECTNESS_r01-r07.json are exactly all_queries()
 # positions 1-50 of their round). Rounds 5-6 used the window to give
-# every registered query at least one driver-green round (r5: the 10
-# never-checked; r6: the remaining 40 — CORRECTNESS_r06 49/50 hash +
-# q_approx_stats rows-only by design completed the program).
+# every registered query at least one driver-green round; from round 7
+# on the window rotates by EVIDENCE AGE so independent driver proof
+# stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-7 re-cut: with CORRECTNESS_r06 green, every one of the 224
-    # registered queries has driver-green evidence across r1-r6 (union)
-    # — the coverage program is complete. From round 7 on the window
-    # rotates by EVIDENCE AGE so driver (fully independent) proof stays
-    # fresh: these 50 are exactly the rows whose latest driver-green
-    # round is oldest (5 rows last green in r1, all 36 rows last green
-    # in r2, plus the 9 highest-value r3-latest rows — the scale-
-    # critical dedup/ANN/maintenance tier). Everything displaced is
-    # driver-green in r3-r6 and stays checked by the local full gate
-    # (tools/check_oracle.py every round; tools/gate_sf01.py at 10x).
-    # never driver-checked (new in round 7) — a new row always enters
+    # Round-8 re-cut (VERDICT r7 #2): continue the staleness rotation.
+    # After r7 the oldest evidence tiers are: 31 rows last driver-green
+    # in r3 (all included) and 44 in r4 (16 highest-value included —
+    # the eight headline bench queries plus the sampler/corpus tier the
+    # 100 TB story leans on; equal-age rows left out are picked up by
+    # the r9 re-cut). Everything displaced is driver-green in r4-r7 and
+    # stays checked by the local full gate (tools/check_oracle.py every
+    # round; GATE_sf01 at 10x driver scale).
+    # never driver-checked (new in round 8) — a new row always enters
     # through the window so its first driver evidence lands next round
-    "q_dedup_minhash_capped",
-    # latest driver evidence r1
-    "q_sliding_frame", "q_sort_multi", "q_value_funcs", "q_union_all",
-    "q_union",
-    # latest driver evidence r2
-    "q_pred_mix", "q_agg_funcs", "q_join_multi", "q_broadcast_join",
-    "q_semi", "q_outer", "q_range_join", "q_asof", "q_rank_funcs",
-    "q_topk", "q_intersect", "q_except", "q_intersect_all",
-    "q_except_all", "q4_two_step", "q_ann_lsh", "q_string", "q_date",
-    "q_math", "q_cond", "q_array", "q_json", "q_cast", "q_hash",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_textstats", "q_langid", "q_binary_meta", "q_stream_dedup",
-    "q_scalar_udf", "q_pandas_udf", "q_grouped_agg_udf", "q_udtf",
-    "q_pipe_wordcount",
-    # latest driver evidence r3 — scale-critical dedup/ANN/maintenance
-    "q_dedup_clusters", "q_ann_ivf", "q_knn_sq8", "q_dedup_embed_lsh",
-    "q_jaccard_chargram", "q_curation_pipeline", "q_multimodal_features",
-    "q_incremental_agg",
+    "q_decode_image", "q_resize_image", "q_video_frames",
+    # latest driver evidence r3 (entire tier)
+    "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
+    "q_csv_source", "q_decontaminate", "q_dedup_embed",
+    "q_dedup_fingerprint", "q_fingerprint", "q_format_text", "q_funnel",
+    "q_frame_sample", "q_jaccard_pairs", "q_json_source", "q_knn_batch",
+    "q_knn_graph", "q_langid_chargram", "q_map_funcs", "q_merge_upsert",
+    "q_mixture_sample", "q_orc_source", "q_partition_prune",
+    "q_pii_redact", "q_quality", "q_repetition", "q_salted_agg",
+    "q_salted_join", "q_scd2", "q_split_sample", "q_tfidf",
+    "q_token_regex",
+    # latest driver evidence r4 — headline bench queries first, then
+    # the scale-critical sampler/corpus/graph rows
+    "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
+    "q6_window", "q8_knn", "q_pagerank", "q_dedup_keep_best",
+    "q_leakage_split", "q_stratified_sample", "q_reservoir_sample",
+    "q_bm25", "q_pack_sequences", "q_bigram_counts", "q_unigram_lm",
 )
 
 

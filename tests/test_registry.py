@@ -19,11 +19,11 @@ import json
 from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
-ROUNDS_SEEN = (1, 2, 3, 4, 5, 6)
+ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7)
 # The round-7 cut takes every row last green in r1/r2 (41 rows) and
 # fills the remainder from the r3-latest tier, so nothing in the
 # window may have evidence newer than this.
-WINDOW_MAX_LATEST_GREEN = 3
+WINDOW_MAX_LATEST_GREEN = 4  # round-8 cut: r3 tier fully in, r4 tier partially
 
 
 def _green(res):
@@ -114,8 +114,9 @@ def test_no_staler_row_left_outside_window():
 def test_rows_only_in_window_are_all_by_design():
     specs = all_specs()
     rows_only = {n for n in _PRIORITY if specs[n].oracle is None}
-    # The round-7 window is drawn from the r1-r3 hash-green tiers, so
-    # every slot carries an oracle and can hash-match (q_approx_stats,
-    # the single deliberate rows-only row, got its driver rows-only
-    # check in r6 and its error-bounded twin is hash-green r5).
+    # Since round 8 the registry has ZERO rows-only entries anywhere:
+    # q_approx_stats (the one deliberate rows-only row through r7) was
+    # folded into the in-plan tolerance-verdict shape (VERDICT r7 #3),
+    # so every window slot carries an oracle and can hash-match.
     assert rows_only == set()
+    assert {n for n in specs if specs[n].oracle is None} == set()

@@ -5,6 +5,7 @@ stateful surfaces with no batch twin (watermarked dedup,
 stream-stream join, applyInPandasWithState)."""
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -376,21 +377,31 @@ def test_sliding_stream_converges_to_batch(spark):
 
 
 
-# NOTE: transformWithStateInPandas (Spark 4's successor state API) is
-# NOT exercised here: in this container its driver worker crashes at
-# bootstrap inside Spark's own embedded Python
-# (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, returned -2).
-# Re-probed round 4 with a full StatefulProcessor: the root cause is
-# now explicit — `ImportError: cannot import name 'descriptor' from
-# 'google.protobuf'` — the TWS state-server protocol needs a working
-# protobuf in the runtime's embedded Python and this container's is
-# broken/absent (pip installs are not permitted). Environment-level,
-# independent of engine code. Arbitrary stateful processing is covered
-# by the stable applyInPandasWithState test above; revisit TWS when
-# the runtime ships an intact protobuf. (Round-5 probe: `import
-# google.protobuf` still raises ModuleNotFoundError — unchanged.
-# Round-6 probe 2026-08-14: still ModuleNotFoundError — unchanged.
-# Round-7 probe 2026-08-14: still ModuleNotFoundError — unchanged.)
+def test_transform_with_state_env_block_pinned(spark):
+    """transformWithStateInPandas (Spark 4's successor state API) is
+    env-blocked in this container: its state-server protocol imports
+    google.protobuf in the Python worker, and no protobuf distribution
+    exists anywhere on this host (round-8 sweep: only typeshed stubs;
+    pip installs are not permitted — the r4 probe crashed at worker
+    bootstrap with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    `ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`). Arbitrary stateful processing is covered by
+    the applyInPandasWithState test above.
+
+    Round 8 (VERDICT r7 #7): the prose NOTE became this MACHINE-CHECKED
+    pin — each round it re-probes the import. While blocked it skips
+    with the exact failure; the moment the runtime ships an intact
+    protobuf it FAILS loudly (xfail-strict style) telling us to add the
+    real TWS test instead of silently staying skipped."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ModuleNotFoundError as e:
+        assert e.name in ("google", "google.protobuf"), e
+        pytest.skip(f"transformWithStateInPandas env-blocked: {e}")
+    pytest.fail(
+        "google.protobuf now imports — the TWS env-block is lifted; "
+        "replace this pin with a real transformWithStateInPandas test"
+    )
 
 
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):

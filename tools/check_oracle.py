@@ -2,7 +2,7 @@
 """Run the full registry against the DuckDB oracle locally (the
 driver-gate mimic). Usage:
 
-    python tools/check_oracle.py [sf_dir] [--json OUT.json] [name ...]
+    python tools/check_oracle.py [sf_dir] [--json OUT.json] [--no-cache] [name ...]
 
 Defaults to /root/testdata/sf0.01 and all registered queries.
 Exit code = number of failing queries.
@@ -12,7 +12,14 @@ Exit code = number of failing queries.
 gate's compare is a single combined verdict), so a full sf0.1 run
 becomes a committed, regenerable evidence file:
 
-    python tools/check_oracle.py /root/testdata/sf0.1 --json GATE_sf01_r06.json
+    python tools/check_oracle.py /root/testdata/sf0.1 --json GATE_sf01_r08.json
+
+Round 8 (VERDICT r7 #5): per-query timing is split into spark_secs /
+oracle_secs (the old combined `secs` stays for continuity), and green
+oracle results are cached on disk keyed by (fixture content md5,
+oracle-SQL md5) in .oracle_cache/ — a warm re-run after Spark-only
+changes skips every oracle replay. --no-cache forces full replays
+(used to regenerate evidence artifacts from scratch).
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ sys.path.insert(0, "/root/repo")
 
 from benchmark_spark.registry import all_specs
 from benchmark_spark.session import get_spark
-from benchmark_spark.testing import compare, duckdb_connection, run_rows_only
+from benchmark_spark.testing import OracleCache, compare, duckdb_connection, run_rows_only
 
 
 def main() -> int:
@@ -36,6 +43,8 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    use_cache = "--no-cache" not in args
+    args = [a for a in args if a != "--no-cache"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
     specs = all_specs()
@@ -56,6 +65,9 @@ def main() -> int:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         print("[conf] spark.sql.adaptive.enabled=false (differential mode)")
     con = duckdb_connection(sf_dir)
+    cache = OracleCache(sf_dir) if use_cache else None
+    if cache is not None:
+        print(f"[cache] .oracle_cache keyed on fixture md5 {cache.fixture_md5[:12]}")
     failures = 0
     artifact: dict[str, dict] = {}
     for name, spec in specs.items():
@@ -67,7 +79,7 @@ def main() -> int:
                 res = run_rows_only(name, df)
                 err = "no_oracle"
             else:
-                res = compare(name, df, con, spec.oracle)
+                res = compare(name, df, con, spec.oracle, cache=cache)
         except Exception as e:  # noqa: BLE001 - report and continue
             failures += 1
             err = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
@@ -106,14 +118,21 @@ def main() -> int:
             "oracle_rows": res.oracle_rows,
             "err": err if err else (res.mismatches[0][:300] if res.mismatches else None),
             "secs": round(time.time() - t0, 2),
+            "spark_secs": res.spark_secs,
+            "oracle_secs": res.oracle_secs,
+            "oracle_cached": res.oracle_cached,
         }
     print(f"\n{len(specs) - failures}/{len(specs)} passed")
+    if cache is not None:
+        print(f"[cache] oracle hits={cache.hits} misses={cache.misses}")
     if json_out:
         summary = {
             "sf_dir": sf_dir,
             "queries_run": len(specs),
             "passed": len(specs) - failures,
             "failed": failures,
+            "oracle_cache_hits": cache.hits if cache is not None else None,
+            "oracle_cache_misses": cache.misses if cache is not None else None,
         }
         with open(json_out, "w") as f:
             json.dump({"_summary": summary, **artifact}, f, indent=1)
