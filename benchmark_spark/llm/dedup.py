@@ -221,7 +221,29 @@ def minhash_signatures(
     codegen. Downstream stages (banding, bucket join, exact-Jaccard
     verify) are family-agnostic — the verify step makes precision
     exact, so the family only moves candidate recall, which the LSH
-    parameters (not the hash quality) dominate."""
+    parameters (not the hash quality) dominate.
+
+    Known tradeoff of the one-base md5 construction (ADVICE r7): the
+    base is 32 bits and all 16 permutations are affine in it mod
+    p=2^31-1, so two distinct shingles whose bases are congruent mod p
+    collide on the ENTIRE signature — expected fully-indistinguishable
+    shingle pairs ~ C(n,2)/p: ~0.5 at n=50k distinct shingles (sf0.1),
+    a few hundred at n=1.5M (x200), ~2.3M at n=10^8. Precision is
+    UNAFFECTED (exact-Jaccard verify rejects false candidates); the
+    cost is a vanishing recall haircut — a colliding shingle pair
+    makes two documents' signatures agree slightly more often than
+    their true Jaccard warrants, which can only ADD candidates, and
+    the only loss is the (collision-rate-sized) chance that a doc's
+    true min-shingle is displaced consistently across a full band.
+    The pre-r7 16-independent-60-bit-hash family had no such bound but
+    cost 2.15x on the oracle-checked pipeline. Upgrade path if a
+    corpus approaches ~10^8 distinct shingles: derive a SECOND 31-bit
+    base from md5 chars 9-16 (same md5 call, different substring) and
+    use sig_i = (a_i*hb1 + b_i*hb2 + c_i) mod p with 30-bit
+    coefficients (keeps every term under 2^61, sum under 2^62 — no
+    BIGINT overflow); full-signature collisions then need BOTH bases
+    congruent (~C(n,2)/p^2, negligible at any realistic n), at the
+    cost of one extra multiply-add per shingle per permutation."""
     if hash_family == "md5":
         base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
         pre = sh.select("doc_id", base.alias("hb"))

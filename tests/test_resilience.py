@@ -103,6 +103,12 @@ def test_transient_task_failure_is_exactly_once(tmp_path):
     )
     assert proc.returncode == 0, f"probe failed:\n{proc.stdout}\n{proc.stderr}"
     assert "RETRY_OK" in proc.stdout
-    # the planted failure really happened (and really reached the log)
-    assert "planted transient task failure" in proc.stderr
+    # the planted failure really happened: the FLAG file is written by
+    # the failing UDF invocation itself, so its existence proves the
+    # injection fired. (ADVICE r7: the old stderr grep for the
+    # exception text depended on Spark logging the Python worker
+    # traceback at ERROR level in local mode — version/log4j-config
+    # dependent — so it is advisory-only now.)
     assert (tmp_path / "injected").exists()
+    if "planted transient task failure" not in proc.stderr:
+        print("[advisory] planted-failure traceback not in stderr (log config dependent)")

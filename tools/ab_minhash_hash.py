@@ -25,7 +25,7 @@ which the families tie (SCALE.md item 17a):
     budget the hash base is.
 
 Both families produce the same verified-pair output on the planted
-corpus (pinned in tests/test_llm.py::test_minhash_xxhash64_family);
+corpus (pinned in tests/test_llm.py::test_minhash_xxhash64_family_parity);
 this tool only measures cost.
 
 Usage: python tools/ab_minhash_hash.py [multipliers...]  (default 1 10 30)

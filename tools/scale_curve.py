@@ -140,13 +140,23 @@ def build(out_dir: str, n: int, tables: tuple[str, ...] = ALL_TABLES) -> None:
     con = None
     for t in tables:
         f = os.path.join(out_dir, f"{t}.parquet")
-        marker = os.path.join(out_dir, f"_SUCCESS_{t}")
-        if os.path.exists(marker) or (legacy and os.path.exists(f)):
+        # ADVICE r7: the marker must encode the replica-id stride —
+        # documents built under the old DOC_SHIFT=10,000 layout would
+        # otherwise be silently reused after the stride changed to
+        # 5,000, reviving exactly the silent-id-collision failure the
+        # stride change fixed. A stride-less marker (or the legacy
+        # _SUCCESS) on a stride-bearing table forces a rebuild.
+        stride_tag = f"_s{DOC_SHIFT}" if t == "documents" else ""
+        marker = os.path.join(out_dir, f"_SUCCESS_{t}{stride_tag}")
+        if os.path.exists(marker):
+            continue
+        # legacy all-in-one _SUCCESS only vouches for stride-less tables
+        if not stride_tag and legacy and os.path.exists(f):
             continue
         if con is None:
             con = duckdb.connect()
         if os.path.exists(f):
-            os.remove(f)  # incomplete earlier copy
+            os.remove(f)  # incomplete earlier copy or stale-stride layout
         con.execute(
             f"COPY ({_TABLE_SQL[t].format(n=n)}) TO '{f}' (FORMAT PARQUET)"
         )
