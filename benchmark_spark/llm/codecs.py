@@ -298,3 +298,56 @@ def sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
         return []
     idx = [min(i * total // n_frames, total - 1) for i in range(n_frames)]
     return [encode_ppm(w, h, rgb) for (w, h, rgb) in (frames[i] for i in idx)]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit) — the audio modality, equally stdlib-real
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """PCM 16-bit little-endian WAV. ``samples`` is interleaved
+    (frame-major) signed 16-bit values; len must be divisible by
+    channels."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("sample count must divide evenly into channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse RIFF chunks for real: returns (sample_rate, channels,
+    interleaved signed 16-bit samples). Walks the chunk list (so extra
+    chunks like LIST/INFO are skipped per spec), requires PCM 16-bit."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = channels = -1
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+        elif tag == b"data":
+            data = body
+    if sample_rate < 0 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sample_rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))

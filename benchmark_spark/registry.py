@@ -92,7 +92,7 @@ _PRIORITY = (
     # round; GATE_sf01 at 10x driver scale).
     # never driver-checked (new in round 8) — a new row always enters
     # through the window so its first driver evidence lands next round
-    "q_decode_image", "q_resize_image", "q_video_frames",
+    "q_decode_image", "q_resize_image", "q_video_frames", "q_decode_audio",
     # latest driver evidence r3 (entire tier)
     "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
     "q_csv_source", "q_decontaminate", "q_dedup_embed",
@@ -108,7 +108,7 @@ _PRIORITY = (
     "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
     "q6_window", "q8_knn", "q_pagerank", "q_dedup_keep_best",
     "q_leakage_split", "q_stratified_sample", "q_reservoir_sample",
-    "q_bm25", "q_pack_sequences", "q_bigram_counts", "q_unigram_lm",
+    "q_bm25", "q_pack_sequences", "q_bigram_counts",
 )
 
 

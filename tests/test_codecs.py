@@ -124,6 +124,40 @@ def test_video_container_framing_and_sampling(frames, n):
     assert [codecs.decode_image(s)[1:] for s in sampled] == expect
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.sampled_from([8000, 16000, 44100]),
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=120),
+)
+def test_wav_roundtrip_identity(channels, rate, samples):
+    samples = samples[: len(samples) - len(samples) % channels] or samples[:channels] * channels
+    samples = samples if len(samples) % channels == 0 else samples + [0] * (
+        channels - len(samples) % channels
+    )
+    assert codecs.decode_wav(codecs.encode_wav(rate, channels, samples)) == (
+        rate,
+        channels,
+        samples,
+    )
+
+
+def test_wav_skips_extra_chunks_and_rejects_non_pcm():
+    wav = codecs.encode_wav(8000, 1, [1, -2, 3])
+    # splice an odd-length LIST chunk after fmt (ends at offset 36);
+    # the decoder must skip it with word alignment per the RIFF spec
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:36] + extra + wav[36:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert codecs.decode_wav(spliced) == (8000, 1, [1, -2, 3])
+    bad = bytearray(wav)
+    bad[20] = 3  # audio_fmt = IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        codecs.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_wav(b"not audio")
+
+
 def test_decode_queries_smoke(spark):
     """Registered real-decode queries: shapes, format mix, determinism.
     (Value correctness vs the DuckDB oracle is covered by the gate.)"""
