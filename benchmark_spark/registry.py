@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "benchmark_spark.sources.readers",
     "benchmark_spark.sources.pysource",
     "benchmark_spark.sources.formats",
+    "benchmark_spark.sources.txlog",
     "benchmark_spark.functions.scalars",
     "benchmark_spark.llm.corpus",
     "benchmark_spark.llm.dedup",
@@ -83,16 +84,19 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-8 re-cut (VERDICT r7 #2): continue the staleness rotation.
-    # After r7 the oldest evidence tiers are: 31 rows last driver-green
-    # in r3 (all included) and 44 in r4 (16 highest-value included —
-    # the eight headline bench queries plus the sampler/corpus tier the
-    # 100 TB story leans on; equal-age rows left out are picked up by
-    # the r9 re-cut). Everything displaced is driver-green in r4-r7 and
-    # stays checked by the local full gate (tools/check_oracle.py every
-    # round; GATE_sf01 at 10x driver scale).
+    # 8 never-checked rows new in r8 (real-codec multimodal tier +
+    # transaction-log tier) enter first, then the oldest evidence
+    # tiers: all 31 rows last driver-green in r3, plus the 11
+    # highest-value r4 rows (the eight headline bench queries + the
+    # graph/curation tier). Equal-age r4 rows left out are picked up
+    # by the r9 re-cut. Everything displaced is driver-green in r4-r7
+    # and stays checked by the local full gate (tools/check_oracle.py
+    # every round; GATE_sf01 at 10x driver scale).
     # never driver-checked (new in round 8) — a new row always enters
     # through the window so its first driver evidence lands next round
     "q_decode_image", "q_resize_image", "q_video_frames", "q_decode_audio",
+    "q_txlog_snapshot", "q_txlog_time_travel", "q_txlog_prune_stats",
+    "q_txlog_merge",
     # latest driver evidence r3 (entire tier)
     "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
     "q_csv_source", "q_decontaminate", "q_dedup_embed",
@@ -107,8 +111,7 @@ _PRIORITY = (
     # the scale-critical sampler/corpus/graph rows
     "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
     "q6_window", "q8_knn", "q_pagerank", "q_dedup_keep_best",
-    "q_leakage_split", "q_stratified_sample", "q_reservoir_sample",
-    "q_bm25", "q_pack_sequences", "q_bigram_counts",
+    "q_leakage_split", "q_stratified_sample",
 )
 
 

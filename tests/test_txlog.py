@@ -1,0 +1,134 @@
+"""Protocol tests for the transaction-log table format
+(benchmark_spark/sources/txlog.py): commit atomicity and conflict
+retry, snapshot isolation, time travel, footer-stats pruning, and the
+registered queries' fixture invariants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from benchmark_spark.sources.txlog import CommitConflict, TxLogTable
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    return TxLogTable.create(
+        spark, str(tmp_path / "t"), df, "k", n_files=4, stats_cols=("k",)
+    )
+
+
+def test_create_splits_files_with_footer_stats(table):
+    adds = table.snapshot_adds()
+    assert len(adds) == 4
+    assert sum(a["rows"] for a in adds) == 1000
+    ranges = sorted((a["cols"]["k"]["min"], a["cols"]["k"]["max"]) for a in adds)
+    # equal-width slices over 0..999 (width 250), stats from real footers
+    assert ranges == [(0, 249), (250, 499), (500, 749), (750, 999)]
+
+
+def test_commit_conflict_retries_to_next_version(table):
+    # plant a racer: claim version 1 before the table's own commit
+    racer = os.path.join(table.log_dir, "00000001.json")
+    with open(racer, "w") as f:
+        json.dump({"version": 1, "op": "racer", "actions": []}, f)
+    v = table.commit([{"remove": "nonexistent.parquet"}], op="probe")
+    assert v == 2  # lost version 1, retried, claimed 2
+    assert [c["op"] for c in table.history()] == ["create", "racer", "probe"]
+    # bounded retries: exhaust every slot the committer would try
+    for nxt in range(3, 9):
+        with open(os.path.join(table.log_dir, f"{nxt:08d}.json"), "w") as f:
+            json.dump({"version": nxt, "op": "racer", "actions": []}, f)
+
+    class Stuck(TxLogTable):
+        def versions(self):  # stale view: always sees only up to v2
+            return [0, 1, 2]
+
+    with pytest.raises(CommitConflict):
+        Stuck(table.path).commit([], op="never", retries=3)
+    # no temp litter left behind by the losing attempts
+    assert not [f for f in os.listdir(table.log_dir) if f.startswith(".tmp")]
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, table):
+    files_before = table.snapshot_files()  # reader resolves its snapshot
+    df_before = spark.read.parquet(*files_before)
+    n_before = df_before.count()
+    # a writer deletes half the table AFTER the reader resolved
+    table.delete_where(spark, "k", 0, 499, ("k",))
+    assert spark.read.parquet(*files_before).count() == n_before  # unchanged
+    assert table.read(spark).count() == 500  # new snapshot sees the delete
+
+
+def test_time_travel_reads_any_version(spark, table):
+    table.append(spark, spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit(0).alias("v")), ("k",))
+    table.delete_where(spark, "k", 0, 999, ("k",))
+    assert table.read(spark, version=0).count() == 1000
+    assert table.read(spark, version=1).count() == 1100
+    assert table.read(spark).count() == 100
+
+
+def test_delete_prunes_by_footer_stats(spark, table):
+    counters = table.delete_where(spark, "k", 300, 399, ("k",))
+    # only the 250-499 slice overlaps [300, 399]
+    assert counters == {"files_total": 4, "files_rewritten": 1}
+    assert table.read(spark).count() == 900
+    # untouched files are still the original objects (copy-on-write)
+    names = {os.path.basename(f) for f in table.snapshot_files()}
+    orig = {a["add"] for a in TxLogTable(table.path).snapshot_adds(version=0)}
+    assert len(names & orig) == 3
+
+
+def test_merge_rewrites_strict_subset_and_upserts(spark, table):
+    updates = spark.range(240, 260).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    counters = table.merge(spark, updates, "k", ("k",))
+    # [240,259] spans the 0-249 and 250-499 slices only
+    assert counters == {"files_total": 4, "files_rewritten": 2}
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert len(got) == 1000
+    assert all(got[k] == -1 for k in range(240, 260))
+    assert got[0] == 0 and got[999] == 1998
+    # inserts: keys beyond every file's range go in without a rewrite
+    ins = spark.range(5000, 5010).select(F.col("id").alias("k"), F.lit(7).alias("v"))
+    counters = table.merge(spark, ins, "k", ("k",))
+    assert counters["files_rewritten"] == 0
+    assert table.read(spark).count() == 1010
+
+
+def test_compact_is_one_commit_and_loses_nothing(spark, table):
+    before = sorted(r["k"] for r in table.read(spark).collect())
+    v = table.compact(spark, ("k",))
+    assert len(table.snapshot_files()) == 1
+    assert sorted(r["k"] for r in table.read(spark).collect()) == before
+    assert table.read(spark, version=v - 1).count() == 1000  # pre-compact view intact
+
+
+def test_empty_snapshot_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty table snapshot"):
+        TxLogTable(str(tmp_path / "nope")).read(spark)
+
+
+def test_registered_merge_prunes(spark):
+    """The q_txlog_merge fixture must exercise pruning for real: its
+    banded update batch rewrites a strict subset of the 6 files."""
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.sources.txlog import _scenario
+
+    cust = load_table(spark, SF_SMOKE, "customer", assert_schema=False)
+    # the scenario helper's counters are what q_txlog_prune_stats emits
+    t, counters, dlo, dhi = _scenario(spark, SF_SMOKE)
+    assert 0 < counters["files_rewritten"] < counters["files_total"]
+    ops = [c["op"] for c in t.history()]
+    assert ops == ["create", "append", "delete"]
