@@ -120,6 +120,47 @@ def advise(df: DataFrame) -> list[Finding]:
                 )
             )
     findings.extend(_skew_split_blocked(df))
+    # Round 8 (the q8_knn lesson, BENCH_NOTES r8): higher-order
+    # functions (zip_with/aggregate/transform lambdas) are
+    # CodegenFallback — interpreted per-element evaluation. Often fine
+    # map-side, but when the HOF expression lands inside
+    # TakeOrderedAndProject's projection it is evaluated row-at-a-time
+    # in the sort operator with NO codegen stage below computing it —
+    # measured 2x the whole work term on q8_knn. Detect the specific
+    # pathology (lambdafunction on the TakeOrderedAndProject node
+    # line), not HOF use in general.
+    lines = plan.splitlines()
+    hof_feeds_topk = False
+    for i, line in enumerate(lines):
+        if "TakeOrderedAndProject" not in line:
+            continue
+        # the sort key is computed by the operator directly beneath;
+        # an interpreted (no codegen star) Project evaluating a lambda
+        # there runs the HOF per input row outside any codegen stage
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if (
+            "lambdafunction" in line
+            or ("Project" in child and "lambdafunction" in child and "*" not in child.split("Project")[0])
+        ):
+            hof_feeds_topk = True
+            break
+    if hof_feeds_topk:
+        findings.append(
+            Finding(
+                "interpreted-hof-in-topk",
+                "warn",
+                "a higher-order-function expression (zip_with/aggregate/"
+                "transform lambda) is evaluated inside "
+                "TakeOrderedAndProject's projection: HOFs are "
+                "CodegenFallback, so every input row pays interpreted "
+                "per-element evaluation in the sort operator (measured "
+                "2x the work term on q8_knn, BENCH_NOTES r8). Fix: "
+                "compute the value in a codegen stage first — e.g. "
+                "arrays_zip -> posexplode -> partial aggregate "
+                "(bit-identical to the fold), then order by the "
+                "materialized column.",
+            )
+        )
     if "SortMergeJoin" in plan and "TakeOrderedAndProject" not in plan:
         # SMJ against a side that also appears filtered-to-small hints
         # a missed broadcast; purely advisory

@@ -90,3 +90,34 @@ def test_flags_partition_consuming_agg_above_skew_join(spark):
         assert "skew-split-blocked" not in _rules(advise(fine))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_flags_interpreted_hof_feeding_topk(spark):
+    """The q8_knn round-8 lesson: a CodegenFallback higher-order
+    function evaluated in (or directly beneath) TakeOrderedAndProject
+    is flagged; the shipped explode/partial-sum rewrite and ordinary
+    map-side HOF use are not."""
+    emb = load_table(spark, SF_SMOKE, "embeddings", assert_schema=False)
+
+    def dot_zip(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("anchor_emb"))
+    bad = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", F.round(dot_zip(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"))
+        .orderBy(F.desc("score"))
+        .limit(10)
+    )
+    assert "interpreted-hof-in-topk" in _rules(advise(bad))
+    # shipped q8_knn computes the score in a codegen aggregate first
+    assert "interpreted-hof-in-topk" not in _rules(advise(get_query("q8_knn").fn(spark, SF_SMOKE)))
+    # map-side HOF with no top-k sort on the lambda output stays clean
+    assert "interpreted-hof-in-topk" not in _rules(
+        advise(get_query("q_winnow_fingerprint").fn(spark, SF_SMOKE))
+    )
