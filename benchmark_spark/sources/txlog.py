@@ -97,7 +97,18 @@ class TxLogTable:
         if not os.path.isdir(self.log_dir):
             return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(self.log_dir) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
         )
 
     def _read_commit(self, version: int) -> dict:
@@ -139,22 +150,28 @@ class TxLogTable:
         raise CommitConflict(f"could not claim a version after {retries} attempts")
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
-        """Replay add/remove actions up to `version` (inclusive)."""
-        live: dict[str, bool] = {}
-        for v in self.versions():
-            if version is not None and v > version:
-                break
-            for a in self._read_commit(v)["actions"]:
-                if "add" in a:
-                    live[a["add"]] = True
-                elif "remove" in a:
-                    live.pop(a["remove"], None)
-        return [os.path.join(self.path, f) for f in live]
+        """Live data-file paths at `version` (latest by default)."""
+        return [os.path.join(self.path, a["add"]) for a in self.snapshot_adds(version)]
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
-        """Live add-actions (with their footer stats) at a version."""
+        """Live add-actions (with their footer stats) at a version.
+
+        Replay starts from the newest checkpoint at-or-before the
+        requested version (Delta-style log checkpointing): resolution
+        cost is O(commits since checkpoint), not O(all commits) — at
+        streaming-ingest commit rates the raw log grows unboundedly
+        and a full replay per read would dominate planning time."""
         live: dict[str, dict] = {}
+        start = 0
+        usable = [c for c in self.checkpoints() if version is None or c <= version]
+        if usable:
+            cp = usable[-1]
+            with open(os.path.join(self.log_dir, f"{cp:08d}.checkpoint.json")) as f:
+                live = {a["add"]: a for a in json.load(f)["adds"]}
+            start = cp + 1
         for v in self.versions():
+            if v < start:
+                continue
             if version is not None and v > version:
                 break
             for a in self._read_commit(v)["actions"]:
@@ -163,6 +180,42 @@ class TxLogTable:
                 elif "remove" in a:
                     live.pop(a["remove"], None)
         return list(live.values())
+
+    def checkpoint(self) -> int:
+        """Write a checkpoint of the CURRENT live add-set next to the
+        log (atomic rename; readers that don't see it yet just replay
+        more commits — checkpoints are an optimization, never a
+        correctness dependency). Returns the checkpointed version."""
+        v = (self.versions() or [-1])[-1]
+        if v < 0:
+            raise ValueError("cannot checkpoint an empty log")
+        doc = {"version": v, "adds": self.snapshot_adds(version=v)}
+        tmp = os.path.join(self.log_dir, f".tmp-cp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, f"{v:08d}.checkpoint.json"))
+        return v
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Physically delete data files no snapshot >= (latest -
+        retain_versions) references. Time travel OLDER than the
+        retention horizon stops working — that is vacuum's contract
+        (the reason it is separate from delete/compact, which only
+        edit the log)."""
+        vs = self.versions()
+        horizon = vs[-1] - retain_versions
+        keep: set[str] = set()
+        for v in vs:
+            if v >= horizon:
+                keep.update(a["add"] for a in self.snapshot_adds(version=v))
+        removed = []
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in keep:
+                os.unlink(os.path.join(self.path, f))
+                removed.append(f)
+        return removed
 
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self.versions()]

@@ -132,3 +132,40 @@ def test_registered_merge_prunes(spark):
     assert 0 < counters["files_rewritten"] < counters["files_total"]
     ops = [c["op"] for c in t.history()]
     assert ops == ["create", "append", "delete"]
+
+
+def test_checkpoint_equals_full_replay_and_bounds_resolution(spark, table):
+    table.append(spark, spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit(0).alias("v")), ("k",))
+    table.delete_where(spark, "k", 0, 249, ("k",))
+    full = sorted(os.path.basename(f) for f in table.snapshot_files())
+    cp_v = table.checkpoint()
+    assert cp_v == 2
+    # post-checkpoint resolution must agree with the raw replay
+    assert sorted(os.path.basename(f) for f in table.snapshot_files()) == full
+    # commits after the checkpoint layer on top of it
+    table.append(spark, spark.range(2000, 2010).select(F.col("id").alias("k"), F.lit(1).alias("v")), ("k",))
+    # 1000 base + 100 appended - 250 deleted + 10 appended post-cp
+    assert table.read(spark).count() == 860
+    # time travel BEFORE the checkpoint still replays the raw log
+    assert table.read(spark, version=0).count() == 1000
+    # a reader that starts from the checkpoint never opens commits 0-2
+    class CountingTable(TxLogTable):
+        opened = []
+        def _read_commit(self, version):
+            self.opened.append(version)
+            return super()._read_commit(version)
+    t2 = CountingTable(table.path)
+    t2.snapshot_adds()
+    assert t2.opened == [3]
+
+
+def test_vacuum_respects_retention_and_breaks_old_travel(spark, table):
+    table.delete_where(spark, "k", 0, 499, ("k",))
+    table.compact(spark, ("k",))
+    removed = table.vacuum(retain_versions=0)
+    # all four originals: two were rewritten away by the delete (whose
+    # survivor set was empty, so no replacement file), two by compact
+    assert len(removed) == 4
+    assert table.read(spark).count() == 500  # latest snapshot intact
+    with pytest.raises(Exception):  # pre-vacuum version lost its files
+        table.read(spark, version=0).count()
