@@ -169,3 +169,36 @@ def test_vacuum_respects_retention_and_breaks_old_travel(spark, table):
     assert table.read(spark).count() == 500  # latest snapshot intact
     with pytest.raises(Exception):  # pre-vacuum version lost its files
         table.read(spark, version=0).count()
+
+
+def _hammer_commits(args):
+    """Worker (module-level for pickling): N commits against one log."""
+    path, worker_id, n = args
+    t = TxLogTable(path)
+    got = []
+    for i in range(n):
+        got.append(t.commit([{"add": f"w{worker_id}-{i}.parquet", "rows": 1, "cols": {}}],
+                            op=f"w{worker_id}", retries=200))
+    return got
+
+
+def test_concurrent_writers_serialize_without_loss(table):
+    """REAL multi-process contention: 4 processes hammer 12 commits
+    each against the same log directory. The link+unlink version claim
+    must serialize them — every commit gets a unique version, nothing
+    is lost or overwritten, and the log replays to exactly the union
+    of all writers' files."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(_hammer_commits, [(table.path, w, 12) for w in range(4)]))
+    versions = [v for worker in results for v in worker]
+    assert len(versions) == 48
+    assert len(set(versions)) == 48, "two writers claimed the same version"
+    assert sorted(versions) == list(range(1, 49))  # dense, after create=0
+    live = {a["add"] for a in table.snapshot_adds()}
+    expected = {f"w{w}-{i}.parquet" for w in range(4) for i in range(12)}
+    assert expected <= live
+    # every commit document is intact JSON with its own op stamp
+    ops = [c["op"] for c in table.history()]
+    assert sorted(ops[1:]) == sorted(f"w{w}" for w in range(4) for _ in range(12))
