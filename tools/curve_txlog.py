@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Transaction-log snapshot-resolution curve: raw replay vs checkpoint.
+
+The txlog design claim (SCALE.md item 20) is that Delta-style log
+checkpoints bound snapshot resolution to O(commits since checkpoint)
+— at streaming-ingest commit rates (one commit per micro-batch, tens
+of thousands per day) a raw full-log replay per read would come to
+dominate query planning. This tool MEASURES it: build a log of N
+metadata commits (commit documents are the unit of replay cost; no
+Spark needed), then time snapshot_adds() with and without a
+checkpoint at the head.
+
+Usage: python tools/curve_txlog.py [commit-counts...]  (default 100 1000 5000)
+Prints one JSON line per scale and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from benchmark_spark.sources.txlog import TxLogTable
+
+
+def build_log(path: str, n_commits: int) -> TxLogTable:
+    t = TxLogTable(path)
+    for i in range(n_commits):
+        actions = [{"add": f"f{i}.parquet", "rows": 100, "cols": {"k": {"min": i, "max": i}}}]
+        if i % 3 == 2:  # every third commit also retires an older file
+            actions.append({"remove": f"f{i - 2}.parquet"})
+        t.commit(actions, op="append")
+    return t
+
+
+def median_resolution_ms(t: TxLogTable, trials: int = 7) -> float:
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        t.snapshot_adds()
+        ts.append((time.perf_counter() - t0) * 1000)
+    return round(statistics.median(ts), 2)
+
+
+def main() -> None:
+    counts = [int(a) for a in sys.argv[1:]] or [100, 1000, 5000]
+    out = {}
+    for n in counts:
+        d = tempfile.mkdtemp(prefix="txlog-curve-")
+        try:
+            t = build_log(d, n)
+            raw = median_resolution_ms(t)
+            t.checkpoint()
+            t.commit([{"add": "tail.parquet", "rows": 1, "cols": {}}], op="append")
+            warm = median_resolution_ms(t)
+            row = {
+                "commits": n,
+                "live_files": len(t.snapshot_adds()),
+                "raw_replay_ms": raw,
+                "from_checkpoint_ms": warm,
+                "speedup": round(raw / warm, 1) if warm else None,
+            }
+            out[f"n{n}"] = row
+            print(json.dumps(row))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"metric": "txlog_resolution_curve", "curves": out}))
+
+
+if __name__ == "__main__":
+    main()
