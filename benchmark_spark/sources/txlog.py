@@ -47,7 +47,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import time
 import uuid
 
 import pyarrow.parquet as pq

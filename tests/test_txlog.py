@@ -123,10 +123,8 @@ def test_empty_snapshot_raises(spark, tmp_path):
 def test_registered_merge_prunes(spark):
     """The q_txlog_merge fixture must exercise pruning for real: its
     banded update batch rewrites a strict subset of the 6 files."""
-    from benchmark_spark.catalog import load_table
     from benchmark_spark.sources.txlog import _scenario
 
-    cust = load_table(spark, SF_SMOKE, "customer", assert_schema=False)
     # the scenario helper's counters are what q_txlog_prune_stats emits
     t, counters, dlo, dhi = _scenario(spark, SF_SMOKE)
     assert 0 < counters["files_rewritten"] < counters["files_total"]
