@@ -26,6 +26,9 @@ stages are native Spark expressions — no Python boundary.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -704,31 +707,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    # per-token 60-bit vote vector: +1 where bit set, -1 otherwise.
-    # Token hash = first 60 bits of md5 (cross-engine reproducible).
-    # (SQL-expression lambda: the Python shiftright() helper only takes a
-    # literal shift amount, the SQL function accepts a column.)
-    votes = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 59),"
-                " b -> cast((shiftright("
-                "   cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint),"
-                "   b) & 1) * 2 - 1 as bigint))"
-            )
-        ).alias("bit", "vote"),
-    )
-    sigs = (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
+    # Round 8 (the q8_knn lesson applied): the signature stage used to
+    # posexplode every (doc, token) row into 60 (bit, vote) rows and
+    # shuffle them through groupBy(doc_id, bit) — a 60x row blowup
+    # (~120M shuffled rows at sf0.1; measured 62 s Spark-side in
+    # GATE_sf01_r08 cold). Same votes, WIDE instead of TALL: one
+    # groupBy(doc_id) with 60 conditional-sum columns (ones_b = count
+    # of tokens with bit b set) — single shuffle of 61-column partials,
+    # zero row multiplication, whole-stage codegen. Bit b is set in the
+    # signature iff vote v = ones_b - (n - ones_b) >= 0, i.e.
+    # 2*ones_b >= n — exact integer arithmetic, so signatures are
+    # bit-identical to the tall form and the oracle is unchanged
+    # (hash-green at sf0.01 after the swap). Measured end-to-end at
+    # sf0.1: 10.2 s vs the tall form's 62.3 s in the same-round gate
+    # (~6x); at corpus scale the win grows — the shuffle shrinks from
+    # 60 rows per (doc, token) to one 61-column partial per doc.
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    per_tok = toks.select("doc_id", h.alias("h"))
+    ones = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+        for b in range(60)
+    ]
+    wide = per_tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    sig_bits = [
+        F.when(2 * F.col(f"o{b}") >= F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+        for b in range(60)
+    ]
+    sigs = wide.select(
+        "doc_id", reduce(operator.add, sig_bits).alias("simhash")
     )
     # 4 disjoint 15-bit bands over the 60-bit signature (Manku-style
     # d=3 blocking: 4 blocks, any pair at Hamming <= 3 shares >= 1).
