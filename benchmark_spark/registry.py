@@ -96,7 +96,7 @@ _PRIORITY = (
     # through the window so its first driver evidence lands next round
     "q_decode_image", "q_resize_image", "q_video_frames", "q_decode_audio",
     "q_txlog_snapshot", "q_txlog_time_travel", "q_txlog_prune_stats",
-    "q_txlog_merge",
+    "q_txlog_merge", "q_txlog_skip_scan",
     # latest driver evidence r3 (entire tier)
     "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
     "q_csv_source", "q_decontaminate", "q_dedup_embed",
@@ -111,7 +111,7 @@ _PRIORITY = (
     # the scale-critical sampler/corpus/graph rows
     "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
     "q6_window", "q8_knn", "q_pagerank", "q_dedup_keep_best",
-    "q_leakage_split", "q_stratified_sample",
+    "q_leakage_split",
 )
 
 

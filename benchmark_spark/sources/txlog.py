@@ -283,6 +283,25 @@ class TxLogTable:
     ) -> int:
         return self.commit(self._write_files(spark, [df], stats_cols), op="append")
 
+    def read_where(
+        self, spark: SparkSession, col: str, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Data-skipping read: open ONLY the files whose footer min/max
+        overlap [lo, hi] (then apply the row filter for exactness) —
+        the log doubles as a file-level zone map, so a selective
+        predicate touches O(overlapping files) instead of O(table),
+        before parquet row-group pruning even starts. Returns the
+        DataFrame plus skip counters."""
+        touched, kept = self.prune(col, lo, hi, version)
+        counters = {"files_total": len(touched) + len(kept), "files_scanned": len(touched)}
+        if not touched:
+            empty = self.read(spark, version).filter(F.lit(False))
+            return empty, counters
+        df = spark.read.parquet(
+            *[os.path.join(self.path, a["add"]) for a in touched]
+        ).filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df, counters
+
     def prune(self, col: str, lo, hi, version: int | None = None) -> tuple[list[dict], list[dict]]:
         """Split live files into (overlapping, disjoint) against
         [lo, hi] using the footer stats recorded in the log."""
@@ -539,6 +558,59 @@ def q_txlog_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(counters["files_total"], counters["files_rewritten"], n_rows)],
         "files_total long, files_rewritten long, n_rows long",
+    )
+
+
+@register(
+    "q_txlog_skip_scan",
+    oracle=f"""
+        WITH {_BOUNDS_CTE},
+        fb AS (
+            SELECT (o.o_orderkey - w.lo) // w.width AS b,
+                   min(o.o_orderkey) AS fmin, max(o.o_orderkey) AS fmax
+            FROM orders o, w
+            GROUP BY 1
+        ),
+        q AS (SELECT lo + 5 * width AS qlo, lo + 5 * width + width // 3 AS qhi FROM w)
+        SELECT CAST((SELECT COUNT(*) FROM fb) + 1 AS BIGINT) AS files_total,
+               CAST((SELECT COUNT(*) FROM fb, q
+                     WHERE fmin <= qhi AND fmax >= qlo) AS BIGINT) AS files_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, q
+                WHERE o_orderkey BETWEEN qlo AND qhi) AS n_rows,
+               (SELECT {dsum_sql('o_totalprice', 2)} FROM orders, q
+                WHERE o_orderkey BETWEEN qlo AND qhi) AS total
+    """,
+    doc=(
+        "Data-skipping READ through the transaction log: the footer "
+        "min/max stats recorded per add action double as a file-level "
+        "zone map, so a selective range predicate opens only the "
+        "overlapping files — O(overlap) scan cost before parquet "
+        "row-group pruning even starts (the same mechanism Delta/Iceberg "
+        "data skipping uses). The query range is the sixth width-slice's "
+        "first third: files_total / files_scanned / matching row count / "
+        "fixed-point revenue are all emitted as data, and the oracle "
+        "recomputes every one from the bucket arithmetic plus a plain "
+        "filter over orders — the hash proves both the skip decision AND "
+        "that skipping lost no qualifying row."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _orders_base(spark, sf_dir)
+    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    width = max(1, (int(hi) - int(lo) + _N_FILES) // _N_FILES)
+    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    t = TxLogTable.create(spark, path, base, "o_orderkey", _N_FILES, _STATS_COLS)
+    t.append(spark, _appended(base), _STATS_COLS)
+    qlo = int(lo) + 5 * width
+    qhi = qlo + width // 3
+    df, counters = t.read_where(spark, "o_orderkey", qlo, qhi)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), 2).alias("total")
+    ).first()
+    return spark.createDataFrame(
+        [(counters["files_total"], counters["files_scanned"], agg["n_rows"], agg["total"])],
+        "files_total long, files_scanned long, n_rows long, total double",
     )
 
 

@@ -200,3 +200,14 @@ def test_concurrent_writers_serialize_without_loss(table):
     # every commit document is intact JSON with its own op stamp
     ops = [c["op"] for c in table.history()]
     assert sorted(ops[1:]) == sorted(f"w{w}" for w in range(4) for _ in range(12))
+
+
+def test_read_where_skips_files_and_loses_nothing(spark, table):
+    df, counters = table.read_where(spark, "k", 300, 399)
+    assert counters == {"files_total": 4, "files_scanned": 1}
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(300, 400))
+    # disjoint range: zero files opened, empty (but schema-correct) result
+    df2, c2 = table.read_where(spark, "k", 10_000, 10_100)
+    assert c2["files_scanned"] == 0 and df2.count() == 0
+    assert df2.columns == ["k", "v"]
