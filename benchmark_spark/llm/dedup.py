@@ -352,11 +352,13 @@ _MINHASH_SIG_COLS = ",\n               ".join(
     f"MIN(({a} * hb + {b}) % {PERM_P}) AS h{i}"
     for i, (a, b) in enumerate(perm_coeffs(NUM_HASHES))
 )
-_MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, h{ROWS_PER_BAND * j} AS r0,"
-    f" h{ROWS_PER_BAND * j + 1} AS r1 FROM sigs"
-    for j in range(BANDS)
-)
+def _band_selects(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str:
+    return "\n        UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + ", ".join(f"h{rows_per_band * j + r} AS r{r}" for r in range(rows_per_band))
+        + " FROM sigs"
+        for j in range(bands)
+    )
 # CTE body + final select split so q_dedup_clusters can extend the
 # same pipeline with a recursive connected-components closure, and
 # parameterized over the shingle definition so the char-5-gram variant
@@ -378,7 +380,9 @@ _MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
 # (measured: same query >540 s with the fan-out CTEs materialized vs
 # 206 s fully inlined at sf0.1, where the recomputed shingle
 # explosion costs only ~3 s per extra reader).
-def _lsh_ctes(shingle_select: str) -> str:
+def _lsh_ctes(
+    shingle_select: str, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
     return f"""corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -402,12 +406,13 @@ def _lsh_ctes(shingle_select: str) -> str:
         ) GROUP BY doc_id
     ),
     banded AS (
-        {_MINHASH_BAND_SELECTS}
+        {_band_selects(bands, rows_per_band)}
     ),
     cand AS (
         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM banded x JOIN banded y
-          ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1
+          ON x.band = y.band
+         AND {" AND ".join(f"x.r{r} = y.r{r}" for r in range(rows_per_band))}
          AND x.doc_id < y.doc_id
     ),
     doclists AS (
@@ -995,7 +1000,28 @@ _CHARGRAM_SHINGLE_SELECT = """SELECT doc_id,
                        i -> substring(text, CAST(i AS INT), 5)))) AS shingle
             FROM corpus"""
 
-_CHARGRAM_MINHASH_ORACLE = f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT)}{_jaccard_final(0.6)}"
+# Char-gram banding runs at 4 bands x 4 rows, NOT the word-gram 8x2
+# (round 8): char 5-grams of natural-language docs overlap heavily, so
+# the 8x2 threshold (~(1/8)^(1/2) = 0.35) admitted nearly everything —
+# 6.86M candidate pairs from 10k docs at sf0.1, 42 s of exact-Jaccard
+# verify, and a candidate count that grows ~quadratically with corpus
+# size (the thing LSH exists to prevent). 4x4 puts the S-curve
+# threshold at (1/4)^(1/4) = 0.71, right above the 0.6 verify bar.
+# Measured at sf0.1: candidates 6.86M -> 140,451 (49x), end-to-end
+# 48.4 s -> 9.5 s (5x), planted-pair recall 4996/5000 (99.92% — the
+# four misses are short docs whose mutant char-gram j sits near the
+# threshold; every planted pair at the sf0.001 test fixture is
+# recovered, deterministic md5 hashes, pinned in tests/test_round5.py).
+# Pairs with 0.6 <= j < ~0.7 now surface with the S-curve probability
+# instead of near-certainty — the standard LSH operating-point trade,
+# shared bit-identically by the oracle.
+CHARGRAM_BANDS = 4
+CHARGRAM_ROWS_PER_BAND = 4
+
+_CHARGRAM_MINHASH_ORACLE = (
+    f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)}"
+    f"{_jaccard_final(0.6)}"
+)
 
 
 @register(
@@ -1003,8 +1029,10 @@ _CHARGRAM_MINHASH_ORACLE = f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT)}{_jaccard
     oracle=_CHARGRAM_MINHASH_ORACLE,
     doc=(
         "The SCALE-SAFE form of q_jaccard_chargram: character 5-gram "
-        "shingles -> the same 16-minhash / 8x2-band LSH machinery as "
-        "q_dedup_minhash -> exact char-gram Jaccard verification of "
+        "shingles -> 16-minhash LSH at the 4x4 banding operating point "
+        "(S-curve threshold 0.71; see CHARGRAM_BANDS note — the word-gram "
+        "8x2 banding admitted 6.86M candidates from 10k docs because char "
+        "grams overlap heavily) -> exact char-gram Jaccard verification of "
         "candidates only (threshold 0.6), over the planted-near-dup corpus. "
         "Replaces q_jaccard_chargram's `source`-blocked pair join (quadratic "
         "within a block, dead when block cardinality is low) with banding "
@@ -1019,5 +1047,5 @@ def q_chargram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = doubled_corpus(spark, sf_dir)
     sh = char_shingles(corpus)
     sig = minhash_signatures(sh)
-    cand = lsh_candidates(sig)
+    cand = lsh_candidates(sig, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)
     return verify_jaccard(sh, cand, 0.6)
