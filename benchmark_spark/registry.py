@@ -84,9 +84,9 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-8 re-cut (VERDICT r7 #2): continue the staleness rotation.
-    # 8 never-checked rows new in r8 (real-codec multimodal tier +
+    # 9 never-checked rows new in r8 (real-codec multimodal tier +
     # transaction-log tier) enter first, then the oldest evidence
-    # tiers: all 31 rows last driver-green in r3, plus the 11
+    # tiers: all 31 rows last driver-green in r3, plus the 10
     # highest-value r4 rows (the eight headline bench queries + the
     # graph/curation tier). Equal-age r4 rows left out are picked up
     # by the r9 re-cut. Everything displaced is driver-green in r4-r7
