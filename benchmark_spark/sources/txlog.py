@@ -65,6 +65,14 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version (after bounded retries)."""
 
 
+class ConcurrentModification(RuntimeError):
+    """The commit's remove set references a file that is no longer
+    live: another writer rewrote or deleted it after this writer
+    resolved its snapshot. Retrying blindly would LOSE that writer's
+    update (the classic lost-update anomaly), so the operation must be
+    recomputed against the current snapshot instead."""
+
+
 def _file_stats(path: str, stats_cols: tuple[str, ...]) -> dict:
     """Read per-column min/max/rows from the REAL parquet footer."""
     md = pq.ParquetFile(path).metadata
@@ -124,8 +132,24 @@ class TxLogTable:
         renaming) re-reads the log and retries at the next version.
         """
         os.makedirs(self.log_dir, exist_ok=True)
+        removes = [a["remove"] for a in actions if "remove" in a]
         for _ in range(retries):
             version = (self.versions() or [-1])[-1] + 1
+            if removes:
+                # Semantic conflict detection (the Delta/Iceberg OCC
+                # core): every file this commit removes must still be
+                # live at the current head. A miss means a concurrent
+                # writer already rewrote/deleted it — committing anyway
+                # would silently drop that writer's replacement rows
+                # (lost update), and retrying at the next version would
+                # commit the SAME stale actions; the caller must
+                # recompute against the new snapshot.
+                live = {a["add"] for a in self.snapshot_adds(version - 1)}
+                gone = [r for r in removes if r not in live]
+                if gone:
+                    raise ConcurrentModification(
+                        f"remove set references files not live at v{version - 1}: {gone}"
+                    )
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
             doc = {"version": version, "op": op, "actions": actions}

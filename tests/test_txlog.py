@@ -42,7 +42,7 @@ def test_commit_conflict_retries_to_next_version(table):
     racer = os.path.join(table.log_dir, "00000001.json")
     with open(racer, "w") as f:
         json.dump({"version": 1, "op": "racer", "actions": []}, f)
-    v = table.commit([{"remove": "nonexistent.parquet"}], op="probe")
+    v = table.commit([{"add": "probe.parquet", "rows": 1, "cols": {}}], op="probe")
     assert v == 2  # lost version 1, retried, claimed 2
     assert [c["op"] for c in table.history()] == ["create", "racer", "probe"]
     # bounded retries: exhaust every slot the committer would try
@@ -211,3 +211,25 @@ def test_read_where_skips_files_and_loses_nothing(spark, table):
     df2, c2 = table.read_where(spark, "k", 10_000, 10_100)
     assert c2["files_scanned"] == 0 and df2.count() == 0
     assert df2.columns == ["k", "v"]
+
+
+def test_stale_remove_raises_concurrent_modification(spark, table):
+    """Lost-update protection: writer A resolves a snapshot and plans
+    to rewrite a file; writer B rewrites that same file first. A's
+    commit must raise ConcurrentModification (not blindly retry at the
+    next version — that would drop B's replacement rows)."""
+    from benchmark_spark.sources.txlog import ConcurrentModification
+
+    victim = table.snapshot_adds()[0]["add"]  # A plans to remove this
+    # B gets there first: rewrites the same file via a ranged delete
+    lo = table.snapshot_adds()[0]["cols"]["k"]["min"]
+    table.delete_where(spark, "k", lo, lo + 10, ("k",))
+    assert victim not in {a["add"] for a in table.snapshot_adds()}
+    with pytest.raises(ConcurrentModification, match=victim):
+        table.commit(
+            [{"add": "a-replacement.parquet", "rows": 1, "cols": {}},
+             {"remove": victim}],
+            op="stale-writer",
+        )
+    # the table is untouched by the failed commit
+    assert [c["op"] for c in table.history()][-1] == "delete"
