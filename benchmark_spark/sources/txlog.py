@@ -122,7 +122,9 @@ class TxLogTable:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def commit(self, actions: list[dict], op: str, retries: int = 5) -> int:
+    def commit(
+        self, actions: list[dict], op: str, retries: int = 5, extra: dict | None = None
+    ) -> int:
         """Atomically publish one commit; optimistic-concurrency retry.
 
         The staged temp file is fully written and fsynced before the
@@ -152,7 +154,7 @@ class TxLogTable:
                     )
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-            doc = {"version": version, "op": op, "actions": actions}
+            doc = {"version": version, "op": op, "actions": actions, **(extra or {})}
             with open(tmp, "w") as f:
                 json.dump(doc, f)
                 f.flush()
@@ -694,3 +696,72 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(spark, updates, "c_custkey", ("c_custkey",))
     return t.read(spark)
+
+
+def stream_commit_batch(
+    table: TxLogTable, batch_df: DataFrame, batch_id: int, stats_cols: tuple[str, ...]
+) -> bool:
+    """foreachBatch writer with per-batch idempotence: the micro-batch's
+    files land as ONE commit carrying its batch_id; a batch_id already
+    in the log is skipped, so a foreachBatch retry (task failure after
+    a successful commit, checkpoint replay after an unclean stop)
+    cannot double-ingest. Returns whether a commit was made."""
+    if any(c.get("batch_id") == batch_id for c in table.history()):
+        return False
+    actions = table._write_files(None, [batch_df], stats_cols)
+    table.commit(actions, op="stream-append", extra={"batch_id": batch_id})
+    return True
+
+
+@register(
+    "q_txlog_stream_ingest",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100) AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Streaming ingest INTO the transaction-log table, exactly-once: "
+        "each of the stream's micro-batches (AvailableNow over ascending "
+        "file chunks) commits atomically via foreachBatch with its "
+        "batch_id recorded in the commit document — a replayed batch "
+        "(foreachBatch retry or checkpoint replay) is detected and "
+        "skipped, so the table cannot double-ingest (stream_commit_batch; "
+        "replay idempotence pinned in tests/test_txlog.py). The final "
+        "snapshot's per-type rollup must equal the plain batch GROUP BY "
+        "over events — proving no batch was lost, duplicated, or torn "
+        "across the commit protocol. This is the production shape for "
+        "'streams land in a governed table': per-batch atomicity from the "
+        "log, idempotence from the batch-id dedup, and downstream readers "
+        "get snapshot isolation while ingest runs."
+    ),
+    tags=("extension", "streaming", "txlog"),
+)
+def q_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.streaming.windows import (
+        await_done,
+        events_stream_chunks,
+        scratch_dir,
+    )
+
+    stream = events_stream_chunks(spark, sf_dir)
+    path = os.path.join("/root/repo/.scratch", f"txlog-stream-{uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stream_commit_batch(
+            t, batch_df.select("event_id", "event_type", "value"), batch_id, ("event_id",)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total")
+    )

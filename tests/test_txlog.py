@@ -233,3 +233,22 @@ def test_stale_remove_raises_concurrent_modification(spark, table):
         )
     # the table is untouched by the failed commit
     assert [c["op"] for c in table.history()][-1] == "delete"
+
+
+def test_stream_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch_id) must not double-ingest:
+    stream_commit_batch skips batch_ids already in the log."""
+    from benchmark_spark.sources.txlog import stream_commit_batch
+
+    t = TxLogTable(str(tmp_path / "s"))
+    os.makedirs(t.path, exist_ok=True)
+    batch = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    assert stream_commit_batch(t, batch, 0, ("k",)) is True
+    assert stream_commit_batch(t, batch, 1, ("k",)) is True
+    n_commits = len(t.versions())
+    # replays of both batches: skipped, log unchanged, no new files
+    assert stream_commit_batch(t, batch, 0, ("k",)) is False
+    assert stream_commit_batch(t, batch, 1, ("k",)) is False
+    assert len(t.versions()) == n_commits
+    assert t.read(spark).count() == 200
+    assert [c["batch_id"] for c in t.history()] == [0, 1]
