@@ -765,3 +765,122 @@ def q_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total")
     )
+
+
+def _schema_fields(df: DataFrame) -> list[dict]:
+    return [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields]
+
+
+def txlog_schema_at(table: TxLogTable, version: int | None = None) -> list[dict] | None:
+    """The authoritative column set at a version: the newest metaData
+    action at-or-before it (Delta-style schema-in-log — time travel
+    returns the OLD schema, not whatever the files happen to union to)."""
+    schema = None
+    for v in table.versions():
+        if version is not None and v > version:
+            break
+        md = table._read_commit(v).get("metaData")
+        if md is not None:
+            schema = md["schema"]
+    return schema
+
+
+def read_with_schema(
+    spark: SparkSession, table: TxLogTable, version: int | None = None
+) -> DataFrame:
+    """Snapshot read honoring the logged schema: files written before a
+    column existed are null-filled for it (mergeSchema union), and the
+    projection is pinned to the schema live AT THAT VERSION — so a
+    pre-evolution time travel does NOT show the later column."""
+    schema = txlog_schema_at(table, version)
+    df = (
+        spark.read.option("mergeSchema", "true").parquet(*table.snapshot_files(version))
+        if table.snapshot_files(version)
+        else None
+    )
+    if df is None:
+        raise ValueError(f"empty table snapshot at version {version}")
+    if schema is None:
+        return df
+    cols = [
+        F.col(c["name"]) if c["name"] in df.columns else F.lit(None).cast(c["type"]).alias(c["name"])
+        for c in schema
+    ]
+    return df.select(*cols)
+
+
+@register(
+    "q_txlog_schema_evolution",
+    oracle=f"""
+        WITH evolved AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS channel
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice, 'WEB'
+            FROM orders WHERE o_orderkey % 41 = 0
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(channel) AS BIGINT) AS n_with_channel,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM evolved
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Schema evolution THROUGH the transaction log: the create commit "
+        "records the table schema as a metaData action; a later append adds "
+        "a `channel` column in the same commit that updates the schema. The "
+        "latest snapshot reads old files null-filled for the new column "
+        "(mergeSchema union pinned to the LOGGED projection), while time "
+        "travel to v0 returns the ORIGINAL schema without the column — the "
+        "log, not the file union, is authoritative (pinned in "
+        "tests/test_txlog.py). The rollup counts rows carrying the new "
+        "column plus the usual key fingerprint + fixed-point sum, so the "
+        "evolution misclassifying a single row breaks the hash."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _orders_base(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    width = max(1, (int(hi) - int(lo) + 4) // 4)
+    slices = [
+        base.filter(
+            (F.col("o_orderkey") >= int(lo) + i * width)
+            & (F.col("o_orderkey") < int(lo) + (i + 1) * width)
+        )
+        for i in range(4)
+    ]
+    t.commit(
+        t._write_files(spark, slices, _STATS_COLS),
+        op="create",
+        extra={"metaData": {"schema": _schema_fields(base)}},
+    )
+    evolved_batch = base.filter(F.col("o_orderkey") % 41 == 0).select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("WEB").alias("channel"),
+    )
+    t.commit(
+        t._write_files(spark, [evolved_batch], _STATS_COLS),
+        op="append-evolve",
+        extra={"metaData": {"schema": _schema_fields(evolved_batch)}},
+    )
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    return read_with_schema(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("channel").alias("n_with_channel"),
+        F.sum(fp).alias("fp"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )

@@ -252,3 +252,30 @@ def test_stream_ingest_batch_replay_is_idempotent(spark, tmp_path):
     assert len(t.versions()) == n_commits
     assert t.read(spark).count() == 200
     assert [c["batch_id"] for c in t.history()] == [0, 1]
+
+
+def test_schema_evolution_time_travel_returns_old_schema(spark):
+    """The logged schema is authoritative: time travel to v0 must NOT
+    show the column added at v1, even though mergeSchema over the v0
+    files would happily union whatever exists."""
+    from benchmark_spark.sources.txlog import (
+        TxLogTable, _schema_fields, read_with_schema,
+    )
+
+    import uuid as _uuid
+    path = f"/root/repo/.scratch/txlog-schema-{_uuid.uuid4().hex}"
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+    v0 = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t.commit(t._write_files(spark, [v0], ("k",)), op="create",
+             extra={"metaData": {"schema": _schema_fields(v0)}})
+    v1 = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(2).alias("v"), F.lit("x").alias("tag"))
+    t.commit(t._write_files(spark, [v1], ("k",)), op="append-evolve",
+             extra={"metaData": {"schema": _schema_fields(v1)}})
+    latest = read_with_schema(spark, t)
+    assert latest.columns == ["k", "v", "tag"]
+    assert latest.filter("tag IS NULL").count() == 50  # old files null-filled
+    old = read_with_schema(spark, t, version=0)
+    assert old.columns == ["k", "v"]  # pre-evolution schema, no tag
+    assert old.count() == 50
