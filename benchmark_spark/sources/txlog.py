@@ -420,6 +420,28 @@ class TxLogTable:
 # (atomicity, conflict retry, snapshot isolation, pruning counters).
 # ---------------------------------------------------------------------------
 
+
+def _fresh_table_dir(prefix: str = "t") -> str:
+    """Scratch dir for a fixture table, with opportunistic GC: fixture
+    tables are write-once per query call, so any sibling untouched for
+    2h cannot belong to a live run — repeated gate/bench invocations
+    would otherwise accumulate one dir per call (75 observed in one
+    round before this GC)."""
+    import time as _time
+
+    root = "/root/repo/.scratch/txlog"
+    os.makedirs(root, exist_ok=True)
+    now = _time.time()
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(p) > 7200:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(root, f"{prefix}-{uuid.uuid4().hex}")
+
+
 _STATS_COLS = ("o_orderkey",)
 _N_FILES = 8
 
@@ -446,7 +468,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> tuple[TxLogTable, dict, int, 
     base = _orders_base(spark, sf_dir)
     lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     width = max(1, (int(hi) - int(lo) + _N_FILES) // _N_FILES)
-    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    path = _fresh_table_dir()
     t = TxLogTable.create(spark, path, base, "o_orderkey", _N_FILES, _STATS_COLS)
     t.append(spark, _appended(base), _STATS_COLS)
     dlo = int(lo) + 3 * width
@@ -625,7 +647,7 @@ def q_txlog_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _orders_base(spark, sf_dir)
     lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     width = max(1, (int(hi) - int(lo) + _N_FILES) // _N_FILES)
-    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    path = _fresh_table_dir()
     t = TxLogTable.create(spark, path, base, "o_orderkey", _N_FILES, _STATS_COLS)
     t.append(spark, _appended(base), _STATS_COLS)
     qlo = int(lo) + 5 * width
@@ -684,7 +706,7 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
     width = max(1, (int(hi) - int(lo) + 6) // 6)
     blo, bhi = int(lo) + 2 * width, int(lo) + 3 * width - 1
-    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    path = _fresh_table_dir()
     t = TxLogTable.create(spark, path, cust, "c_custkey", 6, ("c_custkey",))
     updates = cust.filter(
         (F.col("c_custkey").between(blo, bhi)) & (F.col("c_custkey") % 10 == 0)
@@ -746,7 +768,7 @@ def q_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = events_stream_chunks(spark, sf_dir)
-    path = os.path.join("/root/repo/.scratch", f"txlog-stream-{uuid.uuid4().hex}")
+    path = _fresh_table_dir("stream")
     os.makedirs(path, exist_ok=True)
     t = TxLogTable(path)
 
@@ -845,7 +867,7 @@ def read_with_schema(
 )
 def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _orders_base(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
-    path = os.path.join("/root/repo/.scratch", f"txlog-{uuid.uuid4().hex}")
+    path = _fresh_table_dir()
     os.makedirs(path, exist_ok=True)
     t = TxLogTable(path)
     lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
