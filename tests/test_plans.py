@@ -546,3 +546,51 @@ def test_aqe_skew_split_fires_on_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Spark's runtime Bloom-filter join pruning (the semi-join
+    reduction classic): with a selective build side, the optimizer
+    injects might_contain(bloom(o_orderkey)) onto the FACT scan before
+    the shuffle, so non-joining fact rows never cross the network. At
+    the local fixture scale the rule is gated off by the 10GB
+    application-side threshold (it targets exactly the 100 TB regime),
+    so the test lowers the gate, pins the injected filter, and proves
+    result equality with the un-filtered plan. Confs are restored."""
+    from benchmark_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem", assert_schema=False)
+        orders = load_table(spark, SF_SMOKE, "orders", assert_schema=False)
+
+        def build():
+            # a DataFrame pins its QueryExecution on first use, so the
+            # post-conf plan needs a FRESH frame (optimizer confs are
+            # read at optimization time, once per frame)
+            sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            return (
+                li.join(sel.hint("merge"), li.l_orderkey == sel.o_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        baseline = {r["o_orderstatus"]: r["n"] for r in build().collect()}
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = build()
+        plan = formatted_plan(q)
+        assert "might_contain" in plan, "runtime bloom filter was not injected"
+        filtered = {r["o_orderstatus"]: r["n"] for r in q.collect()}
+        assert filtered == baseline  # reduction is performance-only
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
