@@ -84,9 +84,9 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-8 re-cut (VERDICT r7 #2): continue the staleness rotation.
-    # 11 never-checked rows new in r8 (real-codec multimodal tier +
+    # 12 never-checked rows new in r8 (real-codec multimodal tier +
     # transaction-log tier) enter first, then the oldest evidence
-    # tiers: all 31 rows last driver-green in r3, plus the 8
+    # tiers: all 31 rows last driver-green in r3, plus the 7
     # highest-value r4 rows (the eight headline bench queries + the
     # graph/curation tier). Equal-age r4 rows left out are picked up
     # by the r9 re-cut. Everything displaced is driver-green in r4-r7
@@ -97,7 +97,7 @@ _PRIORITY = (
     "q_decode_image", "q_resize_image", "q_video_frames", "q_decode_audio",
     "q_txlog_snapshot", "q_txlog_time_travel", "q_txlog_prune_stats",
     "q_txlog_merge", "q_txlog_skip_scan", "q_txlog_stream_ingest",
-    "q_txlog_schema_evolution",
+    "q_txlog_schema_evolution", "q_knn_pq",
     # latest driver evidence r3 (entire tier)
     "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
     "q_csv_source", "q_decontaminate", "q_dedup_embed",
@@ -111,7 +111,7 @@ _PRIORITY = (
     # latest driver evidence r4 — headline bench queries first, then
     # the scale-critical sampler/corpus/graph rows
     "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
-    "q6_window", "q8_knn", "q_pagerank",
+    "q6_window", "q8_knn",
 )
 
 

