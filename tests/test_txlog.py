@@ -160,13 +160,35 @@ def test_checkpoint_equals_full_replay_and_bounds_resolution(spark, table):
 def test_vacuum_respects_retention_and_breaks_old_travel(spark, table):
     table.delete_where(spark, "k", 0, 499, ("k",))
     table.compact(spark, ("k",))
-    removed = table.vacuum(retain_versions=0)
+    removed = table.vacuum(retain_versions=0, grace_secs=0)
     # all four originals: two were rewritten away by the delete (whose
     # survivor set was empty, so no replacement file), two by compact
     assert len(removed) == 4
     assert table.read(spark).count() == 500  # latest snapshot intact
     with pytest.raises(Exception):  # pre-vacuum version lost its files
         table.read(spark, version=0).count()
+
+
+def test_vacuum_grace_window_spares_inflight_writes(spark, table):
+    """ADVICE r8 (medium): data files land under their final names
+    BEFORE the owning commit, so a vacuum racing an in-flight write
+    must not delete young unreferenced files — under the default grace
+    window they survive, and the writer's later commit references
+    intact data. grace_secs=0 (single-writer exclusivity) still
+    deletes them."""
+    # stage uncommitted data exactly like a racing writer would
+    actions = table._write_files(
+        spark, [spark.range(5000, 5010).select(F.col("id").alias("k"), F.lit(9).alias("v"))], ("k",)
+    )
+    staged = {a["add"] for a in actions}
+    removed = set(table.vacuum(retain_versions=0))  # default 1h grace
+    assert not (removed & staged), "vacuum deleted an in-flight writer's files"
+    table.commit(actions, op="late-append")  # the racing commit lands
+    assert table.read(spark).count() == 1010  # nothing corrupted
+    # with the guard explicitly off and the files unreferenced, they go
+    table.delete_where(spark, "k", 5000, 5009, ("k",))
+    removed2 = set(table.vacuum(retain_versions=0, grace_secs=0))
+    assert staged <= removed2
 
 
 def _hammer_commits(args):
@@ -279,3 +301,98 @@ def test_schema_evolution_time_travel_returns_old_schema(spark):
     old = read_with_schema(spark, t, version=0)
     assert old.columns == ["k", "v"]  # pre-evolution schema, no tag
     assert old.count() == 50
+
+
+def _pa_merge_actions(path: str, k_lo: int, k_hi: int, new_v: int):
+    """Resolve-snapshot + stage a merge rewrite with pyarrow (workers
+    run without Spark): rewrite the file(s) overlapping [k_lo, k_hi]
+    with v=new_v for that band. Returns (staged actions, staged name)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import pandas as pd
+
+    t = TxLogTable(path)
+    touched = [
+        a for a in t.snapshot_adds()
+        if a["cols"]["k"]["min"] <= k_hi and a["cols"]["k"]["max"] >= k_lo
+    ]
+    df = pd.concat(
+        [_pq.read_table(os.path.join(path, a["add"])).to_pandas() for a in touched]
+    )
+    df.loc[(df.k >= k_lo) & (df.k <= k_hi), "v"] = new_v
+    name = f"part-{_uuid.uuid4().hex}.parquet"
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(path, name))
+    actions = [{"add": name, "rows": len(df),
+                "cols": {"k": {"min": int(df.k.min()), "max": int(df.k.max())}}}]
+    actions += [{"remove": a["add"]} for a in touched]
+    return actions, name
+
+
+def _wait_for(path: str, timeout: float = 60.0) -> None:
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while not os.path.exists(path):
+        if _time.time() > deadline:
+            raise TimeoutError(path)
+        _time.sleep(0.01)
+
+
+def _merge_loser(args):
+    """Worker A: resolves its snapshot, stages its rewrite, then lets
+    worker B commit a conflicting merge FIRST. Its own commit must
+    raise ConcurrentModification; it must then RECOMPUTE against the
+    new snapshot and succeed — the lost-update recovery a real writer
+    needs (VERDICT r8 #7)."""
+    path, sync = args
+    from benchmark_spark.sources.txlog import ConcurrentModification
+
+    actions, staged = _pa_merge_actions(path, 0, 9, 1111)
+    open(os.path.join(sync, "A_STAGED"), "w").close()
+    _wait_for(os.path.join(sync, "B_DONE"))
+    t = TxLogTable(path)
+    conflict_seen = False
+    try:
+        t.commit(actions, op="merge-A-stale")
+    except ConcurrentModification:
+        conflict_seen = True
+        os.unlink(os.path.join(path, staged))  # abandon the stale rewrite
+        actions, _ = _pa_merge_actions(path, 0, 9, 1111)  # recompute
+        t.commit(actions, op="merge-A-retry")
+    return conflict_seen
+
+
+def _merge_winner(args):
+    path, sync = args
+    _wait_for(os.path.join(sync, "A_STAGED"))
+    actions, _ = _pa_merge_actions(path, 10, 19, 2222)
+    TxLogTable(path).commit(actions, op="merge-B")
+    open(os.path.join(sync, "B_DONE"), "w").close()
+    return True
+
+
+def test_merge_losing_race_recomputes_and_matches_serial(spark, table, tmp_path):
+    """End-to-end OCC recovery across REAL processes (VERDICT r8 #7):
+    two writers merge into the same hot file; the file-based handshake
+    forces writer A to commit AFTER writer B rewrote the file A's
+    remove set references, so A's first commit deterministically raises
+    ConcurrentModification; A recomputes against the new snapshot and
+    retries. The final table must equal the SERIAL execution (B then
+    A) row for row — B's update is not lost, A's lands exactly once."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    with ProcessPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(_merge_loser, (table.path, sync))
+        fb = ex.submit(_merge_winner, (table.path, sync))
+        assert fb.result(timeout=120) is True
+        assert fa.result(timeout=120) is True, "the planted conflict never fired"
+    got = {r["k"]: r["v"] for r in spark.read.parquet(*table.snapshot_files()).collect()}
+    expected = {k: (1111 if k < 10 else 2222 if k < 20 else 2 * k) for k in range(1000)}
+    assert got == expected
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["create", "merge-B", "merge-A-retry"]
