@@ -22,14 +22,23 @@ rgb)`` where ``rgb`` is row-major top-down RGB bytes — so downstream
 operators (mean pixel, resize, per-frame features) are format-blind.
 
 Round-trip identity (encode → decode == input) is property-tested for
-all three formats in tests/test_multimodal.py (hypothesis over random
+all three formats in tests/test_codecs.py (hypothesis over random
 dimensions and pixel bytes).
+
+Round 9 (VERDICT r8 #5): the per-pixel Python loops became numpy array
+ops — BGR swap / row padding / flips as slicing, resize as one fancy-
+index gather, PNG Sub as a per-channel prefix sum (cumsum mod 256), Up
+as a vectorized add. Measured 23-37x per MB (tools/codec_bench.py);
+Average/Paeth stay per-byte because the spec makes each byte depend on
+the already-reconstructed left neighbor through a nonlinear step.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -90,14 +99,12 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     image_size = row_size * height
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0)
-    body = bytearray()
-    pad = b"\x00" * (row_size - 3 * width)
-    for y in range(height - 1, -1, -1):  # bottom-up rows
-        row = rgb[3 * y * width : 3 * (y + 1) * width]
-        for x in range(width):  # RGB -> BGR
-            body += row[3 * x : 3 * x + 3][::-1]
-        body += pad
-    return header + dib + bytes(body)
+    # numpy-vectorized (VERDICT r8 #5): bottom-up flip + RGB->BGR swap +
+    # 4-byte row padding as array ops, replacing the per-pixel loop
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, row_size), dtype=np.uint8)
+    rows[:, : 3 * width] = arr[::-1, :, ::-1].reshape(height, 3 * width)
+    return header + dib + rows.tobytes()
 
 
 def decode_bmp(payload: bytes) -> tuple[str, int, int, bytes]:
@@ -112,15 +119,21 @@ def decode_bmp(payload: bytes) -> tuple[str, int, int, bytes]:
     bottom_up = height_raw > 0
     height = abs(height_raw)
     row_size = (3 * width + 3) & ~3
-    rgb = bytearray(3 * width * height)
-    for y in range(height):
-        src_y = (height - 1 - y) if bottom_up else y
-        row = payload[offset + src_y * row_size : offset + src_y * row_size + 3 * width]
-        if len(row) != 3 * width:
-            raise ValueError("truncated BMP pixel data")
-        for x in range(width):  # BGR -> RGB
-            rgb[3 * (y * width + x) : 3 * (y * width + x) + 3] = row[3 * x : 3 * x + 3][::-1]
-    return "bmp", width, height, bytes(rgb)
+    # every row's 3*width pixel bytes must be present; the LAST row's
+    # padding may legally be truncated by a sloppy writer
+    need = offset + (height - 1) * row_size + 3 * width
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    buf = np.zeros(row_size * height, dtype=np.uint8)
+    avail = np.frombuffer(
+        payload, dtype=np.uint8, offset=offset,
+        count=min(row_size * height, len(payload) - offset),
+    )
+    buf[: len(avail)] = avail
+    rows = buf.reshape(height, row_size)[:, : 3 * width].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return "bmp", width, height, rows[:, :, ::-1].tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -162,38 +175,55 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
-    """Reconstruct scanlines per the PNG spec — all five filter types."""
+    """Reconstruct scanlines per the PNG spec — all five filter types.
+
+    numpy-vectorized where the data dependency allows (VERDICT r8 #5):
+    None is a row copy, Up is one vectorized add against the previous
+    reconstructed row, and Sub — out[i] = line[i] + out[i-bpp] — is a
+    per-channel-lane prefix sum mod 256 (cumsum). Average and Paeth
+    reconstruct each byte from the already-reconstructed LEFT neighbor
+    through a nonlinear step (floor-average / branchy predictor), so
+    they stay per-byte by spec-imposed data dependency; encoders here
+    only emit filter 0, so the sequential paths are exercised by tests,
+    not by the hot fixture path."""
     stride = bpp * width
-    out = bytearray(stride * height)
-    pos = 0
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    ftypes = mat[:, 0]
+    lines = mat[:, 1:]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(ftypes.max())}")
+    if not ftypes.any():  # all-None (the common fast path): join of
+        # zero-copy memoryview row slices beats numpy's strided tobytes
+        # ~12x here (measured; numpy falls off its memcpy fast path on
+        # the 1-byte-offset row stride)
+        mv = memoryview(raw)
+        step = 1 + stride
+        return b"".join([mv[y * step + 1 : (y + 1) * step] for y in range(height)])
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        line = raw[pos : pos + stride]
-        pos += stride
-        base = y * stride
-        prev = out[base - stride : base] if y else bytes(stride)
+        ftype = int(ftypes[y])
+        line = lines[y]
+        prev = out[y - 1] if y else zero_row
         if ftype == 0:  # None
-            out[base : base + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                left = out[base + i - bpp] if i >= bpp else 0
-                out[base + i] = (line[i] + left) & 0xFF
+            out[y] = line
+        elif ftype == 1:  # Sub: prefix sum per channel lane, mod 256
+            lanes = line.reshape(width, bpp).astype(np.int64)
+            out[y] = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average (left-dependent: sequential by spec)
+            row = out[y]
             for i in range(stride):
-                out[base + i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        else:  # Paeth (left-dependent: sequential by spec)
+            row = out[y]
             for i in range(stride):
-                left = out[base + i - bpp] if i >= bpp else 0
-                out[base + i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = out[base + i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                out[base + i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-    return bytes(out)
+                left = int(row[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+    return out.tobytes()
 
 
 def decode_png(payload: bytes) -> tuple[str, int, int, bytes]:
@@ -253,15 +283,12 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     resample with the floor mapping sx = x*w//W, sy = y*h//H, re-encode
     as PPM (the canonical interchange format here)."""
     _fmt, w, h, rgb = decode_image(payload)
-    out = bytearray(3 * width * height)
-    for y in range(height):
-        sy = y * h // height
-        for x in range(width):
-            sx = x * w // width
-            s = 3 * (sy * w + sx)
-            d = 3 * (y * width + x)
-            out[d : d + 3] = rgb[s : s + 3]
-    return encode_ppm(width, height, bytes(out))
+    # numpy fancy-index resample (VERDICT r8 #5): the floor maps become
+    # two index vectors and one gather, replacing the per-pixel loop
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    sy = (np.arange(height, dtype=np.int64) * h) // height
+    sx = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_ppm(width, height, arr[sy[:, None], sx[None, :]].tobytes())
 
 
 def encode_ppm_video(frames: list[tuple[int, int, bytes]]) -> bytes:
@@ -350,4 +377,5 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             data = body
     if sample_rate < 0 or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return sample_rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return sample_rate, channels, samples.tolist()
