@@ -196,6 +196,23 @@ def perm_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
     return [((h31(f"a{i}") | 1), h31(f"b{i}")) for i in range(num_hashes)]
 
 
+def perm_coeffs2(num_hashes: int = NUM_HASHES) -> list[tuple[int, int, int]]:
+    """30-bit (a_i, b_i, c_i) triples for the TWO-BASE family (md5x2):
+    sig_i = (a_i*hb1 + b_i*hb2 + c_i) mod p with 31-bit bases keeps
+    every product under 2^61 and the sum under 2^62 — no BIGINT
+    overflow. a_i forced odd (same reproducible md5-of-name derivation
+    as perm_coeffs)."""
+    import hashlib
+
+    def h30(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) & 0x3FFFFFFF
+
+    return [
+        ((h30(f"a2{i}") | 1), h30(f"b2{i}") | 1, h30(f"c2{i}"))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = NUM_HASHES, hash_family: str = "md5"
 ) -> DataFrame:
@@ -239,20 +256,37 @@ def minhash_signatures(
     the only loss is the (collision-rate-sized) chance that a doc's
     true min-shingle is displaced consistently across a full band.
     The pre-r7 16-independent-60-bit-hash family had no such bound but
-    cost 2.15x on the oracle-checked pipeline. Upgrade path if a
-    corpus approaches ~10^8 distinct shingles: derive a SECOND 31-bit
-    base from md5 chars 9-16 (same md5 call, different substring) and
-    use sig_i = (a_i*hb1 + b_i*hb2 + c_i) mod p with 30-bit
-    coefficients (keeps every term under 2^61, sum under 2^62 — no
-    BIGINT overflow); full-signature collisions then need BOTH bases
-    congruent (~C(n,2)/p^2, negligible at any realistic n), at the
-    cost of one extra multiply-add per shingle per permutation."""
+    cost 2.15x on the oracle-checked pipeline. The upgrade for corpora
+    approaching ~10^8 distinct shingles is BUILT (round 9, VERDICT r8
+    #8): ``md5x2`` derives a SECOND 31-bit base from md5 chars 9-16
+    (same md5 call, different substring) and uses sig_i = (a_i*hb1 +
+    b_i*hb2 + c_i) mod p with 30-bit coefficients (every term under
+    2^61, sum under 2^62 — no BIGINT overflow); full-signature
+    collisions then need BOTH bases congruent (~C(n,2)/p^2, negligible
+    at any realistic n), at the cost of one extra multiply-add per
+    shingle per permutation. Planted-pair output parity with the md5
+    family is pinned in tests/test_llm.py and A/B'd at x200 in
+    SCALE.md; still DuckDB-expressible (two substrings of one md5), so
+    a registered query could adopt it without losing the oracle."""
     if hash_family == "md5":
         base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
         pre = sh.select("doc_id", base.alias("hb"))
         aggs = [
             F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(PERM_P)).alias(f"h{i}")
             for i, (a, b) in enumerate(perm_coeffs(num_hashes))
+        ]
+        return pre.groupBy("doc_id").agg(*aggs)
+    if hash_family == "md5x2":
+        md = F.md5(F.col("shingle"))
+        base1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long") % F.lit(0x80000000)
+        base2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long") % F.lit(0x80000000)
+        pre = sh.select("doc_id", base1.alias("hb1"), base2.alias("hb2"))
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("hb1") + F.lit(b) * F.col("hb2") + F.lit(c))
+                % F.lit(PERM_P)
+            ).alias(f"h{i}")
+            for i, (a, b, c) in enumerate(perm_coeffs2(num_hashes))
         ]
         return pre.groupBy("doc_id").agg(*aggs)
     if hash_family == "xxhash64":

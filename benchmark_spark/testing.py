@@ -101,8 +101,15 @@ class CompareResult:
     # conflate Spark execution with the DuckDB oracle replay — e.g.
     # q_chargram_minhash read as a 624 s "Spark" row when ~212 s was
     # the oracle. None when untimed (legacy callers).
+    # ADVICE r8: spark_secs is the LEVEL-1 collect() execution ONLY —
+    # one materialization, the honest single-run figure. The level-2
+    # dtype-mimic runs the plan a second time (toPandas, deliberately:
+    # it reproduces the driver's Arrow serialization path) and is
+    # reported separately as spark_pdf_secs, never summed into
+    # spark_secs.
     spark_secs: float | None = None
     oracle_secs: float | None = None
+    spark_pdf_secs: float | None = None
     oracle_cached: bool = False
 
     def message(self) -> str:
@@ -256,11 +263,13 @@ def compare(
             only_o = list((o - s).items())[:3]
             mismatches.append(f"spark-only rows: {only_s}")
             mismatches.append(f"oracle-only rows: {only_o}")
+    spark_pdf_secs = None
     if not mismatches:
-        # level 2: driver-serialization mimic (dtype-sensitive)
+        # level 2: driver-serialization mimic (dtype-sensitive); its
+        # second materialization is timed SEPARATELY (ADVICE r8)
         t2 = time.time()
         spark_pdf = spark_df.toPandas()
-        spark_secs += time.time() - t2
+        spark_pdf_secs = time.time() - t2
         t3 = time.time()
         if oracle_pdf is None:
             oracle_pdf = con.execute(oracle).fetchdf()
@@ -278,6 +287,7 @@ def compare(
         mismatches,
         spark_secs=round(spark_secs, 3),
         oracle_secs=round(oracle_secs, 3),
+        spark_pdf_secs=round(spark_pdf_secs, 3) if spark_pdf_secs is not None else None,
         oracle_cached=cached is not None,
     )
 

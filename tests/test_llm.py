@@ -63,7 +63,7 @@ def test_minhash_xxhash64_family_parity(spark):
                 sh, lsh_candidates(minhash_signatures(sh, hash_family=fam)), 0.5
             ).collect()
         }
-        for fam in ("md5", "xxhash64")
+        for fam in ("md5", "xxhash64", "md5x2")
     }
     eligible = {
         r["doc_id"]
@@ -73,15 +73,22 @@ def test_minhash_xxhash64_family_parity(spark):
         .collect()
         if r["n"] >= 8
     }
-    missing = {d for d in eligible if (d, d + 1_000_000) not in by_family["xxhash64"]}
-    assert not missing, f"fast family missed planted pairs: {sorted(missing)[:10]}"
-    diff = set(by_family["md5"]) ^ set(by_family["xxhash64"])
-    high_sim_diff = {
-        p: max(by_family["md5"].get(p, 0), by_family["xxhash64"].get(p, 0))
-        for p in diff
-        if max(by_family["md5"].get(p, 0), by_family["xxhash64"].get(p, 0)) >= 0.8
-    }
-    assert not high_sim_diff, f"families disagree on high-sim pairs: {high_sim_diff}"
+    # every non-default family must keep 100% planted-pair recall
+    for fam in ("xxhash64", "md5x2"):
+        missing = {d for d in eligible if (d, d + 1_000_000) not in by_family[fam]}
+        assert not missing, f"{fam} missed planted pairs: {sorted(missing)[:10]}"
+        diff = set(by_family["md5"]) ^ set(by_family[fam])
+        high_sim_diff = {
+            p: max(by_family["md5"].get(p, 0), by_family[fam].get(p, 0))
+            for p in diff
+            if max(by_family["md5"].get(p, 0), by_family[fam].get(p, 0)) >= 0.8
+        }
+        assert not high_sim_diff, f"md5 vs {fam} disagree on high-sim pairs: {high_sim_diff}"
+    # two-base coefficients really are overflow-safe: max |term sum|
+    from benchmark_spark.llm.dedup import perm_coeffs2
+
+    for a, b, c in perm_coeffs2():
+        assert (a * 0x7FFFFFFF + b * 0x7FFFFFFF + c) < 2**62
 
 
 def test_lsh_bucketing_is_deterministic(spark):

@@ -106,15 +106,29 @@ def main() -> None:
 
             return _run
 
+        families = [
+            f
+            for f in os.environ.get(
+                "SPARK_GRAFT_AB_FAMILIES", "md5,xxhash64,md5x2"
+            ).split(",")
+            if f
+        ]
         rec: dict[str, dict] = {"docs": n * 5000}
         for stage, mk, action in (("sig", sig, "collect"), ("e2e", e2e, "count")):
-            t_md5, r_md5 = run(mk("md5"), action)
-            t_xx, r_xx = run(mk("xxhash64"), action)
+            times, rows = {}, {}
+            for fam in families:
+                times[f"{fam}_sec"], rows[fam] = run(mk(fam), action)
+            base = times.get("md5_sec")
             rec[stage] = {
-                "md5_sec": t_md5,
-                "xxhash64_sec": t_xx,
-                "speedup": round(t_md5 / t_xx, 2) if t_xx else None,
-                "out_rows": {"md5": r_md5, "xxhash64": r_xx},
+                **times,
+                "vs_md5": {
+                    f: round(base / times[f"{f}_sec"], 2)
+                    for f in families
+                    if f != "md5" and times[f"{f}_sec"]
+                }
+                if base
+                else None,
+                "out_rows": rows,
             }
         out[f"x{n}"] = rec
         print(json.dumps({"scale": f"x{n}", **rec}), flush=True)

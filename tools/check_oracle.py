@@ -15,7 +15,9 @@ becomes a committed, regenerable evidence file:
     python tools/check_oracle.py /root/testdata/sf0.1 --json GATE_sf01_r08.json
 
 Round 8 (VERDICT r7 #5): per-query timing is split into spark_secs /
-oracle_secs (the old combined `secs` stays for continuity), and green
+oracle_secs (the old combined `secs` stays for continuity). Round 9
+(ADVICE r8): spark_secs is the level-1 collect() run ONLY; the level-2
+dtype-mimic's second materialization lands in spark_pdf_secs. Green
 oracle results are cached on disk keyed by (fixture content md5,
 oracle-SQL md5) in .oracle_cache/ — a warm re-run after Spark-only
 changes skips every oracle replay. --no-cache forces full replays
@@ -120,6 +122,9 @@ def main() -> int:
             "secs": round(time.time() - t0, 2),
             "spark_secs": res.spark_secs,
             "oracle_secs": res.oracle_secs,
+            # the level-2 dtype-mimic's SECOND materialization, reported
+            # separately so spark_secs stays a single-run figure (ADVICE r8)
+            "spark_pdf_secs": res.spark_pdf_secs,
             "oracle_cached": res.oracle_cached,
         }
     print(f"\n{len(specs) - failures}/{len(specs)} passed")
