@@ -83,35 +83,36 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-8 re-cut (VERDICT r7 #2): continue the staleness rotation.
-    # 12 never-checked rows new in r8 (real-codec multimodal tier +
-    # transaction-log tier) enter first, then the oldest evidence
-    # tiers: all 31 rows last driver-green in r3, plus the 7
-    # highest-value r4 rows (the eight headline bench queries + the
-    # graph/curation tier). Equal-age r4 rows left out are picked up
-    # by the r9 re-cut. Everything displaced is driver-green in r4-r7
-    # and stays checked by the local full gate (tools/check_oracle.py
-    # every round; GATE_sf01 at 10x driver scale).
-    # never driver-checked (new in round 8) — a new row always enters
-    # through the window so its first driver evidence lands next round
-    "q_decode_image", "q_resize_image", "q_video_frames", "q_decode_audio",
-    "q_txlog_snapshot", "q_txlog_time_travel", "q_txlog_prune_stats",
-    "q_txlog_merge", "q_txlog_skip_scan", "q_txlog_stream_ingest",
-    "q_txlog_schema_evolution", "q_knn_pq",
-    # latest driver evidence r3 (entire tier)
-    "q_apply_in_pandas", "q_bool_agg", "q_centroid", "q_chunk_dedup",
-    "q_csv_source", "q_decontaminate", "q_dedup_embed",
-    "q_dedup_fingerprint", "q_fingerprint", "q_format_text", "q_funnel",
-    "q_frame_sample", "q_jaccard_pairs", "q_json_source", "q_knn_batch",
-    "q_knn_graph", "q_langid_chargram", "q_map_funcs", "q_merge_upsert",
-    "q_mixture_sample", "q_orc_source", "q_partition_prune",
-    "q_pii_redact", "q_quality", "q_repetition", "q_salted_agg",
-    "q_salted_join", "q_scd2", "q_split_sample", "q_tfidf",
-    "q_token_regex",
-    # latest driver evidence r4 — headline bench queries first, then
-    # the scale-critical sampler/corpus/graph rows
-    "q1_scan", "q2_agg", "q3_join", "q4_wordcount", "q5_pricing",
-    "q6_window", "q8_knn",
+    # Round-9 re-cut (VERDICT r8 #6): continue the staleness rotation.
+    # 2 never-checked rows new in r9 (the Lloyd-trained PQ tier and the
+    # txlog vacuum query) enter first, then the ENTIRE remaining
+    # r4-evidence tier (37 rows — the samplers/corpus/graph/variant
+    # remainder the r8 cut deferred), then the 11 oldest r5 rows
+    # (headline streaming + the heavy dedup/ANN tiers, including the
+    # round-9-rewritten q_winnow_fingerprint). Everything displaced is
+    # driver-green in r5-r8 and stays checked by the local full gate
+    # (tools/check_oracle.py every round; GATE_sf01 at 10x driver
+    # scale).
+    # never driver-checked (new in round 9)
+    "q_knn_pq_trained", "q_txlog_vacuum",
+    # latest driver evidence r4 (entire remaining tier)
+    "q2_agg_highcard", "q2_agg_wide", "q3_join_wide", "q_anti",
+    "q_bigram_counts", "q_bm25", "q_bucket_join", "q_collect",
+    "q_corr", "q_corr_subquery", "q_cube", "q_dedup_keep_best",
+    "q_distinct_agg", "q_grouping_sets", "q_having", "q_leakage_split",
+    "q_length_hist", "q_minmax_by", "q_order_returns",
+    "q_pack_sequences", "q_pagerank", "q_percentile", "q_pivot",
+    "q_promo_share", "q_reservoir_sample", "q_returned_items",
+    "q_scalar_subquery", "q_ship_priority", "q_shj_join",
+    "q_small_qty", "q_smj_join", "q_stratified_sample",
+    "q_stream_join", "q_stream_topk", "q_top_supplier",
+    "q_unigram_lm", "q_unpivot",
+    # latest driver evidence r5 — headline streaming first, then the
+    # scale-critical dedup/ANN/windows rows
+    "q7_tumble", "q7_tumble_stream", "q_chargram_minhash",
+    "q_ann_recall", "q_cosine_range", "q_hybrid_search",
+    "q_winnow_fingerprint", "q_bpe_pretokenize", "q_gap_fill",
+    "q_heavy_hitters", "q_session_labels",
 )
 
 
