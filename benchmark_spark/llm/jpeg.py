@@ -1,0 +1,464 @@
+"""Baseline JPEG (ITU-T T.81) encoder/decoder — stdlib + numpy only.
+
+Closes VERDICT r8 "What's missing #2": a real 100 TB image corpus is
+overwhelmingly JPEG, and the container ships no codec libraries, so
+this implements the baseline sequential DCT process from the PUBLIC
+specification: JFIF markers, Annex-K quantization and Huffman tables,
+4:4:4 (no chroma subsampling — legal baseline), per-8x8-block
+DCT-II / quantize / zigzag / DC-differential / Huffman entropy coding
+with 0xFF byte stuffing, and the full inverse path. The decoder parses
+DQT/DHT/SOF0/SOS from the byte stream (tables are READ FROM THE FILE,
+never assumed) and Huffman-decodes the entropy segment bit by bit.
+
+JPEG is lossy, so unlike the PPM/BMP/PNG tier (codecs.py) a hash
+cannot assert decode∘encode == identity. The correctness contract is
+instead (the q_approx_stats precedent — in-plan BIGINT verdicts):
+
+* decode(encode(x)) is DETERMINISTIC (same bytes in, same pixels out —
+  float64 DCT arithmetic is IEEE-fixed; pinned by encoding twice);
+* for the smooth fixture patterns (affine in x,y — a plane per block,
+  whose DCT is DC + first-order ACs) the reconstruction error is small
+  and bounded; the registered query measures |decoded - expected| per
+  pixel IN THE WORKER and emits tolerance verdicts the oracle checks.
+
+Structure notes (all per T.81):
+* quality scaling: Annex-K tables scaled by (200-2q)% for q>=50,
+  clamped to [1, 255] — the libjpeg convention (public);
+* DC coefficients are coded as CATEGORY(huffman) + offset bits of the
+  DIFFERENCE from the previous block's DC of the same component;
+* AC coefficients are (run,size) pairs with EOB and ZRL escapes;
+* entropy bytes equal to 0xFF are stuffed with a 0x00.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1/K.2 base quantization tables (natural row-major order).
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# zigzag scan order: ZIGZAG[k] = natural index of the k-th coefficient
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3-K.6 Huffman table specifications: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# DCT-II basis matrix: C[u, x] = alpha(u) cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(0.125) if _u == 0 else 0.5) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def sc(t: np.ndarray) -> np.ndarray:
+        return np.clip((t * scale + 50) // 100, 1, 255).astype(np.int64)
+    return sc(QT_LUMA), sc(QT_CHROMA)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per the canonical construction (C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+            self.pos += 1  # skip the stuffed 0x00
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes:
+    """Baseline sequential 4:4:4 JFIF encoder."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    qt_l, qt_c = _scaled_tables(quality)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    ycc = _rgb_to_ycbcr(arr)
+    # pad to 8x8 multiples by edge replication
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.pad(
+        ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
+    )
+
+    enc_codes = {
+        "dcl": _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        "acl": _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        "dcc": _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        "acc": _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    }
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(3):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
+                coef = _C @ block @ _C.T
+                qt = qt_l if comp == 0 else qt_c
+                q = np.round(coef / qt).astype(np.int64)
+                zz = q.reshape(64)[ZIGZAG]
+                dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
+                ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+                # DC: category + offset bits of the difference
+                diff = int(zz[0]) - prev_dc[comp]
+                prev_dc[comp] = int(zz[0])
+                s = _size_cat(diff)
+                code, length = dc_codes[s]
+                w.write(code, length)
+                if s:
+                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                # AC: (run, size) with ZRL/EOB escapes
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    s = _size_cat(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]  # EOB
+                    w.write(code, length)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[ZIGZAG]))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + sof
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, from the DHT spec actually in the file."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS from the
+    stream, Huffman-decodes, dequantizes, inverse-DCTs, converts to RGB.
+    Returns ("jpeg", width, height, top-down RGB bytes)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comp_spec: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    entropy_start = -1
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                if body[b] >> 4 != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                tid = body[b] & 0xF
+                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qts[tid] = nat.reshape(8, 8)
+                b += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                hts[(tc, th)] = _build_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise ValueError("unsupported SOF0 (need 8-bit, 3 components)")
+            for c in range(ncomp):  # component specs start after the
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]  # 6-byte frame header
+                if sampling != 0x11:
+                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comp_spec.append((cid, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("not a baseline-sequential JPEG")
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            ids = {cid: i for i, (cid, _tq) in enumerate(comp_spec)}
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((ids[cid], tables >> 4, tables & 0xF))
+            entropy_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if width < 0 or entropy_start < 0:
+        raise ValueError("JPEG missing SOF0/SOS")
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI")
+
+    r = _BitReader(payload[entropy_start:end])
+    bw, bh = -(-width // 8), -(-height // 8)
+    planes = np.zeros((3, bh * 8, bw * 8))
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp, dc_t, ac_t in scan:
+                qt = qts[comp_spec[comp][1]]
+                zz = np.zeros(64, dtype=np.int64)
+                s = _huff_decode(r, hts[(0, dc_t)])
+                diff = _extend(r.read_bits(s), s) if s else 0
+                prev_dc[comp] += diff
+                zz[0] = prev_dc[comp]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, hts[(1, ac_t)])
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(r.read_bits(size), size)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                coef = nat.reshape(8, 8) * qt
+                block = _C.T @ coef @ _C + 128.0
+                planes[comp, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    ycc = np.stack([planes[0], planes[1], planes[2]], axis=-1)[:height, :width]
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
+    return "jpeg", width, height, rgb.tobytes()

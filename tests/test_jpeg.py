@@ -1,0 +1,112 @@
+"""Baseline JPEG codec pins (benchmark_spark/llm/jpeg.py, VERDICT r8
+missing #2): determinism, tolerance bounds on the smooth fixture
+patterns, exactness on constant blocks, the ZRL/stuffing code paths,
+and structural rejection of non-baseline streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from benchmark_spark.llm import jpeg as J
+from benchmark_spark.llm.multimodal import _JPEG_MAX_ERR, jpeg_dims, jpeg_rgb
+
+
+def _err(rgb: bytes, out: bytes) -> np.ndarray:
+    return np.abs(
+        np.frombuffer(rgb, np.uint8).astype(int) - np.frombuffer(out, np.uint8).astype(int)
+    )
+
+
+def test_encoder_is_deterministic():
+    rgb = jpeg_rgb(7, *jpeg_dims(7))
+    w, h = jpeg_dims(7)
+    assert J.encode_jpeg(w, h, rgb, 90) == J.encode_jpeg(w, h, rgb, 90)
+
+
+def test_fixture_patterns_within_registered_tolerance():
+    """The registered query's verdict bound, proven over the full dims
+    cycle (9x7 = 63 distinct shapes) and the whole doc_id%64 range."""
+    worst = 0
+    for d in range(64):
+        w, h = jpeg_dims(d)
+        rgb = jpeg_rgb(d, w, h)
+        fmt, dw, dh, out = J.decode_jpeg(J.encode_jpeg(w, h, rgb, 90))
+        assert (fmt, dw, dh) == ("jpeg", w, h)
+        worst = max(worst, int(_err(rgb, out).max()))
+    assert worst <= _JPEG_MAX_ERR, f"fixture error {worst} exceeds the verdict bound"
+
+
+def test_constant_blocks_roundtrip_exactly():
+    rgb = bytes([77, 144, 201]) * 64 * 64
+    _, _, _, out = J.decode_jpeg(J.encode_jpeg(64, 64, rgb, 90))
+    assert out == rgb
+
+
+def test_compresses_smooth_content():
+    w, h = 64, 64
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    plane = np.stack([x * 2 + y, x + y * 2, x + y], axis=-1).astype(np.uint8).tobytes()
+    payload = J.encode_jpeg(w, h, plane, 90)
+    assert len(payload) < len(plane) / 4, "smooth content must compress"
+
+
+def test_zrl_and_stuffing_paths_decode():
+    """A single bright pixel on black produces long zero runs (ZRL
+    escapes) and, over a seed sweep, entropy bytes equal to 0xFF
+    (exercising the 0x00 stuffing on write and its strip on read)."""
+    w = h = 16
+    base = bytearray(3 * w * h)
+    base[3 * (5 * w + 9)] = 255  # lone spike -> high-frequency ACs
+    payload = J.encode_jpeg(w, h, bytes(base), 90)
+    _, dw, dh, out = J.decode_jpeg(payload)
+    assert (dw, dh) == (w, h) and len(out) == 3 * w * h
+    # find a seed whose entropy segment contains a stuffed 0xFF00
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        rgb = rng.integers(0, 256, 3 * w * h, dtype=np.uint8).tobytes()
+        p = J.encode_jpeg(w, h, rgb, 90)
+        if b"\xff\x00" in p:
+            _, dw, dh, out = J.decode_jpeg(p)
+            assert (dw, dh) == (w, h) and len(out) == 3 * w * h
+            break
+    else:
+        pytest.fail("no stuffed byte produced across 50 random images")
+
+
+def test_edge_padding_does_not_bleed():
+    """Non-multiple-of-8 dims: padding is edge replication, and the
+    decoder crops back to the SOF dims exactly."""
+    w, h = 19, 13
+    rgb = jpeg_rgb(11, w, h)
+    _, dw, dh, out = J.decode_jpeg(J.encode_jpeg(w, h, rgb, 90))
+    assert (dw, dh) == (w, h)
+    assert len(out) == 3 * w * h
+    assert int(_err(rgb, out).max()) <= _JPEG_MAX_ERR
+
+
+def test_rejects_non_baseline_and_garbage():
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"not a jpeg at all")
+    w, h = jpeg_dims(1)
+    payload = bytearray(J.encode_jpeg(w, h, jpeg_rgb(1, w, h), 90))
+    sof = bytes(payload).find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):  # truncated entropy data
+        J.decode_jpeg(J.encode_jpeg(w, h, jpeg_rgb(1, w, h), 90)[:-40])
+
+
+def test_quality_moves_size_and_error():
+    w, h = 24, 24
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, 3 * w * h, dtype=np.uint8).tobytes()
+    p90 = J.encode_jpeg(w, h, rgb, 90)
+    p20 = J.encode_jpeg(w, h, rgb, 20)
+    assert len(p20) < len(p90)
+    e90 = _err(rgb, J.decode_jpeg(p90)[3]).mean()
+    e20 = _err(rgb, J.decode_jpeg(p20)[3]).mean()
+    assert e20 > e90
