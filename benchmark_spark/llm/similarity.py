@@ -1706,7 +1706,11 @@ _PQT_ORACLE = f"""
         "0.96 vs 0.66 — the quality metric that degraded with corpus "
         "growth now holds flat. Codes are 48 bits/vector (42x shrink); "
         "at 100 TB the codebook (4096 int64s) broadcasts everywhere, "
-        "encode is one scan, and ADC scores a narrow codes column."
+        "encode is one scan, and ADC scores a narrow codes column. "
+        "Shuffle audit (the advisor counts 9 exchanges): only THREE are "
+        "corpus-keyed — the encode partial-sum, its argmin window, and "
+        "the ADC sum; the rest act on anchor-sized (5 x shortlist) or "
+        "codebook-sized frames and vanish at scale."
     ),
     tags=("extension", "similarity", "ann"),
 )

@@ -467,6 +467,26 @@ class TxLogTable:
         self.commit(actions, op="merge")
         return {"files_total": len(touched) + len(kept), "files_rewritten": len(touched)}
 
+    def restore(self, version: int) -> int:
+        """RESTORE (rollback) the table to a historical version AS A NEW
+        COMMIT (the Delta RESTORE semantic): the target snapshot's file
+        set becomes live again by adding back its files and removing
+        everything currently live that it lacks. History is preserved —
+        the rollback is itself an auditable commit, and the rolled-back
+        versions remain time-travelable. Requires the old files to
+        still exist physically (i.e. not vacuumed past the horizon)."""
+        target = {a["add"]: a for a in self.snapshot_adds(version)}
+        current = {a["add"]: a for a in self.snapshot_adds()}
+        missing = [
+            n for n in target
+            if not os.path.exists(os.path.join(self.path, n))
+        ]
+        if missing:
+            raise ValueError(f"cannot restore v{version}: files vacuumed: {missing}")
+        actions: list[dict] = [a for n, a in target.items() if n not in current]
+        actions += [{"remove": n} for n in current if n not in target]
+        return self.commit(actions, op="restore", extra={"restored_version": version})
+
     def compact(
         self, spark: SparkSession, stats_cols: tuple[str, ...], target_files: int = 1
     ) -> int:
@@ -1045,3 +1065,32 @@ def q_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(deleted), live, agg["n_rows"], agg["total"])],
         "files_deleted long, files_live long, n_rows long, total double",
     )
+
+
+@register(
+    "q_txlog_restore",
+    oracle=f"""
+        WITH {_BOUNDS_CTE}
+        {_ROLLUP_SQL}
+        FROM v1
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "RESTORE (rollback) through the transaction log: after create/"
+        "append/ranged-delete, roll the table back to the post-append "
+        "version AS A NEW COMMIT (the Delta RESTORE semantic — history "
+        "stays intact and auditable, unlike a log truncation): the "
+        "deleted rows are live again in the LATEST snapshot, and the "
+        "rollup hash-matches the pre-delete state. Differs from "
+        "q_txlog_time_travel, which READS an old version without "
+        "changing the table: here the head itself moves back, the "
+        "rollback is one atomic commit, and the undone delete remains "
+        "time-travelable below it (op sequence pinned in "
+        "tests/test_txlog.py, including the vacuumed-files refusal)."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _counters, _dlo, _dhi = _scenario(spark, sf_dir)
+    t.restore(1)  # undo the ranged delete, head moves back to v1's files
+    return _rollup(t.read(spark))

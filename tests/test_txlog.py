@@ -396,3 +396,19 @@ def test_merge_losing_race_recomputes_and_matches_serial(spark, table, tmp_path)
     assert got == expected
     ops = [c["op"] for c in table.history()]
     assert ops == ["create", "merge-B", "merge-A-retry"]
+
+
+def test_restore_moves_head_back_as_new_commit(spark, table):
+    table.delete_where(spark, "k", 0, 249, ("k",))
+    assert table.read(spark).count() == 750
+    v = table.restore(0)
+    assert v == 2  # the rollback is itself a commit
+    assert table.read(spark).count() == 1000  # head shows the old state
+    assert table.read(spark, version=1).count() == 750  # undone delete
+    assert [c["op"] for c in table.history()] == ["create", "delete", "restore"]
+    assert table._read_commit(2)["restored_version"] == 0
+    # restoring past the vacuum horizon refuses instead of corrupting
+    table.delete_where(spark, "k", 500, 999, ("k",))
+    table.vacuum(retain_versions=0, grace_secs=0)
+    with pytest.raises(ValueError):
+        table.restore(1)
