@@ -1,0 +1,109 @@
+"""PQ recall-vs-corpus-size curve (VERDICT r8 #1 scale evidence).
+
+Measures recall@10 of BOTH product-quantization operating points as
+the corpus grows, using the exact integer-micro arithmetic the
+registered queries run (the Spark plans are oracle-hash-proven; this
+probe answers the orthogonal question — does the QUALITY hold as data
+grows, the metric that regressed 0.90 -> 0.66 for the untrained tier
+in r8):
+
+* untrained: 4x16-dim, 16-entry data-sampled codebooks, FIXED
+  100-element ADC shortlist (q_knn_pq);
+* trained:   8x8-dim, 64-entry Lloyd-trained codebooks (3 iterations,
+  512-vector sample), shortlist = max(100, ceil(N/8)) (q_knn_pq_trained).
+
+Corpus growth model: replica r's vectors are the originals with
+components circularly rolled by r — norm- and distribution-preserving
+but genuinely different directions (verbatim copies would make every
+exact top-10 a list of the anchor's own clones and recall vacuous).
+
+Usage: python tools/curve_pq_recall.py [multipliers...]  (default 1 4 10)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+
+
+def load_corpus(mult: int) -> np.ndarray:
+    t = pq.read_table(SRC).to_pandas()
+    base = np.stack([np.asarray(v, dtype=np.float64) for v in t.embedding])
+    base = base[np.argsort(t.vec_id.values)]
+    return np.concatenate([np.roll(base, r, axis=1) for r in range(mult)])
+
+
+def micros(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def lloyd(train: np.ndarray, m: int, d: int, k: int, iters: int) -> list[np.ndarray]:
+    cents = [train[:k, s * d : (s + 1) * d].copy() for s in range(m)]
+    for _ in range(iters):
+        for s in range(m):
+            x = train[:, s * d : (s + 1) * d]
+            c = cents[s]
+            cost = (c * c).sum(1)[None, :] - 2 * (x @ c.T)
+            a = cost.argmin(1)
+            new = c.copy()
+            for j in range(len(c)):
+                mem = x[a == j]
+                if len(mem):
+                    new[j] = np.floor(mem.sum(0).astype("float64") / len(mem)).astype("int64")
+            cents[s] = new
+    return cents
+
+
+def recall(v: np.ndarray, m: int, d: int, k: int, train_n: int, iters: int,
+           sl_fixed: int | None, sl_div: int | None) -> float:
+    n = len(v)
+    vm = micros(v)
+    cents = lloyd(vm[: min(train_n, n)], m, d, k, iters)
+    codes = np.zeros((n, m), dtype=np.int64)
+    for s in range(m):
+        x = vm[:, s * d : (s + 1) * d]
+        c = cents[s]
+        codes[:, s] = ((c * c).sum(1)[None, :] - 2 * (x @ c.T)).argmin(1)
+    sl = sl_fixed if sl_fixed else max(100, -(-n // sl_div))
+    hits = []
+    for a_id in range(5):
+        tabs = [vm[a_id, s * d : (s + 1) * d] @ cents[s].T for s in range(m)]
+        adc = sum(tabs[s][codes[:, s]] for s in range(m)).astype(np.float64)
+        adc[a_id] = -np.inf
+        shortlist = np.argsort(-adc, kind="stable")[:sl]
+        exact = v @ v[a_id]
+        exact[a_id] = -np.inf
+        top10 = set(np.argsort(-exact, kind="stable")[:10])
+        rr = shortlist[np.argsort(-exact[shortlist], kind="stable")[:10]]
+        hits.append(len(top10 & set(rr)) / 10)
+    return round(float(np.mean(hits)), 3)
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    out = {}
+    for mult in mults:
+        v = load_corpus(mult)
+        untrained = recall(v, 4, 16, 16, 16, 0, sl_fixed=100, sl_div=None)
+        trained = recall(v, 8, 8, 64, 512, 3, sl_fixed=None, sl_div=8)
+        out[f"x{mult}"] = {
+            "vectors": len(v),
+            "untrained_fixed_sl": untrained,
+            "trained_proportional_sl": trained,
+        }
+        print(json.dumps({"scale": f"x{mult}", **out[f"x{mult}"]}), flush=True)
+    print(json.dumps({"metric": "pq_recall_curve", "base": "sf0.1", "curves": out}))
+
+
+if __name__ == "__main__":
+    main()
