@@ -467,6 +467,42 @@ class TxLogTable:
         self.commit(actions, op="merge")
         return {"files_total": len(touched) + len(kept), "files_rewritten": len(touched)}
 
+    def read_changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Change data feed (the Delta CDF / Iceberg changelog analog):
+        row-level inserts and deletes between two versions, derived
+        from the copy-on-write file diff — only files ADDED or REMOVED
+        in (v_from, v_to] are read, so CDC costs O(changed files),
+        never O(table). Rows carried over by a rewrite appear in both
+        the removed and added file sets and cancel under exceptAll;
+        what survives is exactly the logical change set. Returns the
+        table columns plus `change_type` ('insert' | 'delete')."""
+        from_set = {a["add"] for a in self.snapshot_adds(v_from)}
+        to_set = {a["add"] for a in self.snapshot_adds(v_to)}
+        new_files = [os.path.join(self.path, n) for n in sorted(to_set - from_set)]
+        gone_files = [os.path.join(self.path, n) for n in sorted(from_set - to_set)]
+        new_rows = spark.read.parquet(*new_files) if new_files else None
+        old_rows = spark.read.parquet(*gone_files) if gone_files else None
+        if new_rows is None and old_rows is None:
+            raise ValueError(f"no file changes between v{v_from} and v{v_to}")
+        if old_rows is None:
+            inserts, deletes = new_rows, None
+        elif new_rows is None:
+            inserts, deletes = None, old_rows
+        else:
+            inserts = new_rows.exceptAll(old_rows)
+            deletes = old_rows.exceptAll(new_rows)
+        parts = []
+        if inserts is not None:
+            parts.append(inserts.withColumn("change_type", F.lit("insert")))
+        if deletes is not None:
+            parts.append(deletes.withColumn("change_type", F.lit("delete")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def restore(self, version: int) -> int:
         """RESTORE (rollback) the table to a historical version AS A NEW
         COMMIT (the Delta RESTORE semantic): the target snapshot's file
@@ -1094,3 +1130,60 @@ def q_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _counters, _dlo, _dhi = _scenario(spark, sf_dir)
     t.restore(1)  # undo the ranged delete, head moves back to v1's files
     return _rollup(t.read(spark))
+
+
+@register(
+    "q_txlog_cdc",
+    oracle=f"""
+        WITH {_BOUNDS_CTE},
+        changes AS (
+            -- v0 -> v1: the append commit = pure inserts
+            SELECT 'insert' AS change_type,
+                   o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+                       AS o_orderkey,
+                   o_totalprice + 1.5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 37 = 0
+            UNION ALL
+            -- v1 -> v2: the ranged copy-on-write delete = pure deletes
+            SELECT 'delete', o_orderkey, o_totalprice
+            FROM orders, del
+            WHERE o_orderkey BETWEEN dlo AND dhi
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM changes
+        GROUP BY change_type
+    """,
+    doc=(
+        "Change data feed through the transaction log (the Delta CDF / "
+        "Iceberg changelog analog — what a downstream incremental "
+        "consumer reads instead of re-scanning the table): row-level "
+        "inserts and deletes between versions, derived from the "
+        "copy-on-write FILE diff, so CDC reads O(changed files), never "
+        "O(table). Rows a rewrite merely carried over appear in both the "
+        "removed and added file sets and cancel under exceptAll; what "
+        "survives is exactly the logical change set. The fixture emits "
+        "the v0->v1 changes (the append: pure inserts) and the v1->v2 "
+        "changes (the ranged delete: pure deletes, and the carried-over "
+        "survivor rows provably CANCEL — an extra or missing row breaks "
+        "the md5 fingerprint sum), rolled up per change_type with the "
+        "usual key fingerprint + fixed-point money sum."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _counters, _dlo, _dhi = _scenario(spark, sf_dir)
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    changes = t.read_changes(spark, 0, 1).unionByName(t.read_changes(spark, 1, 2))
+    return changes.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp).alias("fp"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )

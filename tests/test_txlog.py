@@ -412,3 +412,26 @@ def test_restore_moves_head_back_as_new_commit(spark, table):
     table.vacuum(retain_versions=0, grace_secs=0)
     with pytest.raises(ValueError):
         table.restore(1)
+
+
+def test_cdc_rewrite_carryover_rows_cancel(spark, table):
+    """Change data feed: a copy-on-write delete rewrites a whole file,
+    but only the logically deleted rows may appear in the feed — the
+    carried-over survivors in the rewritten file must cancel under
+    exceptAll. An update (delete+reinsert under MERGE) shows as a
+    delete+insert pair for the changed row only."""
+    table.delete_where(spark, "k", 100, 149, ("k",))  # half of file 0
+    changes = table.read_changes(spark, 0, 1)
+    rows = changes.collect()
+    assert all(r["change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(100, 150))
+    # merge-as-update: one row changes value -> one delete + one insert
+    upd = spark.createDataFrame([(300, 999_999)], "k long, v long")
+    table.merge(spark, upd, "k", ("k",))
+    delta = table.read_changes(spark, 1, 2).collect()
+    by_type = {r["change_type"]: r for r in delta}
+    assert len(delta) == 2
+    assert by_type["delete"]["k"] == 300 and by_type["delete"]["v"] == 600
+    assert by_type["insert"]["k"] == 300 and by_type["insert"]["v"] == 999_999
+    with pytest.raises(ValueError):
+        table.read_changes(spark, 2, 2)  # no file changes in an empty span
