@@ -260,45 +260,53 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
         "dcc": _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
         "acc": _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
     }
+    # batched transform (round 9): ALL blocks DCT/quantize/zigzag in
+    # three numpy ops instead of a per-block loop — block order is the
+    # MCU scan order (by, bx, comp), which the reshape/transpose
+    # produces directly; only the inherently sequential Huffman bit
+    # stream stays a Python loop, and it walks nonzeros, not all 64
+    blocks = (
+        padded.reshape(bh, 8, bw, 8, 3).transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = _C @ blocks @ _C.T
+    n_blocks = len(blocks)
+    qt_all = np.stack([qt_l, qt_c, qt_c])[np.arange(n_blocks) % 3]
+    zz_all = np.round(coefs / qt_all).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
     w = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for comp in range(3):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
-                coef = _C @ block @ _C.T
-                qt = qt_l if comp == 0 else qt_c
-                q = np.round(coef / qt).astype(np.int64)
-                zz = q.reshape(64)[ZIGZAG]
-                dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
-                ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
-                # DC: category + offset bits of the difference
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                s = _size_cat(diff)
-                code, length = dc_codes[s]
+    for n in range(n_blocks):
+        comp = n % 3
+        zz = zz_all[n]
+        dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
+        ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+        # DC: category + offset bits of the difference
+        diff = int(zz[0]) - prev_dc[comp]
+        prev_dc[comp] = int(zz[0])
+        s = _size_cat(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        # AC: (run, size) with ZRL/EOB escapes, walking nonzeros only
+        last = 0  # index of the previous nonzero (or DC)
+        for k in np.nonzero(zz[1:])[0]:
+            k = int(k) + 1
+            run = k - last - 1
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
                 w.write(code, length)
-                if s:
-                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                # AC: (run, size) with ZRL/EOB escapes
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, length = ac_codes[(run << 4) | s]
-                    w.write(code, length)
-                    w.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    code, length = ac_codes[0x00]  # EOB
-                    w.write(code, length)
+                run -= 16
+            v = int(zz[k])
+            s = _size_cat(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            last = k
+        if last != 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -414,6 +422,8 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
             raise ValueError("not a baseline-sequential JPEG")
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
+            if ns != 3:
+                raise ValueError("non-interleaved scans not supported")
             ids = {cid: i for i, (cid, _tq) in enumerate(comp_spec)}
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
@@ -429,13 +439,17 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
 
     r = _BitReader(payload[entropy_start:end])
     bw, bh = -(-width // 8), -(-height // 8)
-    planes = np.zeros((3, bh * 8, bw * 8))
+    n_blocks = bh * bw * len(scan)
+    # entropy pass (inherently sequential bits) fills one coefficient
+    # matrix; dequant + IDCT + block assembly then run BATCHED (round 9)
+    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
+    n = 0
+    for _by in range(bh):
+        for _bx in range(bw):
             for comp, dc_t, ac_t in scan:
-                qt = qts[comp_spec[comp][1]]
-                zz = np.zeros(64, dtype=np.int64)
+                zz = zz_all[n]
+                n += 1
                 s = _huff_decode(r, hts[(0, dc_t)])
                 diff = _extend(r.read_bits(s), s) if s else 0
                 prev_dc[comp] += diff
@@ -454,11 +468,22 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
                         raise ValueError("AC run past end of block")
                     zz[k] = _extend(r.read_bits(size), size)
                     k += 1
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZIGZAG] = zz
-                coef = nat.reshape(8, 8) * qt
-                block = _C.T @ coef @ _C + 128.0
-                planes[comp, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    ycc = np.stack([planes[0], planes[1], planes[2]], axis=-1)[:height, :width]
-    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
+    nat = np.zeros((n_blocks, 64), dtype=np.int64)
+    nat[:, ZIGZAG] = zz_all
+    qt_all = np.stack([qts[comp_spec[c][1]] for c, _dc, _ac in scan])[
+        np.arange(n_blocks) % len(scan)
+    ]
+    coefs = nat.reshape(-1, 8, 8) * qt_all
+    blocks = _C.T @ coefs @ _C + 128.0
+    # inverse of the encoder's (by, bx, comp, 8, 8) scan layout, then
+    # reorder channels from SOS scan order to SOF component order
+    ycc = (
+        blocks.reshape(bh, bw, len(scan), 8, 8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(bh * 8, bw * 8, len(scan))[:height, :width]
+    )
+    chan = [0, 0, 0]
+    for pos, (comp, _dc, _ac) in enumerate(scan):
+        chan[comp] = pos
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc[..., chan])), 0, 255).astype(np.uint8)
     return "jpeg", width, height, rgb.tobytes()

@@ -66,6 +66,17 @@ def main() -> None:
     print(f"resize 512->256       {bench(lambda p: C.resize_image(p, 256, 256), ppm):8.0f} MB/s")
     print(f"encode_bmp            {bench(lambda r: C.encode_bmp(w, h, r), rgb):8.0f} MB/s")
 
+    # JPEG is entropy-coding-bound (per-bit Python Huffman): report it
+    # on the registered fixture pattern, where the smooth content keeps
+    # coefficient counts realistic (random noise would overstate cost)
+    from benchmark_spark.llm import jpeg as J
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    jr = jpeg_rgb(7, w, h)
+    jp = J.encode_jpeg(w, h, jr, 90)
+    print(f"encode_jpeg (smooth)  {bench(lambda r: J.encode_jpeg(w, h, r, 90), jr, n=3):8.1f} MB/s")
+    print(f"decode_jpeg (smooth)  {bench(J.decode_jpeg, jp, n=3):8.1f} MB/s")
+
 
 if __name__ == "__main__":
     import sys, os
