@@ -89,6 +89,44 @@ def recall(v: np.ndarray, m: int, d: int, k: int, train_n: int, iters: int,
     return round(float(np.mean(hits)), 3)
 
 
+def ivfpq_recall(
+    v: np.ndarray, nlist: int = 16, nprobe: int = 6, m: int = 8, d: int = 8,
+    k: int = 64, train_n: int = 512, iters: int = 2, sl_div: int = 8,
+) -> tuple[float, float]:
+    """Recall@10 and mean corpus fraction ADC-scanned for the IVFPQ
+    tier (q_knn_ivfpq's exact integer arithmetic)."""
+    n = len(v)
+    vm = micros(v)
+    # coarse quantizer over FULL vectors: reuse lloyd with one subspace
+    coarse = lloyd(vm[: min(train_n, n)], 1, 64, nlist, iters)[0]
+    lists_ = ((coarse * coarse).sum(1)[None, :] - 2 * (vm @ coarse.T)).argmin(1)
+    resid = vm - coarse[lists_]
+    cents = lloyd(resid[: min(train_n, n)], m, d, k, iters)
+    codes = np.zeros((n, m), dtype=np.int64)
+    for s in range(m):
+        x = resid[:, s * d : (s + 1) * d]
+        c = cents[s]
+        codes[:, s] = ((c * c).sum(1)[None, :] - 2 * (x @ c.T)).argmin(1)
+    sl = max(100, -(-n // sl_div))
+    hits, scanned = [], []
+    for a in range(5):
+        cd = vm[a] @ coarse.T
+        probe = np.argsort(-cd, kind="stable")[:nprobe]
+        cand = np.where(np.isin(lists_, probe))[0]
+        cand = cand[cand != a]
+        scanned.append(len(cand) / n)
+        tabs = [vm[a, s * d : (s + 1) * d] @ cents[s].T for s in range(m)]
+        adc = (coarse[lists_[cand]] @ vm[a]).astype(np.float64)
+        adc = adc + sum(tabs[s][codes[cand, s]] for s in range(m))
+        order = cand[np.argsort(-adc, kind="stable")[:sl]]
+        ex = v @ v[a]
+        ex[a] = -np.inf
+        top10 = set(np.argsort(-ex, kind="stable")[:10])
+        rr = order[np.argsort(-ex[order], kind="stable")[:10]]
+        hits.append(len(top10 & set(rr)) / 10)
+    return round(float(np.mean(hits)), 3), round(float(np.mean(scanned)), 3)
+
+
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     out = {}
@@ -96,10 +134,13 @@ def main() -> None:
         v = load_corpus(mult)
         untrained = recall(v, 4, 16, 16, 16, 0, sl_fixed=100, sl_div=None)
         trained = recall(v, 8, 8, 64, 512, 3, sl_fixed=None, sl_div=8)
+        ivf_r, ivf_scan = ivfpq_recall(v)
         out[f"x{mult}"] = {
             "vectors": len(v),
             "untrained_fixed_sl": untrained,
             "trained_proportional_sl": trained,
+            "ivfpq_nprobe6": ivf_r,
+            "ivfpq_scan_frac": ivf_scan,
         }
         print(json.dumps({"scale": f"x{mult}", **out[f"x{mult}"]}), flush=True)
     print(json.dumps({"metric": "pq_recall_curve", "base": "sf0.1", "curves": out}))
