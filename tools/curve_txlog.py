@@ -72,5 +72,61 @@ def main() -> None:
     print(json.dumps({"metric": "txlog_resolution_curve", "curves": out}))
 
 
+def cdc_curve(mults: list[int]) -> None:
+    """CDC cost vs TABLE size (--cdc mode): build a real txlog table of
+    N x sf0.1 orders rows, apply one CONSTANT-size ranged delete, and
+    time read_changes() against a full-table scan. The claim under
+    test (q_txlog_cdc): CDC reads O(changed files), never O(table) —
+    its wall time should stay flat while the table (and the full-scan
+    denominator) grows."""
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.session import get_spark
+    from benchmark_spark.sources.txlog import TxLogTable
+
+    spark = get_spark("txlog-cdc-curve", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "orders", assert_schema=False).select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = {}
+    for n in mults:
+        df = base
+        for r in range(1, n):  # replicas with shifted keys
+            df = df.unionByName(
+                base.select(
+                    (F.col("o_orderkey") + r * 10_000_000).alias("o_orderkey"),
+                    "o_totalprice",
+                )
+            )
+        d = tempfile.mkdtemp(prefix="txlog-cdc-")
+        try:
+            t = TxLogTable.create(spark, d, df, "o_orderkey", 8 * n, ("o_orderkey",))
+            # constant-size change regardless of table size
+            t.delete_where(spark, "o_orderkey", 1, 40_000, ("o_orderkey",))
+            t0 = time.perf_counter()
+            changed = t.read_changes(spark, 0, 1).count()
+            cdc_s = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            total = t.read(spark).count()
+            full_s = time.perf_counter() - t1
+            row = {
+                "mult": n,
+                "table_rows": total,
+                "changed_rows": changed,
+                "cdc_sec": round(cdc_s, 3),
+                "full_scan_sec": round(full_s, 3),
+            }
+            out[f"x{n}"] = row
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"metric": "txlog_cdc_curve", "base": "sf0.1", "curves": out}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--cdc" in sys.argv:
+        cdc_curve([int(a) for a in sys.argv[1:] if a != "--cdc"] or [1, 4, 10])
+    else:
+        main()
