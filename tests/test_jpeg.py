@@ -110,3 +110,27 @@ def test_quality_moves_size_and_error():
     e90 = _err(rgb, J.decode_jpeg(p90)[3]).mean()
     e20 = _err(rgb, J.decode_jpeg(p20)[3]).mean()
     assert e20 > e90
+
+
+def test_decoder_resolves_components_by_id_not_position():
+    """Generality beyond our own encoder: component ids are arbitrary
+    per T.81 — only the SOF<->SOS id linkage matters. Relabel the ids
+    1,2,3 -> 7,8,9 consistently in both headers; a decoder that
+    assumed fixed ids (or positional identity) would reject or
+    mis-map the stream, ours must reproduce the identical image."""
+    w, h = 16, 16
+    rgb = jpeg_rgb(9, w, h)
+    baseline = J.decode_jpeg(J.encode_jpeg(w, h, rgb, 90))[3]
+    payload = bytearray(J.encode_jpeg(w, h, rgb, 90))
+    sof = bytes(payload).find(b"\xff\xc0")
+    for c in range(3):
+        off = sof + 4 + 6 + 3 * c  # 2 marker + 2 len + 6 frame header
+        assert payload[off] == c + 1
+        payload[off] = c + 7
+    sos = bytes(payload).find(b"\xff\xda")
+    for c in range(3):
+        off = sos + 5 + 2 * c  # 2 marker + 2 len + 1 ns
+        assert payload[off] == c + 1
+        payload[off] = c + 7
+    out = J.decode_jpeg(bytes(payload))[3]
+    assert out == baseline
