@@ -873,3 +873,98 @@ def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Spectral audio features (round 9): a REAL frequency-domain kernel
+# over the WAV tier — the feature-extraction step an audio training
+# pipeline runs after decode.
+# ---------------------------------------------------------------------------
+
+_SPEC_N = 64  # samples per fixture clip (rfft bins 0..32)
+
+SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dom_bin", T.LongType()),
+        T.StructField("tone_isolated", T.LongType()),
+    ]
+)
+
+
+def synth_tone(doc_id: int) -> tuple[int, int, list[int]]:
+    """Pure integer-bin sine: frequency bin k = 1 + doc_id % 31 of an
+    N=64 clip, amplitude 8000 + doc_id % 1000. Because k is an EXACT
+    rfft bin, the spectrum is a single line (plus int16-rounding
+    noise ~0.5 LSB), so the dominant bin is analytically known — the
+    property that lets a SQL oracle check a Fourier transform without
+    computing one."""
+    import numpy as np
+
+    k = 1 + doc_id % 31
+    amp = 8000 + doc_id % 1000
+    i = np.arange(_SPEC_N)
+    samples = np.round(amp * np.sin(2 * np.pi * k * i / _SPEC_N)).astype("int64")
+    return 8000, 1, [int(x) for x in samples]
+
+
+@register(
+    "q_audio_spectrum",
+    oracle="""
+        SELECT doc_id,
+               CAST(64 AS BIGINT) AS n_samples,
+               CAST(1 + doc_id % 31 AS BIGINT) AS dom_bin,
+               CAST(1 AS BIGINT) AS tone_isolated
+        FROM documents
+    """,
+    doc=(
+        "Spectral audio features over the WAV tier (a REAL Fourier "
+        "kernel, numpy rfft inside mapInPandas): the fixture synthesizes "
+        "a pure sine at an EXACT rfft bin (k = 1 + doc_id % 31 of a "
+        "64-sample clip), encodes it to genuine RIFF/WAVE PCM-16 bytes, "
+        "and a second mapInPandas decodes the chunk list and computes the "
+        "magnitude spectrum. Because the tone sits on an exact bin, the "
+        "dominant non-DC bin is analytically k and the SQL oracle can "
+        "check a Fourier transform without computing one; tone_isolated "
+        "verifies in-plan that the dominant line carries >= 10x the "
+        "magnitude of any other bin (int16 rounding contributes ~0.5 LSB "
+        "of broadband noise against an 8000+ amplitude line). At scale "
+        "this is the per-clip feature-extraction map stage of an audio "
+        "pipeline: payloads never cross a shuffle, Arrow-batched, "
+        "embarrassingly parallel."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, ch, samples = synth_tone(int(doc_id))
+                payloads.append(codecs.encode_wav(rate, ch, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    audio = ids.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+    def spectrum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "dom_bin": [], "tone_isolated": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = codecs.decode_wav(bytes(payload))
+                x = np.asarray(samples, dtype=np.float64)
+                mag = np.abs(np.fft.rfft(x))
+                dom = int(np.argmax(mag[1:]) + 1)  # exclude DC
+                others = np.delete(mag, [0, dom])
+                isolated = int(mag[dom] >= 10 * (others.max() if len(others) else 0.0))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(samples))
+                rows["dom_bin"].append(dom)
+                rows["tone_isolated"].append(isolated)
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(spectrum, schema=SPECTRUM_SCHEMA)
