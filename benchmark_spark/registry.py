@@ -84,11 +84,11 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-9 re-cut (VERDICT r8 #6): continue the staleness rotation.
-    # 7 never-checked rows new in r9 (the Lloyd-trained PQ and IVFPQ
-    # tiers, the txlog vacuum/restore/CDC queries, the baseline-JPEG
-    # tier, the spectral-audio kernel), then the
+    # 8 never-checked rows new in r9 (the Lloyd-trained PQ and IVFPQ
+    # tiers, the txlog vacuum/restore/CDC/stream-source queries, the
+    # baseline-JPEG tier, the spectral-audio kernel), then the
     # ENTIRE remaining r4-evidence tier (37 rows — the samplers/corpus/
-    # graph/variant remainder the r8 cut deferred), then the 6 oldest r5 rows
+    # graph/variant remainder the r8 cut deferred), then the 5 oldest r5 rows
     # (headline streaming + the heavy dedup/ANN tiers, including the
     # round-9-rewritten q_winnow_fingerprint). Everything displaced is
     # driver-green in r5-r8 and stays checked by the local full gate
@@ -97,6 +97,7 @@ _PRIORITY = (
     # never driver-checked (new in round 9)
     "q_knn_pq_trained", "q_txlog_vacuum", "q_decode_jpeg",
     "q_txlog_restore", "q_txlog_cdc", "q_knn_ivfpq", "q_audio_spectrum",
+    "q_txlog_stream_source",
     # latest driver evidence r4 (entire remaining tier)
     "q2_agg_highcard", "q2_agg_wide", "q3_join_wide", "q_anti",
     "q_bigram_counts", "q_bm25", "q_bucket_join", "q_collect",
@@ -112,7 +113,7 @@ _PRIORITY = (
     # latest driver evidence r5 — headline streaming first, then the
     # scale-critical dedup/ANN/windows rows
     "q7_tumble", "q7_tumble_stream", "q_chargram_minhash",
-    "q_ann_recall", "q_cosine_range", "q_hybrid_search",
+    "q_ann_recall", "q_cosine_range",
 )
 
 

@@ -1187,3 +1187,168 @@ def q_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fp).alias("fp"),
         dsum(F.col("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming OUT of the governed table (round 9): the Delta-streaming-
+# source analog, completing the loop with q_txlog_stream_ingest
+# (streams INTO the table). Offsets are LOG VERSIONS; each micro-batch
+# reads the files ADDED by the next commits.
+# ---------------------------------------------------------------------------
+
+_STREAM_SRC_VERSIONS_PER_BATCH = 2  # cap -> multiple offset hand-offs
+
+
+class TxLogStreamReader:
+    """SimpleDataSourceStreamReader over a txlog commit log: offset =
+    last-consumed version; read() returns the rows of files ADDED in
+    the next (up to cap) commits. Append-only contract: a remove
+    action in the consumed range raises, exactly like Delta's
+    streaming source refuses non-append commits without
+    ignoreChanges. The simple API materializes through the driver —
+    right for a tailing consumer; a bulk backfill would implement the
+    partitioned streamReader where each added FILE is an
+    InputPartition (the files are the natural splits)."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def read(self, start):
+        import pyarrow.parquet as _pq
+
+        t = TxLogTable(self.path)
+        pending = [v for v in t.versions() if v > start["version"]]
+        batch = pending[:_STREAM_SRC_VERSIONS_PER_BATCH]
+        if not batch:
+            return iter([]), dict(start)
+        rows: list[tuple] = []
+        for v in batch:
+            commit = t._read_commit(v)
+            for a in commit["actions"]:
+                if "remove" in a:
+                    raise ValueError(
+                        f"append-only stream saw a remove at v{v}; "
+                        "reprocess from a snapshot instead"
+                    )
+                if "add" in a:
+                    tbl = _pq.read_table(os.path.join(self.path, a["add"]))
+                    rows.extend(zip(*[tbl.column(c).to_pylist() for c in tbl.column_names]))
+        return iter(rows), {"version": batch[-1]}
+
+
+def _txlog_stream_source_cls():
+    """Build the DataSource subclass lazily (the datasource module is
+    a Spark-4 surface; keep import at call time like pysource.py)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    # TxLogStreamReader FIRST in the MRO: the base class's default
+    # initialOffset/read raise NotImplementedError and would shadow ours
+    class _Reader(TxLogStreamReader, SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            TxLogStreamReader.__init__(self, options)
+
+    class TxLogStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlogstream"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return TxLogStreamSource
+
+
+@register(
+    "q_txlog_stream_source",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc=(
+        "STREAMING SOURCE over the transaction log (the Delta streaming-"
+        "source analog; the read-side twin of q_txlog_stream_ingest): a "
+        "custom Python DataSource whose offsets are LOG VERSIONS — each "
+        "micro-batch consumes the files added by the next commits (capped "
+        "at 2 versions/batch so the 5-commit fixture exercises multiple "
+        "offset hand-offs through the checkpoint), and a remove action in "
+        "the consumed range raises (append-only contract, as Delta's "
+        "source without ignoreChanges). The fixture appends orders "
+        "(o_orderkey % 10 = 0) in five key-sliced commits, then the "
+        "stream drains the log into a complete-mode rollup that must "
+        "equal the plain batch aggregate — the md5 key fingerprint breaks "
+        "if any commit is lost, duplicated, or torn across offsets. At "
+        "scale the files added per commit are the natural InputPartitions "
+        "of the partitioned API; the log is the offset ledger either way."
+    ),
+    tags=("source", "extension", "streaming", "txlog"),
+)
+def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from benchmark_spark.streaming.windows import scratch_dir
+
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    expected = base.count()
+    path = _fresh_table_dir("streamsrc")
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+    for i in range(5):  # five append commits = five offset steps
+        t.append(spark, base.filter(F.col("o_orderkey") % 50 == 10 * i), ("o_orderkey",))
+
+    spark.dataSource.register(_txlog_stream_source_cls())
+    agg = (
+        spark.readStream.format("txlogstream")
+        .option("path", path)
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+                ).cast("long")
+                % 1000003
+            ).alias("fp"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    sink = f"txlog_src_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        done = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                done = spark.table(sink).agg(F.sum("n")).first()[0]
+            except AnalysisException:
+                done = None
+            if done == expected:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(f"txlog stream incomplete: {done}/{expected} rows")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink)

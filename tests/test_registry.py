@@ -20,8 +20,8 @@ from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
 ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8)
-# The round-9 cut takes the 7 never-checked r9 rows, the ENTIRE
-# remaining r4-latest tier (37 rows), and the 6 oldest r5 rows, so
+# The round-9 cut takes the 8 never-checked r9 rows, the ENTIRE
+# remaining r4-latest tier (37 rows), and the 5 oldest r5 rows, so
 # nothing in the window may have evidence newer than this.
 WINDOW_MAX_LATEST_GREEN = 5  # round-9 cut: r4 tier fully in, r5 tier partially
 

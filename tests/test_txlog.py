@@ -435,3 +435,45 @@ def test_cdc_rewrite_carryover_rows_cancel(spark, table):
     assert by_type["insert"]["k"] == 300 and by_type["insert"]["v"] == 999_999
     with pytest.raises(ValueError):
         table.read_changes(spark, 2, 2)  # no file changes in an empty span
+
+
+def test_stream_source_offsets_and_append_only_contract(spark, table, tmp_path):
+    """The txlog streaming source: version-capped batches produce
+    multiple offset hand-offs (5 commits / cap 2 -> 3 reads), the
+    union of batches equals the log's content exactly, and a remove
+    action in the consumed range raises (append-only contract)."""
+    from benchmark_spark.sources.txlog import (
+        TxLogStreamReader,
+        _STREAM_SRC_VERSIONS_PER_BATCH,
+    )
+
+    # table fixture has 1 create commit (4 adds); add 4 more appends
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(2000 + 10 * i, 2010 + 10 * i).select(
+                F.col("id").alias("k"), F.lit(i).alias("v")
+            ),
+            ("k",),
+        )
+    r = TxLogStreamReader({"path": table.path})
+    offset = r.initialOffset()
+    seen, hops = [], 0
+    while True:
+        rows, nxt = r.read(offset)
+        rows = list(rows)
+        if not rows and nxt == offset:
+            break
+        hops += 1
+        seen.extend(rows)
+        offset = nxt
+    assert hops == -(-5 // _STREAM_SRC_VERSIONS_PER_BATCH)  # 3 hand-offs
+    assert len(seen) == 1000 + 40
+    assert offset == {"version": 4}
+    # a delete (remove actions) poisons the next read
+    table.delete_where(spark, "k", 0, 99, ("k",))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        rows, _ = r.read(offset)
+        list(rows)
