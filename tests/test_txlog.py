@@ -477,3 +477,61 @@ def test_stream_source_offsets_and_append_only_contract(spark, table, tmp_path):
     with _pytest.raises(ValueError, match="append-only"):
         rows, _ = r.read(offset)
         list(rows)
+
+
+def test_stream_source_read_between_offsets_replays_committed_batch(
+    spark, table, tmp_path
+):
+    """Failure recovery (ADVICE r9): a restarted stream replaying a
+    committed batch via readBetweenOffsets(start, end) gets EXACTLY
+    the rows the original read() returned for that offset range —
+    and only those (neither earlier nor later commits leak in)."""
+    from benchmark_spark.sources.txlog import TxLogStreamReader
+
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(2000 + 10 * i, 2010 + 10 * i).select(
+                F.col("id").alias("k"), F.lit(i).alias("v")
+            ),
+            ("k",),
+        )
+    r = TxLogStreamReader({"path": table.path})
+    # drive read() forward recording each (start, end, rows) hop
+    hops = []
+    offset = r.initialOffset()
+    while True:
+        rows, nxt = r.read(offset)
+        rows = sorted(rows)
+        if not rows and nxt == offset:
+            break
+        hops.append((offset, nxt, rows))
+        offset = nxt
+    assert len(hops) == 3
+    # replay every hop through the recovery path
+    for start, end, rows in hops:
+        replay = sorted(r.readBetweenOffsets(start, end))
+        assert replay == rows
+    # a mid-log range replays only its own commits
+    mid = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert len(mid) == 20  # appends v1 and v2, 10 rows each
+    assert all(2000 <= k < 2020 for k, _v in mid)
+
+
+def test_vacuum_sweeps_aged_stage_dirs_but_not_fresh_ones(spark, table):
+    """A crashed writer's leaked .stage-* dir is swept by vacuum once
+    it ages past the grace window, is spared inside it, and never
+    pollutes the returned data-file ledger (ADVICE r9)."""
+    stale = os.path.join(table.path, ".stage-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-x.parquet"), "w") as f:
+        f.write("junk")
+    old = 1_000_000.0
+    os.utime(stale, (old, old))
+    fresh = os.path.join(table.path, ".stage-cafebabe")
+    os.makedirs(fresh)
+    removed = table.vacuum(retain_versions=0, grace_secs=3600)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the grace window: spared
+    assert all(f.endswith(".parquet") for f in removed)  # ledger is data-only
+    os.rmdir(fresh)
