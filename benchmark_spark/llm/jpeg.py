@@ -182,10 +182,20 @@ class _BitWriter:
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (B.1.1.5) — the state a
+        restart marker requires before it is emitted RAW (markers are
+        never byte-stuffed)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, byte2: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -220,6 +230,24 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self, m: int) -> None:
+        """Resync at a restart boundary (E.2.4 / B.2.8): discard the
+        pad bits buffered past the previous MCU, then consume the RAW
+        (unstuffed) RSTm marker — which must be the NEXT bytes, and
+        must carry the expected modulo-8 index (a skew means a torn or
+        reordered entropy segment)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG: missing restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (m & 7):
+            raise ValueError(
+                f"expected RST{m & 7} at entropy offset {self.pos}, "
+                f"found {b0:02x}{b1:02x}"
+            )
+        self.pos += 2
+
 
 def _size_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -241,18 +269,69 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes:
-    """Baseline sequential 4:4:4 JFIF encoder."""
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JFIF encoder.
+
+    ``subsampling``: "4:4:4" (MCU = 1 block per component) or "4:2:0"
+    (MCU = 2x2 luma blocks + 1 Cb + 1 Cr; chroma is 2x2 box-averaged —
+    A.1.1 leaves the downsampling filter to the encoder). With
+    ``restart_interval`` > 0 a DRI segment is written and an RSTm
+    marker (m cycling 0..7) is emitted every that-many MCUs, with the
+    bit stream byte-aligned and the DC predictors reset (E.1.4) — the
+    hooks a parallel decoder needs to split the entropy segment.
+    """
     if len(rgb) != 3 * width * height:
         raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "4:2:0"
     qt_l, qt_c = _scaled_tables(quality)
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
     ycc = _rgb_to_ycbcr(arr)
-    # pad to 8x8 multiples by edge replication
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = np.pad(
-        ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
-    )
+
+    # batched transform (round 9): ALL blocks DCT/quantize/zigzag in
+    # three numpy ops instead of a per-block loop — blocks are arranged
+    # (n_mcus, blocks_per_mcu, 8, 8) in MCU scan order; only the
+    # inherently sequential Huffman bit stream stays a Python loop,
+    # and it walks nonzeros, not all 64
+    if sub420:
+        # pad to 16x16 MCU multiples by edge replication
+        mcux, mcuy = -(-width // 16), -(-height // 16)
+        padded = np.pad(
+            ycc, ((0, mcuy * 16 - height), (0, mcux * 16 - width), (0, 0)), mode="edge"
+        )
+        yb = (
+            padded[..., 0]
+            .reshape(mcuy, 2, 8, mcux, 2, 8)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(-1, 4, 8, 8)
+        )
+        # 2x2 box average, then (mcuy*8, mcux*8) -> one block per MCU
+        sub = padded[..., 1:].reshape(mcuy * 8, 2, mcux * 8, 2, 2).mean(axis=(1, 3))
+        cb_cr = sub.reshape(mcuy, 8, mcux, 8, 2).transpose(0, 2, 4, 1, 3)
+        blocks = np.concatenate(
+            [yb, cb_cr[:, :, 0].reshape(-1, 1, 8, 8), cb_cr[:, :, 1].reshape(-1, 1, 8, 8)],
+            axis=1,
+        )
+        comp_of = [0, 0, 0, 0, 1, 2]
+        y_sampling = 0x22
+    else:
+        bw, bh = -(-width // 8), -(-height // 8)
+        padded = np.pad(
+            ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
+        )
+        blocks = (
+            padded.reshape(bh, 8, bw, 8, 3).transpose(0, 2, 4, 1, 3).reshape(-1, 3, 8, 8)
+        )
+        comp_of = [0, 1, 2]
+        y_sampling = 0x11
 
     enc_codes = {
         "dcl": _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -260,53 +339,50 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
         "dcc": _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
         "acc": _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
     }
-    # batched transform (round 9): ALL blocks DCT/quantize/zigzag in
-    # three numpy ops instead of a per-block loop — block order is the
-    # MCU scan order (by, bx, comp), which the reshape/transpose
-    # produces directly; only the inherently sequential Huffman bit
-    # stream stays a Python loop, and it walks nonzeros, not all 64
-    blocks = (
-        padded.reshape(bh, 8, bw, 8, 3).transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8)
-        - 128.0
-    )
-    coefs = _C @ blocks @ _C.T
-    n_blocks = len(blocks)
-    qt_all = np.stack([qt_l, qt_c, qt_c])[np.arange(n_blocks) % 3]
+    n_mcus, per_mcu = blocks.shape[0], blocks.shape[1]
+    flat = blocks.reshape(-1, 8, 8) - 128.0
+    coefs = _C @ flat @ _C.T
+    qt_all = np.stack([qt_l, qt_c, qt_c])[np.array(comp_of * n_mcus)]
     zz_all = np.round(coefs / qt_all).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
 
     w = _BitWriter()
     prev_dc = [0, 0, 0]
-    for n in range(n_blocks):
-        comp = n % 3
-        zz = zz_all[n]
-        dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
-        ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
-        # DC: category + offset bits of the difference
-        diff = int(zz[0]) - prev_dc[comp]
-        prev_dc[comp] = int(zz[0])
-        s = _size_cat(diff)
-        code, length = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        # AC: (run, size) with ZRL/EOB escapes, walking nonzeros only
-        last = 0  # index of the previous nonzero (or DC)
-        for k in np.nonzero(zz[1:])[0]:
-            k = int(k) + 1
-            run = k - last - 1
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            w.emit_marker(0xD0 + (rst & 7))
+            rst += 1
+            prev_dc = [0, 0, 0]
+        for j, comp in enumerate(comp_of):
+            zz = zz_all[m * per_mcu + j]
+            dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
+            ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+            # DC: category + offset bits of the difference
+            diff = int(zz[0]) - prev_dc[comp]
+            prev_dc[comp] = int(zz[0])
+            s = _size_cat(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            # AC: (run, size) with ZRL/EOB escapes, walking nonzeros only
+            last = 0  # index of the previous nonzero (or DC)
+            for k in np.nonzero(zz[1:])[0]:
+                k = int(k) + 1
+                run = k - last - 1
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                v = int(zz[k])
+                s = _size_cat(v)
+                code, length = ac_codes[(run << 4) | s]
                 w.write(code, length)
-                run -= 16
-            v = int(zz[k])
-            s = _size_cat(v)
-            code, length = ac_codes[(run << 4) | s]
-            w.write(code, length)
-            w.write(v if v > 0 else v + (1 << s) - 1, s)
-            last = k
-        if last != 63:
-            code, length = ac_codes[0x00]  # EOB
-            w.write(code, length)
+                w.write(v if v > 0 else v + (1 << s) - 1, s)
+                last = k
+            if last != 63:
+                code, length = ac_codes[0x00]  # EOB
+                w.write(code, length)
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -321,10 +397,11 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + app0
@@ -335,6 +412,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
         + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
         + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + dri
         + sos
         + entropy
         + b"\xff\xd9"
@@ -369,18 +447,23 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
-    """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS from the
-    stream, Huffman-decodes, dequantizes, inverse-DCTs, converts to RGB.
-    Returns ("jpeg", width, height, top-down RGB bytes)."""
+    """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS/DRI from
+    the stream, Huffman-decodes with restart-marker resync,
+    dequantizes, inverse-DCTs, upsamples subsampled chroma, converts
+    to RGB. Handles any SOF-declared sampling-factor grid (h, v in
+    1..4 per A.1.1 — 4:4:4, 4:2:0, 4:2:2, ...); MCU geometry and
+    per-component dimensions follow A.2.4. Returns ("jpeg", width,
+    height, top-down RGB bytes)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_spec: list[tuple[int, int]] = []  # (component id, quant table id)
+    comp_spec: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     entropy_start = -1
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -409,22 +492,25 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
                 vals = list(body[b + 17 : b + 17 + n])
                 hts[(tc, th)] = _build_decode_table(bits, vals)
                 b += 17 + n
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp != 3:
                 raise ValueError("unsupported SOF0 (need 8-bit, 3 components)")
             for c in range(ncomp):  # component specs start after the
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]  # 6-byte frame header
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
-                comp_spec.append((cid, tq))
+                h, v = sampling >> 4, sampling & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"illegal sampling factors {h}x{v}")
+                comp_spec.append((cid, h, v, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("not a baseline-sequential JPEG")
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             if ns != 3:
                 raise ValueError("non-interleaved scans not supported")
-            ids = {cid: i for i, (cid, _tq) in enumerate(comp_spec)}
+            ids = {cid: i for i, (cid, *_rest) in enumerate(comp_spec)}
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((ids[cid], tables >> 4, tables & 0xF))
@@ -437,53 +523,73 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
     if end < 0:
         raise ValueError("JPEG missing EOI")
 
+    hmax = max(h for _cid, h, _v, _tq in comp_spec)
+    vmax = max(v for _cid, _h, v, _tq in comp_spec)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    # per-component block-grid dims: mcux*h across, mcuy*v down (A.2.4)
+    grid = {c: (mcuy * v, mcux * h) for c, (_cid, h, v, _tq) in enumerate(comp_spec)}
+    zz_planes = {
+        c: np.zeros((gh * gw, 64), dtype=np.int64) for c, (gh, gw) in grid.items()
+    }
+
     r = _BitReader(payload[entropy_start:end])
-    bw, bh = -(-width // 8), -(-height // 8)
-    n_blocks = bh * bw * len(scan)
-    # entropy pass (inherently sequential bits) fills one coefficient
-    # matrix; dequant + IDCT + block assembly then run BATCHED (round 9)
-    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
+    # entropy pass (inherently sequential bits) fills per-component
+    # coefficient matrices; dequant + IDCT + assembly run BATCHED below
     prev_dc = [0, 0, 0]
-    n = 0
-    for _by in range(bh):
-        for _bx in range(bw):
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m and m % restart_interval == 0:
+                r.expect_restart(rst)  # byte-align + consume RSTm
+                rst += 1
+                prev_dc = [0, 0, 0]  # DC prediction resets (E.2.4)
             for comp, dc_t, ac_t in scan:
-                zz = zz_all[n]
-                n += 1
-                s = _huff_decode(r, hts[(0, dc_t)])
-                diff = _extend(r.read_bits(s), s) if s else 0
-                prev_dc[comp] += diff
-                zz[0] = prev_dc[comp]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(r, hts[(1, ac_t)])
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(r.read_bits(size), size)
-                    k += 1
-    nat = np.zeros((n_blocks, 64), dtype=np.int64)
-    nat[:, ZIGZAG] = zz_all
-    qt_all = np.stack([qts[comp_spec[c][1]] for c, _dc, _ac in scan])[
-        np.arange(n_blocks) % len(scan)
-    ]
-    coefs = nat.reshape(-1, 8, 8) * qt_all
-    blocks = _C.T @ coefs @ _C + 128.0
-    # inverse of the encoder's (by, bx, comp, 8, 8) scan layout, then
-    # reorder channels from SOS scan order to SOF component order
-    ycc = (
-        blocks.reshape(bh, bw, len(scan), 8, 8)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(bh * 8, bw * 8, len(scan))[:height, :width]
-    )
-    chan = [0, 0, 0]
-    for pos, (comp, _dc, _ac) in enumerate(scan):
-        chan[comp] = pos
-    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc[..., chan])), 0, 255).astype(np.uint8)
+                _cid, h, v, _tq = comp_spec[comp]
+                _gh, gw = grid[comp]
+                for dv in range(v):
+                    for dh in range(h):
+                        zz = zz_planes[comp][(my * v + dv) * gw + (mx * h + dh)]
+                        s = _huff_decode(r, hts[(0, dc_t)])
+                        diff = _extend(r.read_bits(s), s) if s else 0
+                        prev_dc[comp] += diff
+                        zz[0] = prev_dc[comp]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, hts[(1, ac_t)])
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(r.read_bits(size), size)
+                            k += 1
+
+    # batched per-component reconstruction, then nearest-neighbor
+    # upsample to the luma grid (the upsampling filter is decoder's
+    # choice per A.1.1; nearest keeps the arithmetic integer-exact)
+    channels = []
+    for c, (_cid, h, v, tq) in enumerate(comp_spec):
+        gh, gw = grid[c]
+        nat = np.zeros((gh * gw, 64), dtype=np.int64)
+        nat[:, ZIGZAG] = zz_planes[c]
+        coefs = nat.reshape(-1, 8, 8) * qts[tq]
+        blocks = _C.T @ coefs @ _C + 128.0
+        plane = (
+            blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        # crop to the component's true dims, upsample, crop to frame
+        cw, ch = -(-width * h // hmax), -(-height * v // vmax)
+        plane = plane[:ch, :cw]
+        if h != hmax or v != vmax:
+            if hmax % h or vmax % v:
+                raise ValueError(f"non-integer sampling ratio {h}x{v} vs {hmax}x{vmax}")
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        channels.append(plane[:height, :width])
+    ycc = np.stack(channels, axis=-1)
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
     return "jpeg", width, height, rgb.tobytes()

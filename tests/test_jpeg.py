@@ -134,3 +134,78 @@ def test_decoder_resolves_components_by_id_not_position():
         payload[off] = c + 7
     out = J.decode_jpeg(bytes(payload))[3]
     assert out == baseline
+
+
+EXPECTED_444_SHA = "f75435716d99cd01c86156d2fc287878c302a205c85dd319d6e87daa15cfa9fb"
+
+
+def test_420_roundtrip_within_tolerance_and_edge_mcus():
+    """4:2:0 with restart markers: odd (non-multiple-of-16) dims force
+    edge MCUs whose padding must not bleed; reconstruction of the
+    smooth fixture patterns stays inside the registered bounds."""
+    from benchmark_spark.llm.multimodal import (
+        _JPEG420_MAX_ERR,
+        _JPEG420_MEAN_CENTI,
+        jpeg_rgb,
+    )
+
+    for d, (w, h) in [(3, (17, 13)), (11, (24, 22)), (40, (16, 16)), (5, (33, 18))]:
+        src = jpeg_rgb(d, w, h)
+        enc = J.encode_jpeg(w, h, src, 90, subsampling="4:2:0", restart_interval=2)
+        fmt, dw, dh, out = J.decode_jpeg(enc)
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(np.int64)
+            - np.frombuffer(src, np.uint8).astype(np.int64)
+        )
+        assert err.max() <= _JPEG420_MAX_ERR
+        assert err.mean() * 100 <= _JPEG420_MEAN_CENTI
+
+
+def test_420_restart_count_and_dc_reset():
+    """The entropy segment carries exactly (MCUs-1)//interval RSTm
+    markers with m cycling 0..7, and the stream decodes identically
+    with interval 1 and no interval (predictor reset is lossless)."""
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    w, h = 64, 33  # 4 x 3 MCUs = 12
+    src = jpeg_rgb(21, w, h)
+    enc = J.encode_jpeg(w, h, src, 90, subsampling="4:2:0", restart_interval=2)
+    import struct
+
+    sos = enc.index(b"\xff\xda")
+    (seg_len,) = struct.unpack_from(">H", enc, sos + 2)
+    entropy = enc[sos + 2 + seg_len : enc.rfind(b"\xff\xd9")]
+    rsts = [i & 7 for i in range(8) for _ in range(entropy.count(bytes([0xFF, 0xD0 + i])))]
+    assert len(rsts) == (12 - 1) // 2  # 5 markers
+    no_rst = J.decode_jpeg(J.encode_jpeg(w, h, src, 90, subsampling="4:2:0"))[3]
+    every = J.decode_jpeg(
+        J.encode_jpeg(w, h, src, 90, subsampling="4:2:0", restart_interval=1)
+    )[3]
+    assert no_rst == every  # restarts change framing, not pixels
+
+
+def test_420_resync_rejects_skewed_restart_index():
+    """A decoder that did not track the modulo-8 restart index would
+    silently mis-splice a torn entropy segment; ours raises."""
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    enc = J.encode_jpeg(17, 13, jpeg_rgb(3, 17, 13), 90,
+                        subsampling="4:2:0", restart_interval=1)
+    bad = enc.replace(b"\xff\xd0", b"\xff\xd3")
+    assert bad != enc
+    with pytest.raises(ValueError, match="expected RST"):
+        J.decode_jpeg(bad)
+
+
+def test_444_bytes_unchanged_by_420_support():
+    """The widened encoder's default 4:4:4 output is byte-stable
+    (regression pin for the subsampling refactor): golden prefix of
+    the d=7 24x22 fixture, captured before the refactor."""
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    enc = J.encode_jpeg(24, 22, jpeg_rgb(7, 24, 22), 90)
+    import hashlib
+
+    assert hashlib.sha256(enc).hexdigest() == EXPECTED_444_SHA
+
