@@ -138,6 +138,9 @@ class TxLogTable:
         """
         os.makedirs(self.log_dir, exist_ok=True)
         removes = [a["remove"] for a in actions if "remove" in a]
+        # a DV commit mutates its target file's live row set, so it
+        # conflicts with a concurrent rewrite exactly like a remove
+        removes += [a["dv"] for a in actions if "dv" in a]
         for _ in range(retries):
             version = (self.versions() or [-1])[-1] + 1
             if removes:
@@ -204,9 +207,19 @@ class TxLogTable:
                 break
             for a in self._read_commit(v)["actions"]:
                 if "add" in a:
-                    live[a["add"]] = a
+                    live[a["add"]] = a  # a re-add resets any prior DV
                 elif "remove" in a:
                     live.pop(a["remove"], None)
+                elif "dv" in a:
+                    # deletion vector (merge-on-read point delete): the
+                    # file stays live; its row-position delete set grows
+                    # cumulatively. Stored on a COPY of the add dict so
+                    # earlier snapshots' resolved adds are not mutated.
+                    prev = live[a["dv"]]
+                    live[a["dv"]] = {
+                        **prev,
+                        "dv": sorted(set(prev.get("dv", ())) | set(a["positions"])),
+                    }
         return list(live.values())
 
     def checkpoint(self) -> int:
@@ -391,11 +404,45 @@ class TxLogTable:
         )
         return t
 
+    def _read_adds(self, spark: SparkSession, adds: list[dict]) -> DataFrame:
+        """Materialize the LIVE rows of a set of add actions: files
+        without a deletion vector are read plainly; files with one are
+        read with parquet row positions (_metadata.row_index) and the
+        deleted (file, position) pairs anti-joined away — merge-on-read,
+        broadcast because a DV is small by the format's contract (a
+        large delete takes the copy-on-write path instead)."""
+        plain = [a for a in adds if not a.get("dv")]
+        dvd = [a for a in adds if a.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                spark.read.parquet(*[os.path.join(self.path, a["add"]) for a in plain])
+            )
+        if dvd:
+            deleted = spark.createDataFrame(
+                [(a["add"], int(p)) for a in dvd for p in a["dv"]],
+                "_dv_file string, _dv_pos long",
+            )
+            with_pos = (
+                spark.read.parquet(*[os.path.join(self.path, a["add"]) for a in dvd])
+                .withColumn("_dv_file", F.col("_metadata.file_name"))
+                .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            )
+            parts.append(
+                with_pos.join(
+                    F.broadcast(deleted), ["_dv_file", "_dv_pos"], "left_anti"
+                ).drop("_dv_file", "_dv_pos")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        files = self.snapshot_files(version)
-        if not files:
+        adds = self.snapshot_adds(version)
+        if not adds:
             raise ValueError(f"empty table snapshot at version {version}")
-        return spark.read.parquet(*files)
+        return self._read_adds(spark, adds)
 
     def append(
         self, spark: SparkSession, df: DataFrame, stats_cols: tuple[str, ...]
@@ -423,9 +470,7 @@ class TxLogTable:
             # file list (VERDICT r8 audit).
             empty = spark.createDataFrame([], self.read(spark, version).schema)
             return empty, counters
-        df = spark.read.parquet(
-            *[os.path.join(self.path, a["add"]) for a in touched]
-        ).filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        df = self._read_adds(spark, touched).filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, counters
 
     def prune(self, col: str, lo, hi, version: int | None = None) -> tuple[list[dict], list[dict]]:
@@ -454,15 +499,70 @@ class TxLogTable:
         touched, kept = self.prune(col, lo, hi)
         actions: list[dict] = []
         if touched:
-            survivors = spark.read.parquet(
-                *[os.path.join(self.path, a["add"]) for a in touched]
-            ).filter((F.col(col) < lo) | (F.col(col) > hi))
+            survivors = self._read_adds(spark, touched).filter(
+                (F.col(col) < lo) | (F.col(col) > hi)
+            )
             actions += self._write_files(spark, [survivors], stats_cols)
             actions += [{"remove": a["add"]} for a in touched]
             self.commit(actions, op="delete")
         return {
             "files_total": len(touched) + len(kept),
             "files_rewritten": len(touched),
+        }
+
+    def delete_keys(
+        self, spark: SparkSession, col: str, keys: list, stats_cols: tuple[str, ...]
+    ) -> dict:
+        """Merge-on-read POINT delete (deletion vectors, VERDICT r9
+        #2): instead of rewriting every file that contains a matching
+        row (copy-on-write — O(touched file bytes) for a handful of
+        rows), record each file's deleted ROW POSITIONS as a `dv`
+        action. files_rewritten is 0 by construction; readers
+        anti-merge the positions (O(dv) extra work), and compaction
+        folds the vectors back into plain files. The classic
+        read/write amplification trade, chosen per-operation exactly
+        as in Delta/Iceberg v2.
+
+        `stats_cols` is unused (no files are written) but kept for
+        signature symmetry with delete_where — the copy-on-write twin."""
+        if not keys:
+            return {"files_total": len(self.snapshot_adds()), "files_rewritten": 0,
+                    "dv_files": 0}
+        touched, kept = self.prune(col, min(keys), max(keys))
+        actions: list[dict] = []
+        if touched:
+            df = (
+                spark.read.parquet(*[os.path.join(self.path, a["add"]) for a in touched])
+                .withColumn("_f", F.col("_metadata.file_name"))
+                .withColumn("_p", F.col("_metadata.row_index"))
+            )
+            already = [
+                (a["add"], int(p)) for a in touched if a.get("dv") for p in a["dv"]
+            ]
+            if already:  # rows a prior DV deleted cannot be re-deleted
+                df = df.join(
+                    F.broadcast(
+                        spark.createDataFrame(already, "_f string, _p long")
+                    ),
+                    ["_f", "_p"],
+                    "left_anti",
+                )
+            hits = (
+                df.filter(F.col(col).isin(list(keys)))
+                .groupBy("_f")
+                .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+                .collect()
+            )
+            actions = [
+                {"dv": row["_f"], "positions": [int(p) for p in row["_ps"]]}
+                for row in sorted(hits, key=lambda r: r["_f"])
+            ]
+        if actions:
+            self.commit(actions, op="delete_dv")
+        return {
+            "files_total": len(touched) + len(kept),
+            "files_rewritten": 0,
+            "dv_files": len(actions),
         }
 
     def merge(
@@ -481,7 +581,7 @@ class TxLogTable:
         touched, kept = self.prune(key, klo, khi)
         actions: list[dict] = []
         if touched:
-            base = spark.read.parquet(*[os.path.join(self.path, a["add"]) for a in touched])
+            base = self._read_adds(spark, touched)
             untouched_rows = base.join(F.broadcast(updates.select(key)), key, "left_anti")
             matched_keys = base.select(key).distinct()
             rewritten = untouched_rows.unionByName(
@@ -506,13 +606,33 @@ class TxLogTable:
         the removed and added file sets and cancel under exceptAll;
         what survives is exactly the logical change set. Returns the
         table columns plus `change_type` ('insert' | 'delete')."""
-        from_set = {a["add"] for a in self.snapshot_adds(v_from)}
-        to_set = {a["add"] for a in self.snapshot_adds(v_to)}
-        new_files = [os.path.join(self.path, n) for n in sorted(to_set - from_set)]
-        gone_files = [os.path.join(self.path, n) for n in sorted(from_set - to_set)]
-        new_rows = spark.read.parquet(*new_files) if new_files else None
-        old_rows = spark.read.parquet(*gone_files) if gone_files else None
-        if new_rows is None and old_rows is None:
+        from_adds = {a["add"]: a for a in self.snapshot_adds(v_from)}
+        to_adds = {a["add"]: a for a in self.snapshot_adds(v_to)}
+        new = [to_adds[n] for n in sorted(set(to_adds) - set(from_adds))]
+        gone = [from_adds[n] for n in sorted(set(from_adds) - set(to_adds))]
+        # deletion-vector growth on carried-over files = row-level
+        # deletes with NO file-set diff; read exactly those positions
+        dv_pairs = []
+        for n in sorted(set(from_adds) & set(to_adds)):
+            grown = set(to_adds[n].get("dv", ())) - set(from_adds[n].get("dv", ()))
+            dv_pairs += [(n, int(p)) for p in sorted(grown)]
+        # both sides read through their snapshot's dv state, so rows a
+        # fold-in compaction dropped do not masquerade as deletes
+        new_rows = self._read_adds(spark, new) if new else None
+        old_rows = self._read_adds(spark, gone) if gone else None
+        dv_rows = None
+        if dv_pairs:
+            pairs = spark.createDataFrame(dv_pairs, "_dv_file string, _dv_pos long")
+            dv_rows = (
+                spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in sorted({n for n, _ in dv_pairs})]
+                )
+                .withColumn("_dv_file", F.col("_metadata.file_name"))
+                .withColumn("_dv_pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(pairs), ["_dv_file", "_dv_pos"], "left_semi")
+                .drop("_dv_file", "_dv_pos")
+            )
+        if new_rows is None and old_rows is None and dv_rows is None:
             raise ValueError(f"no file changes between v{v_from} and v{v_to}")
         if old_rows is None:
             inserts, deletes = new_rows, None
@@ -521,6 +641,8 @@ class TxLogTable:
         else:
             inserts = new_rows.exceptAll(old_rows)
             deletes = old_rows.exceptAll(new_rows)
+        if dv_rows is not None:
+            deletes = dv_rows if deletes is None else deletes.unionByName(dv_rows)
         parts = []
         if inserts is not None:
             parts.append(inserts.withColumn("change_type", F.lit("insert")))
@@ -547,7 +669,10 @@ class TxLogTable:
         ]
         if missing:
             raise ValueError(f"cannot restore v{version}: files vacuumed: {missing}")
-        actions: list[dict] = [a for n, a in target.items() if n not in current]
+        # re-add any file that is missing OR whose deletion-vector state
+        # drifted (the emitted add carries the target's dv, and an add
+        # resets dv state on replay — so restoring past a DV undoes it)
+        actions: list[dict] = [a for n, a in target.items() if current.get(n) != a]
         actions += [{"remove": n} for n in current if n not in target]
         return self.commit(actions, op="restore", extra={"restored_version": version})
 
@@ -556,7 +681,7 @@ class TxLogTable:
     ) -> int:
         """Replace the live file set with target_files files, one commit."""
         adds = self.snapshot_adds()
-        df = spark.read.parquet(*[os.path.join(self.path, a["add"]) for a in adds])
+        df = self._read_adds(spark, adds)  # folds deletion vectors back in
         slices = [df.coalesce(1)] if target_files == 1 else [df.coalesce(target_files)]
         actions = self._write_files(spark, slices, stats_cols)
         actions += [{"remove": a["add"]} for a in adds]
@@ -1214,6 +1339,97 @@ def q_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(fp).alias("fp"),
         dsum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+_FP_SQL = """CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1000003) AS BIGINT)"""
+
+
+@register(
+    "q_txlog_delete_vectors",
+    oracle=f"""
+        WITH w AS (
+            SELECT min(o_orderkey) AS lo,
+                   (max(o_orderkey) - min(o_orderkey) + {_N_FILES}) // {_N_FILES}
+                       AS width
+            FROM orders
+        ),
+        hits AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 701 = 0),
+        surv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, {_FP_SQL} AS fp,
+                   {dsum_sql('o_totalprice', 2)} AS total
+            FROM orders WHERE o_orderkey % 701 <> 0
+        )
+        SELECT CAST(0 AS BIGINT) AS files_rewritten,
+               (SELECT CAST(COUNT(DISTINCT (o_orderkey - lo) // width) AS BIGINT)
+                FROM hits, w) AS dv_files,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_deleted,
+               n AS n_rows, fp, total,
+               CAST(0 AS BIGINT) AS post_compact_dvs,
+               n AS n_rows2, fp AS fp2, total AS total2
+        FROM surv
+    """,
+    doc=(
+        "DELETION VECTORS (merge-on-read point deletes, VERDICT r9 #2): "
+        "create the 8-file orders table, then point-delete the "
+        "o_orderkey % 701 keys via delete_keys — ONE commit of per-file "
+        "row-position `dv` actions, files_rewritten = 0 BY CONSTRUCTION "
+        "(hash-checked as data, vs delete_where's copy-on-write "
+        "rewrite). Readers anti-merge the (file, row_index) pairs "
+        "(parquet _metadata.row_index — the physical positions, not a "
+        "key re-derivation), so the post-delete rollup (count + md5 key "
+        "fingerprint + fixed-point revenue) matches the oracle's plain "
+        "survivor aggregate exactly; dv_files hash-checks WHICH bucket "
+        "files carry a vector against the oracle's replay of the "
+        "create-time bucket arithmetic. A compaction then FOLDS the "
+        "vectors back into copy-on-write files (post_compact_dvs = 0) "
+        "with the identical rollup — the read-amplification debt paid "
+        "off in one background commit. Time-travel to pre-DV snapshots, "
+        "cumulative DV merges, restore-past-DV, and DV-vs-rewrite "
+        "commit conflicts are pinned in tests/test_txlog.py."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _orders_base(spark, sf_dir)
+    path = _fresh_table_dir("dv")
+    t = TxLogTable.create(spark, path, base, "o_orderkey", _N_FILES, _STATS_COLS)
+    keys = [
+        r[0]
+        for r in base.filter(F.col("o_orderkey") % 701 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    c = t.delete_keys(spark, "o_orderkey", keys, _STATS_COLS)
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+
+    def rollup(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fp).alias("fp"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        ).first()
+
+    post = rollup(t.read(spark))
+    t.compact(spark, _STATS_COLS)
+    dvs_after = sum(1 for a in t.snapshot_adds() if a.get("dv"))
+    post2 = rollup(t.read(spark))
+    return spark.createDataFrame(
+        [
+            (
+                c["files_rewritten"], c["dv_files"], len(keys),
+                post["n"], post["fp"], post["total"],
+                dvs_after, post2["n"], post2["fp"], post2["total"],
+            )
+        ],
+        "files_rewritten long, dv_files long, n_deleted long, n_rows long, "
+        "fp long, total double, post_compact_dvs long, n_rows2 long, "
+        "fp2 long, total2 double",
     )
 
 

@@ -535,3 +535,79 @@ def test_vacuum_sweeps_aged_stage_dirs_but_not_fresh_ones(spark, table):
     assert os.path.exists(fresh)  # inside the grace window: spared
     assert all(f.endswith(".parquet") for f in removed)  # ledger is data-only
     os.rmdir(fresh)
+
+
+def test_delete_vectors_merge_on_read(spark, table):
+    """Point delete via deletion vectors: no file is rewritten, readers
+    anti-merge the positions, and a SECOND dv on the same file merges
+    cumulatively."""
+    before_files = {a["add"] for a in table.snapshot_adds()}
+    c = table.delete_keys(spark, "k", [5, 300, 301], ("k",))
+    assert c["files_rewritten"] == 0
+    assert c["dv_files"] == 2  # keys 5 and 300/301 live in two bucket files
+    assert {a["add"] for a in table.snapshot_adds()} == before_files
+    got = {r[0] for r in table.read(spark).select("k").collect()}
+    assert got == set(range(1000)) - {5, 300, 301}
+    # cumulative: a second dv commit on an already-vectored file
+    table.delete_keys(spark, "k", [6], ("k",))
+    got = {r[0] for r in table.read(spark).select("k").collect()}
+    assert got == set(range(1000)) - {5, 6, 300, 301}
+
+
+def test_delete_vectors_time_travel_resolves_pre_dv_snapshot(spark, table):
+    """Time travel to a version BEFORE the dv commit sees the deleted
+    rows (VERDICT r9 #2 'Done =' pin); the dv'd version does not."""
+    v0 = table.versions()[-1]
+    table.delete_keys(spark, "k", [42], ("k",))
+    assert table.read(spark, version=v0).filter(F.col("k") == 42).count() == 1
+    assert table.read(spark).filter(F.col("k") == 42).count() == 0
+
+
+def test_delete_vectors_fold_in_and_read_where(spark, table):
+    """read_where's pruned path honors dv state, and compaction folds
+    vectors into plain files (no dv survives, no row lost)."""
+    table.delete_keys(spark, "k", [10, 11], ("k",))
+    df, counters = table.read_where(spark, "k", 0, 20)
+    assert {r[0] for r in df.select("k").collect()} == set(range(21)) - {10, 11}
+    assert counters["files_scanned"] == 1
+    table.compact(spark, ("k",))
+    assert not any(a.get("dv") for a in table.snapshot_adds())
+    assert table.read(spark).count() == 998
+
+
+def test_delete_vectors_restore_resets_dv_state(spark, table):
+    """RESTORE to a pre-DV version brings the vectored rows back even
+    though the file SET never changed (dv-state drift is part of the
+    restore diff)."""
+    v0 = table.versions()[-1]
+    table.delete_keys(spark, "k", [7], ("k",))
+    assert table.read(spark).count() == 999
+    table.restore(v0)
+    assert table.read(spark).count() == 1000
+    # and the undone dv remains time-travelable below the restore
+    assert table.read(spark, version=v0 + 1).count() == 999
+
+
+def test_delete_vectors_conflict_with_concurrent_rewrite(spark, table):
+    """A dv commit whose target was concurrently rewritten must raise
+    ConcurrentModification (it would resurrect replaced rows
+    otherwise), exactly like a stale remove."""
+    from benchmark_spark.sources.txlog import ConcurrentModification
+
+    target = table.snapshot_adds()[0]["add"]
+    # dv action staged against the current snapshot...
+    stale = [{"dv": target, "positions": [0]}]
+    # ...but the file is rewritten (compacted away) first
+    table.compact(spark, ("k",))
+    with pytest.raises(ConcurrentModification):
+        table.commit(stale, op="delete_dv")
+
+
+def test_delete_vectors_cdc_emits_row_level_deletes(spark, table):
+    """CDC across a dv commit yields exactly the vectored rows as
+    'delete' with NO file-set diff."""
+    v0 = table.versions()[-1]
+    table.delete_keys(spark, "k", [17, 400], ("k",))
+    changes = table.read_changes(spark, v0, v0 + 1)
+    rows = {(r["k"], r["change_type"]) for r in changes.collect()}
+    assert rows == {(17, "delete"), (400, "delete")}
