@@ -404,13 +404,106 @@ class TxLogTable:
         )
         return t
 
+    @staticmethod
+    def create_partitioned(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        part_col: str,
+        split_col: str,
+        n_files: int,
+        stats_cols: tuple[str, ...],
+    ) -> "TxLogTable":
+        """Create a PARTITIONED table (VERDICT r9 #9): one distributed
+        partitionBy(part_col, bucket) write; each add action records
+        its partition value alongside the footer stats, so reads can
+        prune partition-first (exact, O(1) per file) and THEN by the
+        range zone map — the two bounds compose multiplicatively, like
+        Delta partition columns over per-file stats. The bucket width
+        derives from the GLOBAL split_col range (same arithmetic as
+        create), so the oracle can replay which (partition, bucket)
+        files exist. Partition values are strings (Hive dir layout);
+        the column is NOT stored in the data files and is re-injected
+        at read time from the log."""
+        t = TxLogTable(path)
+        os.makedirs(path, exist_ok=True)
+        lo, hi = df.agg(F.min(split_col), F.max(split_col)).first()
+        width = max(1, (int(hi) - int(lo) + n_files) // n_files)
+        stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+        bucket = F.expr(
+            f"(CAST(`{split_col}` AS BIGINT) - {int(lo)}L) DIV {int(width)}L"
+        )
+        actions = []
+        try:
+            (
+                df.withColumn("_bucket", bucket)
+                .repartition(F.col(part_col), F.col("_bucket"))
+                .write.partitionBy(part_col, "_bucket")
+                .mode("overwrite")
+                .parquet(stage)
+            )
+            for pdir in sorted(os.listdir(stage)):
+                if not pdir.startswith(f"{part_col}="):
+                    continue
+                pval = pdir.split("=", 1)[1]
+                for bdir in sorted(os.listdir(os.path.join(stage, pdir))):
+                    if not bdir.startswith("_bucket="):
+                        continue
+                    for part in sorted(os.listdir(os.path.join(stage, pdir, bdir))):
+                        if not part.endswith(".parquet") or part.startswith("."):
+                            continue
+                        name = f"part-{uuid.uuid4().hex}.parquet"
+                        os.replace(
+                            os.path.join(stage, pdir, bdir, part),
+                            os.path.join(path, name),
+                        )
+                        st = _file_stats(os.path.join(path, name), stats_cols)
+                        if st["rows"] == 0:
+                            os.unlink(os.path.join(path, name))
+                            continue
+                        actions.append(
+                            {"add": name, **st, "partition": {part_col: pval}}
+                        )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        t.commit(actions, op="create")
+        return t
+
+    @staticmethod
+    def _partition_match(a: dict, partition: dict | None) -> bool:
+        if not partition:
+            return True
+        have = a.get("partition") or {}
+        return all(have.get(k) == str(v) for k, v in partition.items())
+
     def _read_adds(self, spark: SparkSession, adds: list[dict]) -> DataFrame:
-        """Materialize the LIVE rows of a set of add actions: files
-        without a deletion vector are read plainly; files with one are
-        read with parquet row positions (_metadata.row_index) and the
-        deleted (file, position) pairs anti-joined away — merge-on-read,
-        broadcast because a DV is small by the format's contract (a
-        large delete takes the copy-on-write path instead)."""
+        """Materialize the LIVE rows of a set of add actions.
+
+        Partition handling (Delta/Hive-style): a partitioned file does
+        NOT store its partition column — the value lives in the add
+        action and is re-injected as a literal per partition group
+        (partition values are strings, as in Hive dir layouts).
+        Deletion vectors: files with one are read with parquet row
+        positions (_metadata.row_index) and the deleted (file,
+        position) pairs anti-joined away — merge-on-read, broadcast
+        because a DV is small by the format's contract (a large delete
+        takes the copy-on-write path instead)."""
+        groups: dict[tuple, list[dict]] = {}
+        for a in adds:
+            key = tuple(sorted((a.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(a)
+        parts = []
+        for pitems in sorted(groups):
+            df = self._read_group(spark, groups[pitems])
+            for c, v in pitems:
+                df = df.withColumn(c, F.lit(v))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_group(self, spark: SparkSession, adds: list[dict]) -> DataFrame:
         plain = [a for a in adds if not a.get("dv")]
         dvd = [a for a in adds if a.get("dv")]
         parts = []
@@ -450,16 +543,31 @@ class TxLogTable:
         return self.commit(self._write_files(spark, [df], stats_cols), op="append")
 
     def read_where(
-        self, spark: SparkSession, col: str, lo, hi, version: int | None = None
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+        partition: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Data-skipping read: open ONLY the files whose footer min/max
         overlap [lo, hi] (then apply the row filter for exactness) —
         the log doubles as a file-level zone map, so a selective
         predicate touches O(overlapping files) instead of O(table),
-        before parquet row-group pruning even starts. Returns the
-        DataFrame plus skip counters."""
-        touched, kept = self.prune(col, lo, hi, version)
+        before parquet row-group pruning even starts. With `partition`,
+        files are pruned partition-FIRST (exact dictionary match on
+        the logged partition values — VERDICT r9 #9), then the range
+        zone map applies to the survivors; the two bounds compose.
+        Returns the DataFrame plus skip counters."""
+        touched, kept = self.prune(col, lo, hi, version, partition=partition)
         counters = {"files_total": len(touched) + len(kept), "files_scanned": len(touched)}
+        if partition is not None:
+            adds = self.snapshot_adds(version)
+            counters["files_total"] = len(adds)
+            counters["files_in_partition"] = sum(
+                1 for a in adds if self._partition_match(a, partition)
+            )
         if not touched:
             # fully-pruned range: an EMPTY frame, but with the schema
             # derived exactly as read() derives it (ADVICE r9 — one
@@ -473,11 +581,23 @@ class TxLogTable:
         df = self._read_adds(spark, touched).filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, counters
 
-    def prune(self, col: str, lo, hi, version: int | None = None) -> tuple[list[dict], list[dict]]:
+    def prune(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+        partition: dict | None = None,
+    ) -> tuple[list[dict], list[dict]]:
         """Split live files into (overlapping, disjoint) against
-        [lo, hi] using the footer stats recorded in the log."""
+        [lo, hi] using the footer stats recorded in the log; with
+        `partition`, files outside the partition are disjoint by
+        definition (checked FIRST — no stats needed)."""
         touched, kept = [], []
         for a in self.snapshot_adds(version):
+            if not self._partition_match(a, partition):
+                kept.append(a)
+                continue
             s = a["cols"].get(col)
             if s is None or (s["min"] <= hi and s["max"] >= lo):
                 touched.append(a)
@@ -492,17 +612,34 @@ class TxLogTable:
         lo,
         hi,
         stats_cols: tuple[str, ...],
+        partition: dict | None = None,
     ) -> dict:
         """Copy-on-write ranged delete: rewrite ONLY footer-overlapping
-        files, one commit. Returns pruning counters (hash-checked as
-        data by q_txlog_prune_stats)."""
-        touched, kept = self.prune(col, lo, hi)
+        files, one commit. With `partition`, the partition filter
+        prunes FIRST (and bounds the delete to that partition); the
+        rewritten survivors keep their partition attribution. Returns
+        pruning counters (hash-checked as data by
+        q_txlog_prune_stats)."""
+        touched, kept = self.prune(col, lo, hi, partition=partition)
         actions: list[dict] = []
         if touched:
-            survivors = self._read_adds(spark, touched).filter(
-                (F.col(col) < lo) | (F.col(col) > hi)
-            )
-            actions += self._write_files(spark, [survivors], stats_cols)
+            # rewrite per partition group so survivors KEEP their
+            # partition attribution (the column lives in the log, not
+            # the data file — injected at read, dropped before write)
+            groups: dict[tuple, list[dict]] = {}
+            for a in touched:
+                key = tuple(sorted((a.get("partition") or {}).items()))
+                groups.setdefault(key, []).append(a)
+            for pitems in sorted(groups):
+                survivors = self._read_adds(spark, groups[pitems]).filter(
+                    (F.col(col) < lo) | (F.col(col) > hi)
+                )
+                if pitems:
+                    survivors = survivors.drop(*[k for k, _v in pitems])
+                writes = self._write_files(spark, [survivors], stats_cols)
+                if pitems:
+                    writes = [{**w, "partition": dict(pitems)} for w in writes]
+                actions += writes
             actions += [{"remove": a["add"]} for a in touched]
             self.commit(actions, op="delete")
         return {
@@ -1344,6 +1481,94 @@ def q_txlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_SQL = """CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
                           AS BIGINT) % 1000003) AS BIGINT)"""
+
+
+@register(
+    "q_txlog_partition_prune",
+    oracle=f"""
+        WITH w AS (
+            SELECT min(o_orderkey) AS lo,
+                   (max(o_orderkey) - min(o_orderkey) + {_N_FILES}) // {_N_FILES}
+                       AS width
+            FROM orders
+        ),
+        del AS (
+            SELECT lo + 3 * width AS dlo, lo + 3 * width + width // 2 AS dhi FROM w
+        ),
+        fb AS (
+            SELECT o_orderstatus AS s, (o_orderkey - lo) // width AS b,
+                   min(o_orderkey) AS mn, max(o_orderkey) AS mx
+            FROM orders, w GROUP BY 1, 2
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS files_total,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fb WHERE s = 'F')
+                   AS files_in_partition,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fb, del
+                WHERE s = 'F' AND mn <= dhi AND mx >= dlo) AS files_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, del
+                WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN dlo AND dhi)
+                   AS n_rows,
+               (SELECT {_FP_SQL} FROM orders, del
+                WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN dlo AND dhi)
+                   AS fp,
+               (SELECT {dsum_sql('o_totalprice', 2)} FROM orders, del
+                WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN dlo AND dhi)
+                   AS total
+    """,
+    doc=(
+        "PARTITION pruning composed with stats pruning (VERDICT r9 #9): "
+        "orders is created PARTITIONED by o_orderstatus with the usual "
+        "global-range o_orderkey buckets inside each partition, so every "
+        "file is one (status, bucket) cell whose partition value lives "
+        "in its add action (Hive-style: NOT in the data file — "
+        "re-injected at read). A predicate `status = 'F' AND key IN "
+        "[dlo, dhi]` prunes partition-FIRST (exact, no stats), then by "
+        "the footer zone map; files_total / files_in_partition / "
+        "files_scanned are emitted as DATA and hash-checked against the "
+        "oracle's replay of the (status, bucket) grid — the two bounds "
+        "provably COMPOSE (files_scanned < files_in_partition < "
+        "files_total), like IVFPQ's probe x shortlist. The rollup of "
+        "the surviving rows (count + md5 key fingerprint + fixed-point "
+        "revenue) proves pruning lost nothing. At 100 TB this is the "
+        "difference between scanning a day's partition and scanning the "
+        "lake: partition prune is O(1) per file from the log, and the "
+        "zone map cuts the remainder by ~buckets x."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _orders_base(spark, sf_dir)
+    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    width = max(1, (int(hi) - int(lo) + _N_FILES) // _N_FILES)
+    dlo = int(lo) + 3 * width
+    dhi = dlo + width // 2
+    path = _fresh_table_dir("part")
+    t = TxLogTable.create_partitioned(
+        spark, path, base, "o_orderstatus", "o_orderkey", _N_FILES, _STATS_COLS
+    )
+    df, c = t.read_where(
+        spark, "o_orderkey", dlo, dhi, partition={"o_orderstatus": "F"}
+    )
+    fp = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp).alias("fp"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                c["files_total"], c["files_in_partition"], c["files_scanned"],
+                agg["n"], agg["fp"], agg["total"],
+            )
+        ],
+        "files_total long, files_in_partition long, files_scanned long, "
+        "n_rows long, fp long, total double",
+    )
 
 
 @register(

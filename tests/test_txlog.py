@@ -611,3 +611,72 @@ def test_delete_vectors_cdc_emits_row_level_deletes(spark, table):
     changes = table.read_changes(spark, v0, v0 + 1)
     rows = {(r["k"], r["change_type"]) for r in changes.collect()}
     assert rows == {(17, "delete"), (400, "delete")}
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    return TxLogTable.create_partitioned(
+        spark, str(tmp_path / "pt"), df, "p", "k", n_files=4, stats_cols=("k",)
+    )
+
+
+def test_partitioned_create_layout_and_full_read(spark, ptable):
+    """One file per (partition, bucket) cell, partition value in the
+    add action (not the data file), re-injected on read."""
+    adds = ptable.snapshot_adds()
+    assert len(adds) == 8  # 2 partitions x 4 buckets
+    assert all(a["partition"]["p"] in ("a", "b") for a in adds)
+    # the data files themselves do NOT contain p
+    import pyarrow.parquet as pq
+
+    f = ptable.snapshot_files()[0]
+    assert "p" not in pq.ParquetFile(f).schema_arrow.names
+    got = ptable.read(spark)
+    assert got.count() == 1000
+    assert got.filter((F.col("p") == "a") & (F.col("k") % 3 != 0)).count() == 0
+    assert got.filter(F.col("p") == "a").count() == 334  # 0,3,...,999
+
+
+def test_partition_prune_composes_with_stats(spark, ptable):
+    """partition-first prune, then the zone map: counters compose and
+    the surviving rows are exact."""
+    df, c = ptable.read_where(spark, "k", 300, 399, partition={"p": "a"})
+    assert c["files_total"] == 8
+    assert c["files_in_partition"] == 4
+    assert c["files_scanned"] == 1  # bucket [250, 499] only
+    ks = sorted(r[0] for r in df.select("k").collect())
+    assert ks == [k for k in range(300, 400) if k % 3 == 0]
+    assert df.filter(F.col("p") != "a").count() == 0
+
+
+def test_partitioned_delete_keeps_attribution(spark, ptable):
+    """Copy-on-write delete bounded to one partition rewrites only that
+    partition's overlapping files, and the survivors stay attributed —
+    a later partition read still sees them."""
+    c = ptable.delete_where(spark, "k", 0, 249, ("k",), partition={"p": "a"})
+    assert c == {"files_total": 8, "files_rewritten": 1}
+    # partition b untouched; partition a lost its first bucket's rows
+    assert ptable.read(spark).filter(F.col("p") == "b").count() == 666
+    got_a = {r[0] for r in ptable.read(spark).filter(F.col("p") == "a").select("k").collect()}
+    assert got_a == {k for k in range(250, 1000) if k % 3 == 0}
+    # an UNpartitioned delete across both partitions keeps attribution too
+    ptable.delete_where(spark, "k", 500, 599, ("k",))
+    df, c2 = ptable.read_where(spark, "k", 400, 700, partition={"p": "b"})
+    ks = sorted(r[0] for r in df.select("k").collect())
+    assert ks == [k for k in range(400, 701) if k % 3 != 0 and not (500 <= k <= 599)]
+
+
+def test_partitioned_dv_and_compose(spark, ptable):
+    """Deletion vectors work on partitioned files (the dv rides the
+    add action next to the partition value)."""
+    c = ptable.delete_keys(spark, "k", [3, 6, 501], ("k",))
+    assert c["files_rewritten"] == 0
+    got = ptable.read(spark).filter(F.col("p") == "a").count()
+    assert got == 334 - 3  # 3 and 6 and 501 are all %3==0
+    df, _ = ptable.read_where(spark, "k", 0, 10, partition={"p": "a"})
+    assert sorted(r[0] for r in df.select("k").collect()) == [0, 9]
