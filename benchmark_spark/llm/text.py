@@ -1112,6 +1112,159 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_K = 8  # merge-table size: enough rounds that merged symbols re-merge
+_BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def _bpe_oracle(k: int) -> str:
+    """K unrolled merge iterations (the q_knn_pq_trained precedent:
+    a driver loop replayed as chained SQL). Each words_i CTE is
+    MATERIALIZED — chained iteration CTEs inline exponentially
+    otherwise. Words are symbol strings with TWO-space separators and
+    single-space flanks, so one literal replace(' l  r ' -> ' lr ')
+    is EXACTLY the classic greedy left-to-right non-overlapping BPE
+    merge in both engines: adjacent occurrences share no characters
+    (each symbol owns one flanking space on each side), so 'aaaa'
+    under (a,a) becomes [aa, aa] and 'aaaaa' becomes [aa, aa, a] —
+    the single-space form got this wrong because consecutive matches
+    shared a separator character."""
+    ctes = [
+        f"""words0 AS MATERIALIZED (
+        SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1  ', 'g')) || ' ' AS ws,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(
+                  props, '{_BPE_REGEX}')) AS tok FROM events)
+        GROUP BY 1
+    )"""
+    ]
+    tops = []
+    for i in range(1, k + 1):
+        prev = f"words{i - 1}"
+        ctes.append(
+            f"""pairs{i} AS MATERIALIZED (
+            SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS cnt
+            FROM (SELECT n, string_split(trim(ws), '  ') AS syms FROM {prev}),
+                 UNNEST(range(1, len(syms))) AS t(j)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""top{i} AS MATERIALIZED (
+            SELECT CAST({i} AS BIGINT) AS merge_rank, lhs, rhs, cnt
+            FROM pairs{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        )"""
+        )
+        if i < k:
+            ctes.append(
+                f"""words{i} AS MATERIALIZED (
+                SELECT replace(ws,
+                       ' ' || (SELECT lhs FROM top{i}) || '  '
+                           || (SELECT rhs FROM top{i}) || ' ',
+                       ' ' || (SELECT lhs FROM top{i})
+                           || (SELECT rhs FROM top{i}) || ' ') AS ws, n
+                FROM {prev}
+            )"""
+            )
+        tops.append(f"SELECT * FROM top{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(tops)
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_oracle(_BPE_K),
+    doc=(
+        "REAL BPE merge training (VERDICT r9 #8 — q_bpe_pretokenize "
+        "stopped at the regex front end): the iterative pair-merge "
+        "loop as a bounded fixpoint, like q_pagerank. Corpus -> "
+        "pre-token vocabulary with counts (one corpus-wide shuffle; "
+        "everything after runs on the VOCAB-sized table — the property "
+        "that makes BPE training tractable at 100 TB: iterations never "
+        "rescan the corpus), words held as space-joined symbol "
+        "strings. Each round: adjacent-pair counts weighted by word "
+        "frequency (posexplode + lead window — plain codegen, no HOF), "
+        "top pair by (count DESC, lhs, rhs) collected to the driver "
+        "(one vocab-sized row), then ONE literal replace of "
+        "' lhs  rhs ' with ' lhsrhs ' applies the merge to every word. "
+        "The DOUBLE-space separator with single-space flanks makes the "
+        "non-overlapping replace EXACTLY classic greedy left-to-right "
+        "BPE in both engines — adjacent occurrences share no "
+        "characters, so 'aaaa' under (a,a) gives [aa, aa] and 'aaaaa' "
+        "gives [aa, aa, a], byte-identical to the reference algorithm "
+        "(single-space separators get runs >= 4 wrong: the shared "
+        "separator breaks the second match). The LEARNED MERGE TABLE "
+        "(rank, lhs, rhs, pair count at merge time) is the emitted "
+        f"data — {_BPE_K} rounds, hash-checked against the oracle's "
+        "unrolled-CTE replay, which proves every intermediate "
+        "vocabulary state matched (a single diverged merge cascades)."
+    ),
+    tags=("extension", "text"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    toks = F.regexp_extract_all(F.col("props"), F.lit(_BPE_REGEX), F.lit(0))
+    vocab = (
+        events.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe_train_merges(spark, vocab, _BPE_K)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, cnt long"
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession, vocab: DataFrame, k: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge-training loop over a (tok, n) vocabulary frame; see
+    q_bpe_train's docstring for the separator encoding that makes the
+    per-round replace classic greedy BPE. Returns [(rank, lhs, rhs,
+    pair count at merge time)]; stops early if no pair remains."""
+    from pyspark.sql import Window
+
+    words = vocab.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("ws"),
+        "n",
+    ).persist()
+    base = words  # the persisted vocab table; `words` is rebound per round
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        for i in range(1, k + 1):
+            syms = F.split(F.trim(F.col("ws")), "  ")
+            tok = words.select("ws", "n", F.posexplode(syms).alias("pos", "sym"))
+            w = Window.partitionBy("ws").orderBy("pos")
+            pr = tok.select(
+                "n",
+                F.col("sym").alias("lhs"),
+                F.lead("sym").over(w).alias("rhs"),
+            ).filter(F.col("rhs").isNotNull())
+            top = (
+                pr.groupBy("lhs", "rhs")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+            merges.append((i, l, r, c))
+            words = words.select(
+                F.replace(
+                    F.col("ws"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+                ).alias("ws"),
+                "n",
+            )
+        return merges
+    finally:
+        base.unpersist()
+
+
 @register(
     "q_chunk_documents",
     oracle="""

@@ -533,3 +533,45 @@ def test_ivfpq_probes_bound_the_scan_and_recall_holds(spark):
     assert hits >= 42, f"ivfpq recall@10 {hits/50} < 0.85"
     assert out.filter("rank < 1 OR rank > 10").count() == 0
     out.unpersist()
+
+
+def test_bpe_train_merge_semantics_and_shape(spark):
+    """The padded-separator replace IS the greedy left-to-right
+    non-overlapping BPE merge: consecutive occurrences share a
+    separator and the scan resumes after each replacement. Plus the
+    learned table's shape: K sequential ranks, each merged symbol the
+    concatenation of its pair, and re-merges of merged symbols are
+    possible (the property a one-shot pair count cannot produce)."""
+    # semantics pin, engine-side (the exact expression the query uses):
+    # double-space separators + single flanks = classic greedy BPE
+    row = spark.createDataFrame(
+        [(" a  a  a ",), (" a  a  a  a ",), (" a  a  a  a  a ",),
+         (" b  a  a  b ",), (" ba  a ",)],
+        "ws string",
+    ).select(F.replace(F.col("ws"), F.lit(" a  a "), F.lit(" aa ")).alias("ws")).collect()
+    assert [r["ws"] for r in row] == [
+        " aa  a ", " aa  aa ", " aa  aa  a ", " b  aa  b ", " ba  a ",
+    ]
+
+    # hand-computed classic trajectory on a crafted vocabulary:
+    # round 1: (a,a) in 'aaaa' counts OVERLAPPING positions (3x5=15)
+    # round 2: (a,b) = 2x4 + 1x3 = 11
+    # round 3: the rank-1 MERGED symbol re-merges with itself (aa,aa)=5
+    # round 4: ditto for ab; round 5 finds no pair left -> early stop
+    from benchmark_spark.llm.text import _BPE_K, bpe_train_merges, q_bpe_train
+
+    vocab = spark.createDataFrame(
+        [("aaaa", 5), ("abab", 4), ("ab", 3)], "tok string, n long"
+    )
+    assert bpe_train_merges(spark, vocab, 8) == [
+        (1, "a", "a", 15),
+        (2, "a", "b", 11),
+        (3, "aa", "aa", 5),
+        (4, "ab", "ab", 4),
+    ]
+
+    table = q_bpe_train(spark, SF_SMOKE).collect()
+    assert [r["merge_rank"] for r in table] == list(range(1, _BPE_K + 1))
+    assert all(r["cnt"] > 0 for r in table)
+    merged = [r["lhs"] + r["rhs"] for r in table]
+    assert len(set(merged)) == _BPE_K  # merges are distinct symbols
