@@ -1837,10 +1837,34 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the composition production ANN systems actually run at 100 TB.
 # ---------------------------------------------------------------------------
 
-_IVFPQ_NLIST = 16  # coarse centroids (inverted lists)
-_IVFPQ_NPROBE = 6  # lists probed per query (~38% of the corpus scanned)
+_IVFPQ_NLIST_MIN = 16  # coarse-centroid floor (tiny-corpus fixtures)
+_IVFPQ_NPROBE_MIN = 6  # probe floor
 _IVFPQ_ITERS = 2  # unrolled Lloyd iterations, coarse AND residual PQ
-_IVFPQ_TRAIN = 512  # bounded training sample (vec_id < 512)
+_IVFPQ_TRAIN_MIN = 512  # training-sample floor
+_IVFPQ_TRAIN_CAP = 4096  # driver-side sample cap (bounds collect + Lloyd)
+
+
+def _ivfpq_params(n: int) -> tuple[int, int, int]:
+    """Corpus-derived index parameters (VERDICT r9 #3 — the FAISS
+    sizing rule): nlist ~ ceil(sqrt(N)) so list length grows as
+    sqrt(N) instead of linearly; nprobe ~ 2.5*sqrt(nlist) so the
+    scanned fraction nprobe/nlist ~ 2.5/N^(1/4) FALLS as the corpus
+    grows while holding recall (measured on the rolled-replica curve,
+    tools/curve_pq_recall.py: recall@10 0.92 @ 38% scanned at x1,
+    ~0.85 @ 20% at x10, 1.0 @ 11% at x100 — the 1.5x multiplier hit
+    0.94 @ 6% at x100 but dipped to 0.78 at small N); the Lloyd
+    sample is corpus-proportional (16 vectors per centroid, the
+    level the sweep showed lifts small-N recall +0.02..0.04) with
+    floor 512 and cap 4096 (bounds the driver collect). All three
+    formulas are IEEE-double arithmetic the DuckDB oracle replays
+    verbatim in its params CTE — the hash proves the replayed
+    parameters match."""
+    import math
+
+    nlist = max(_IVFPQ_NLIST_MIN, math.ceil(math.sqrt(n)))
+    nprobe = max(_IVFPQ_NPROBE_MIN, math.ceil(2.5 * math.sqrt(nlist)))
+    train = min(n, min(_IVFPQ_TRAIN_CAP, max(_IVFPQ_TRAIN_MIN, 16 * nlist)))
+    return nlist, nprobe, train
 
 
 def _lloyd_full_micro(train_micro, k: int, iters: int):
@@ -1863,7 +1887,7 @@ def _lloyd_full_micro(train_micro, k: int, iters: int):
     return c
 
 
-def _ivfpq_train(train_micro):
+def _ivfpq_train(train_micro, nlist: int):
     """Coarse quantizer + residual PQ codebooks, all exact int-micro.
 
     Residuals are computed under the FINAL coarse centroids (matching
@@ -1871,7 +1895,7 @@ def _ivfpq_train(train_micro):
     training rows' residuals with first-64 initialization."""
     import numpy as np
 
-    coarse = _lloyd_full_micro(train_micro, _IVFPQ_NLIST, _IVFPQ_ITERS)
+    coarse = _lloyd_full_micro(train_micro, nlist, _IVFPQ_ITERS)
     cost = (coarse * coarse).sum(axis=1)[None, :] - 2 * (train_micro @ coarse.T)
     lists = cost.argmin(axis=1)
     resid = train_micro - coarse[lists]
@@ -1956,13 +1980,28 @@ _IVFPQ_ORACLE = f"""
     WITH vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    params AS MATERIALIZED (  -- corpus-derived sizing, replaying _ivfpq_params
+        SELECT nlist,
+               GREATEST({_IVFPQ_NPROBE_MIN},
+                        CAST(CEIL(2.5 * SQRT(CAST(nlist AS DOUBLE))) AS BIGINT))
+                   AS nprobe,
+               LEAST(n, LEAST({_IVFPQ_TRAIN_CAP},
+                              GREATEST({_IVFPQ_TRAIN_MIN}, 16 * nlist))) AS train
+        FROM (
+            SELECT GREATEST({_IVFPQ_NLIST_MIN},
+                            CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM vecs
+        )
+    ),
     vm AS MATERIALIZED (
         SELECT vec_id, p.p AS p,
                CAST(floor(v[p.p + 1] * 1000000 + 0.5) AS BIGINT) AS xm
         FROM vecs, unnest(range(0, 64)) AS p(p)
     ),
-    trc AS MATERIALIZED (SELECT * FROM vm WHERE vec_id < {_IVFPQ_TRAIN}),
-    cc0 AS (SELECT vec_id AS cid, p AS i, xm AS cm FROM vm WHERE vec_id < {_IVFPQ_NLIST}),
+    trc AS MATERIALIZED (SELECT * FROM vm WHERE vec_id < (SELECT train FROM params)),
+    cc0 AS (SELECT vec_id AS cid, p AS i, xm AS cm FROM vm
+            WHERE vec_id < (SELECT nlist FROM params)),
     {",".join(_coarse_iteration_sql(str(n), str(n + 1)) for n in range(_IVFPQ_ITERS))},
     ccf AS MATERIALIZED (SELECT * FROM cc{_IVFPQ_ITERS}),
     qcf AS (SELECT cid, SUM(cm * cm) AS csq FROM ccf GROUP BY cid),
@@ -1987,7 +2026,7 @@ _IVFPQ_ORACLE = f"""
         JOIN lists l USING (vec_id)
         JOIN ccf c ON c.cid = l.lid AND c.i = v.p
     ),
-    trr AS MATERIALIZED (SELECT * FROM rr WHERE vec_id < {_IVFPQ_TRAIN}),
+    trr AS MATERIALIZED (SELECT * FROM rr WHERE vec_id < (SELECT train FROM params)),
     rc0 AS (SELECT s, vec_id AS cid, i, rm AS cm FROM rr WHERE vec_id < {_PQT_K}),
     {",".join(_resid_iteration_sql(str(n), str(n + 1)) for n in range(_IVFPQ_ITERS))},
     rcf AS MATERIALIZED (SELECT * FROM rc{_IVFPQ_ITERS}),
@@ -2018,7 +2057,7 @@ _IVFPQ_ORACLE = f"""
                    row_number() OVER (
                        PARTITION BY a_id ORDER BY cd DESC, lid ASC) AS rn
             FROM acd
-        ) WHERE rn <= {_IVFPQ_NPROBE}
+        ) WHERE rn <= (SELECT nprobe FROM params)
     ),
     adc_table AS (  -- anchor x residual-codebook inner products
         SELECT a.vec_id AS a_id, c.s, c.cid, SUM(a.xm * c.cm) AS t
@@ -2085,24 +2124,30 @@ _IVFPQ_ORACLE = f"""
     doc=(
         "IVF + residual PQ combined (the FAISS IVFPQ composition — the "
         "shape production vector search actually runs at 100 TB): a "
-        "16-centroid coarse quantizer assigns every vector to an inverted "
-        "list; vectors PQ-encode their RESIDUAL from the list centroid "
-        "(8x8-dim, 64-entry codebooks); a query probes only its top-6 "
-        "lists by coarse inner product and ADC-scores score = q*c_list + "
-        "sum_s q_s*cent_s[code] for candidates in those lists — so the "
-        "scan is bounded by nprobe/nlist (~38% here, tunable) AND the "
-        "scanned bytes are 48-bit codes, the two bounds composed. Both "
-        "quantizers Lloyd-train driver-side on the bounded 512-vector "
-        "sample in EXACT integer-micro arithmetic; the oracle replays the "
-        "coarse training, list assignment, residual computation, residual "
-        "PQ training, encoding, probing, and ADC scoring bit-for-bit in "
-        "SQL — the hash proves the whole index construction. Shortlist "
-        "corpus-proportional (max(100, ceil(N/8))); exact re-rank on the "
-        "shortlist only; in-plan recall flag (measured recall@10 ~0.92 at "
-        "sf0.01, ~0.96 at sf0.1 while probing 6/16 lists). Corpus-keyed "
+        "coarse quantizer assigns every vector to an inverted list; "
+        "vectors PQ-encode their RESIDUAL from the list centroid "
+        "(8x8-dim, 64-entry codebooks); a query probes only its top "
+        "lists by coarse inner product and ADC-scores score = q*c_list "
+        "+ sum_s q_s*cent_s[code] for candidates in those lists — so "
+        "the scan is bounded by nprobe/nlist AND the scanned bytes are "
+        "48-bit codes, the two bounds composed. ALL index parameters "
+        "derive from the corpus size (VERDICT r9 #3, _ivfpq_params): "
+        "nlist ~ ceil(sqrt(N)), nprobe ~ 2.5*sqrt(nlist) — so the "
+        "scanned fraction ~ 2.5/N^(1/4) FALLS as the corpus grows "
+        "(recall-vs-scale curve in tools/curve_pq_recall.py / SCALE.md "
+        "item 24: 1.0 recall@10 at 11% scanned at x100) — and the "
+        "Lloyd sample is 16 vectors/centroid (floor 512, cap 4096). "
+        "Both quantizers Lloyd-train driver-side on that bounded "
+        "sample in EXACT integer-micro arithmetic; the oracle replays "
+        "the parameter derivation (params CTE), coarse training, list "
+        "assignment, residual computation, residual PQ training, "
+        "encoding, probing, and ADC scoring bit-for-bit in SQL — the "
+        "hash proves the whole index construction. Shortlist "
+        "corpus-proportional (max(100, ceil(N/8))); exact re-rank on "
+        "the shortlist only; in-plan recall flag. Corpus-keyed "
         "exchanges: coarse assign, residual encode, ADC sum — the same "
-        "three as q_knn_pq_trained, with the ADC input pre-shrunk by the "
-        "probe filter."
+        "three as q_knn_pq_trained, with the ADC input pre-shrunk by "
+        "the probe filter."
     ),
     tags=("extension", "similarity", "ann"),
 )
@@ -2112,13 +2157,18 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
+    # corpus-derived sizing (one bounded count; the oracle's params CTE
+    # replays the same IEEE arithmetic)
+    n_vecs = vecs.count()
+    nlist, nprobe, n_train = _ivfpq_params(n_vecs)
+
     train_rows = (
-        vecs.filter(F.col("vec_id") < _IVFPQ_TRAIN).orderBy("vec_id").collect()
+        vecs.filter(F.col("vec_id") < n_train).orderBy("vec_id").collect()
     )
     train = np.floor(
         np.array([r.v for r in train_rows], dtype="float64") * 1e6 + 0.5
     ).astype("int64")
-    coarse, cents = _ivfpq_train(train)
+    coarse, cents = _ivfpq_train(train, nlist)
 
     coarse_rows = [
         (int(cid), p, int(coarse[cid, p]))
@@ -2200,7 +2250,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("a_id").orderBy(F.desc("cd"), F.asc("lid"))
     probe = (
         acd.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("a_id", "lid", "cd")
     )
     adc_table = (

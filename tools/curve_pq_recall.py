@@ -90,24 +90,33 @@ def recall(v: np.ndarray, m: int, d: int, k: int, train_n: int, iters: int,
 
 
 def ivfpq_recall(
-    v: np.ndarray, nlist: int = 16, nprobe: int = 6, m: int = 8, d: int = 8,
-    k: int = 64, train_n: int = 512, iters: int = 2, sl_div: int = 8,
-) -> tuple[float, float]:
+    v: np.ndarray, m: int = 8, d: int = 8,
+    k: int = 64, iters: int = 2, sl_div: int = 8,
+) -> tuple[float, float, dict]:
     """Recall@10 and mean corpus fraction ADC-scanned for the IVFPQ
-    tier (q_knn_ivfpq's exact integer arithmetic)."""
+    tier (q_knn_ivfpq's exact integer arithmetic, with the r10
+    corpus-derived nlist/nprobe/train from _ivfpq_params). Matmuls
+    run in float64 for BLAS speed — every product is < 2^53, so the
+    results are integer-exact."""
+    from benchmark_spark.llm.similarity import _ivfpq_params
+
     n = len(v)
+    nlist, nprobe, train_n = _ivfpq_params(n)
     vm = micros(v)
+    vf = vm.astype(np.float64)
     # coarse quantizer over FULL vectors: reuse lloyd with one subspace
     coarse = lloyd(vm[: min(train_n, n)], 1, 64, nlist, iters)[0]
-    lists_ = ((coarse * coarse).sum(1)[None, :] - 2 * (vm @ coarse.T)).argmin(1)
+    cf = coarse.astype(np.float64)
+    lists_ = ((cf * cf).sum(1)[None, :] - 2 * (vf @ cf.T)).argmin(1)
     resid = vm - coarse[lists_]
     cents = lloyd(resid[: min(train_n, n)], m, d, k, iters)
     codes = np.zeros((n, m), dtype=np.int64)
     for s in range(m):
-        x = resid[:, s * d : (s + 1) * d]
-        c = cents[s]
+        x = resid[:, s * d : (s + 1) * d].astype(np.float64)
+        c = cents[s].astype(np.float64)
         codes[:, s] = ((c * c).sum(1)[None, :] - 2 * (x @ c.T)).argmin(1)
     sl = max(100, -(-n // sl_div))
+    params = {"nlist": nlist, "nprobe": nprobe, "train": train_n, "shortlist": sl}
     hits, scanned = [], []
     for a in range(5):
         cd = vm[a] @ coarse.T
@@ -124,7 +133,11 @@ def ivfpq_recall(
         top10 = set(np.argsort(-ex, kind="stable")[:10])
         rr = order[np.argsort(-ex[order], kind="stable")[:10]]
         hits.append(len(top10 & set(rr)) / 10)
-    return round(float(np.mean(hits)), 3), round(float(np.mean(scanned)), 3)
+    return (
+        round(float(np.mean(hits)), 3),
+        round(float(np.mean(scanned)), 3),
+        params,
+    )
 
 
 def main() -> None:
@@ -134,13 +147,14 @@ def main() -> None:
         v = load_corpus(mult)
         untrained = recall(v, 4, 16, 16, 16, 0, sl_fixed=100, sl_div=None)
         trained = recall(v, 8, 8, 64, 512, 3, sl_fixed=None, sl_div=8)
-        ivf_r, ivf_scan = ivfpq_recall(v)
+        ivf_r, ivf_scan, ivf_params = ivfpq_recall(v)
         out[f"x{mult}"] = {
             "vectors": len(v),
             "untrained_fixed_sl": untrained,
             "trained_proportional_sl": trained,
-            "ivfpq_nprobe6": ivf_r,
+            "ivfpq_recall10": ivf_r,
             "ivfpq_scan_frac": ivf_scan,
+            "ivfpq_params": ivf_params,
         }
         print(json.dumps({"scale": f"x{mult}", **out[f"x{mult}"]}), flush=True)
     print(json.dumps({"metric": "pq_recall_curve", "base": "sf0.1", "curves": out}))
