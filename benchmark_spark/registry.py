@@ -83,37 +83,41 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-9 re-cut (VERDICT r8 #6): continue the staleness rotation.
-    # 8 never-checked rows new in r9 (the Lloyd-trained PQ and IVFPQ
-    # tiers, the txlog vacuum/restore/CDC/stream-source queries, the
-    # baseline-JPEG tier, the spectral-audio kernel), then the
-    # ENTIRE remaining r4-evidence tier (37 rows — the samplers/corpus/
-    # graph/variant remainder the r8 cut deferred), then the 5 oldest r5 rows
-    # (headline streaming + the heavy dedup/ANN tiers, including the
-    # round-9-rewritten q_winnow_fingerprint). Everything displaced is
-    # driver-green in r5-r8 and stays checked by the local full gate
-    # (tools/check_oracle.py every round; GATE_sf01 at 10x driver
-    # scale).
-    # never driver-checked (new in round 9)
-    "q_knn_pq_trained", "q_txlog_vacuum", "q_decode_jpeg",
-    "q_txlog_restore", "q_txlog_cdc", "q_knn_ivfpq", "q_audio_spectrum",
-    "q_txlog_stream_source",
-    # latest driver evidence r4 (entire remaining tier)
-    "q2_agg_highcard", "q2_agg_wide", "q3_join_wide", "q_anti",
-    "q_bigram_counts", "q_bm25", "q_bucket_join", "q_collect",
-    "q_corr", "q_corr_subquery", "q_cube", "q_dedup_keep_best",
-    "q_distinct_agg", "q_grouping_sets", "q_having", "q_leakage_split",
-    "q_length_hist", "q_minmax_by", "q_order_returns",
-    "q_pack_sequences", "q_pagerank", "q_percentile", "q_pivot",
-    "q_promo_share", "q_reservoir_sample", "q_returned_items",
-    "q_scalar_subquery", "q_ship_priority", "q_shj_join",
-    "q_small_qty", "q_smj_join", "q_stratified_sample",
-    "q_stream_join", "q_stream_topk", "q_top_supplier",
-    "q_unigram_lm", "q_unpivot",
-    # latest driver evidence r5 — headline streaming first, then the
-    # scale-critical dedup/ANN/windows rows
-    "q7_tumble", "q7_tumble_stream", "q_chargram_minhash",
-    "q_ann_recall", "q_cosine_range",
+    # Round-10 re-cut (VERDICT r9 #4): continue the staleness rotation.
+    # 4 never-checked rows new in r10 (BPE merge training, JPEG 4:2:0,
+    # txlog deletion vectors, txlog partition pruning), then the ENTIRE
+    # remaining r5-evidence tier (45 rows — verified against the
+    # CORRECTNESS_r01-r09 artifacts; includes the round-9-rewritten
+    # q_winnow_fingerprint, closing ADVICE r9 #3), then
+    # q_apply_in_pandas, whose FIXTURE AND ORACLE changed this round
+    # (VERDICT r9 #5) so its old driver evidence validated a different
+    # query. After CORRECTNESS_r10 nothing has driver evidence older
+    # than r6. Everything displaced is driver-green in r6-r9 and stays
+    # checked by the local full gate (tools/check_oracle.py every
+    # round; GATE_sf01 at 10x driver scale — the gate's oracle cache
+    # keys on fixture md5, so this round's rewrites, q_knn_ivfpq
+    # included, recompute fresh there).
+    # never driver-checked (new in round 10)
+    "q_bpe_train", "q_decode_jpeg_420", "q_txlog_delete_vectors",
+    "q_txlog_partition_prune",
+    # latest driver evidence r5 (entire tier, alphabetical)
+    "q_approx_stats_bounded", "q_big_orders", "q_bigram_lm",
+    "q_bpe_pretokenize", "q_brand_revenue", "q_chunk_documents",
+    "q_compaction", "q_crosstab_chi2", "q_dormant_rich", "q_entropy",
+    "q_forecast_revenue", "q_gap_fill", "q_heaps_law",
+    "q_heavy_hitters", "q_hybrid_search", "q_importance_sample",
+    "q_incremental_dedup", "q_mkt_share", "q_nation_volume",
+    "q_order_dist", "q_outer_stream_join", "q_pmi_bigrams",
+    "q_profile", "q_retention_cohort", "q_schema_evolution",
+    "q_session", "q_session_labels", "q_shipmode", "q_sliding",
+    "q_stream_append", "q_stream_enrich", "q_stream_foreach_batch",
+    "q_stream_session", "q_stream_sliding", "q_stream_update",
+    "q_string_agg", "q_targeted_delete", "q_token_budget_mix",
+    "q_trailing_active", "q_triangle_count", "q_waiting_suppliers",
+    "q_watermark", "q_winnow_fingerprint", "q_zipf_slope",
+    "q_zscore_outliers",
+    # rewritten in round 10 (new fixture + oracle)
+    "q_apply_in_pandas",
 )
 
 
