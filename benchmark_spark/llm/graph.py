@@ -45,13 +45,23 @@ TOP_K_NEIGHBORS = 3
 
 
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst) edges: q_knn_graph's exact candidate + top-3 logic."""
+    """(src, dst) edges: q_knn_graph's exact candidate + top-3 logic.
+
+    Round 10 shape: the bucket self-join and the pair dedup move ONLY
+    (a_id, vec_id) id pairs — the 512-byte embedding arrays never
+    cross the candidate shuffles — and the vectors re-attach via two
+    BROADCAST joins (the embedding table is corpus-row-sized, tiny
+    next to the quadratic candidate set) before the dot product.
+    Measured at sf0.1: 12.7 s -> 7.8 s warm, identical 6000 edges.
+    At 100 TB the same rule holds harder: candidate pairs outnumber
+    vectors quadratically within buckets, so the payload must ride
+    the SMALL side. (An unrolled 64-term codegen dot was also
+    measured: 22 s — the element_at chain loses to the HOF here;
+    BENCH_NOTES round-1 finding still stands.)"""
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     signed = emb.select(
-        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select(
-        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
-    )
+        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")
     b = signed.alias("b")
     cand = (
@@ -64,13 +74,15 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("vec_id"),
-            F.col("a.embedding").alias("a_emb"),
-            F.col("b.embedding").alias("n_emb"),
         )
         .dropDuplicates(["a_id", "vec_id"])
     )
-    scored = cand.select(
-        "a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw")
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select("vec_id", F.col("embedding").alias("n_emb"))
+    scored = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "vec_id")
+        .select("a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw"))
     )
     return topk_per_anchor(scored, TOP_K_NEIGHBORS).select(
         F.col("a_id").alias("src"), F.col("neighbor_id").alias("dst")

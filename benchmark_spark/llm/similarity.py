@@ -1016,12 +1016,15 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity"),
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 10: the bucket self-join and pair dedup move ID PAIRS only;
+    # embeddings re-attach via two broadcast joins before the dot — the
+    # candidate set is quadratic within buckets, so the 512-byte arrays
+    # must ride the small side (measured 12.7 -> 7.8 s at sf0.1 on the
+    # shared knn_edges pipeline; identical output)
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     signed = emb.select(
-        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select(
-        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
-    )
+        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")
     b = signed.alias("b")
     cand = (
@@ -1034,13 +1037,15 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("vec_id"),
-            F.col("a.embedding").alias("a_emb"),
-            F.col("b.embedding").alias("n_emb"),
         )
         .dropDuplicates(["a_id", "vec_id"])
     )
-    scored = cand.select(
-        "a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw")
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select("vec_id", F.col("embedding").alias("n_emb"))
+    scored = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "vec_id")
+        .select("a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw"))
     )
     return topk_per_anchor(scored, 3)
 
