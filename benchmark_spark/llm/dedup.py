@@ -158,13 +158,21 @@ def doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (native, no UDF)."""
+    """Distinct word n-gram shingles per document (native, no UDF).
+
+    Round 10: arrays_zip of n shifted slices -> posexplode ->
+    concat_ws, instead of the interpreted transform(sequence, slice)
+    HOF — same rewrite the r9 winnow sweep proved (concat_ws skips
+    the nulls arrays_zip pads at doc end, reproducing the clamped
+    slice exactly); the gram stage is whole-stage codegen and the
+    final .distinct() subsumes the old array_distinct. Measured on
+    the char-gram twin at sf0.1: 3.5 -> 2.1 s warm, identical rows."""
     toks = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return corpus.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    ).distinct()
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, off + 1, length) for off in range(n)])
+    ex = corpus.select("doc_id", F.explode(zipped).alias("g"))
+    gram = F.concat_ws(" ", *[F.col("g")[str(i)] for i in range(n)])
+    return ex.select("doc_id", gram.alias("shingle")).distinct()
 
 
 # k-permutation MinHash via ONE base hash + k universal affine
@@ -992,11 +1000,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
-    grams_arr = F.transform(idx, lambda i: F.substring(F.col("text"), i, 5))
-    grams = docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(grams_arr)).alias("g")
-    ).distinct()
+    # codegen n-gram shape (round 10, same as char_shingles): measured
+    # 9.9 -> 2.9 s cold / 3.5 -> 2.1 s warm for the gram stage at sf0.1
+    chars = F.split(F.col("text"), "")
+    length = F.greatest(F.size(chars) - 4, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(chars, off + 1, length) for off in range(5)])
+    ex = docs.select("doc_id", "source", F.explode(zipped).alias("g"))
+    gram = F.concat_ws("", *[F.col("g")[str(i)] for i in range(5)])
+    grams = ex.select("doc_id", "source", gram.alias("g")).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -1020,12 +1031,18 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def char_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per document (native, no UDF)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(F.col("text"), i, n))
-    return corpus.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    ).distinct()
+    """Distinct character n-gram shingles per document (native, no UDF).
+
+    Same codegen n-gram shape as shingles() (round 10): split to a
+    char array, arrays_zip n shifted slices, explode, concat_ws —
+    null-skipping concat reproduces substring's clamp at doc end.
+    Measured at sf0.1: 3.5 -> 2.1 s warm, identical 1,021,477 rows."""
+    chars = F.split(F.col("text"), "")
+    length = F.greatest(F.size(chars) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(chars, off + 1, length) for off in range(n)])
+    ex = corpus.select("doc_id", F.explode(zipped).alias("g"))
+    gram = F.concat_ws("", *[F.col("g")[str(i)] for i in range(n)])
+    return ex.select("doc_id", gram.alias("shingle")).distinct()
 
 
 _CHARGRAM_SHINGLE_SELECT = """SELECT doc_id,
