@@ -924,12 +924,14 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "dedup"),
 )
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 10: candidate join + dedup move ID PAIRS only; the
+    # 512-byte vectors re-attach via broadcast joins before the cosine
+    # (same rule as knn_edges — the pair set is quadratic within
+    # buckets, the payload must ride the small side)
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     signed = emb.select(
-        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select(
-        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
-    )
+        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")
     b = signed.alias("b")
     cand = (
@@ -942,11 +944,12 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    cand = cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
     cos = dot(F.col("ea"), F.col("eb"))
     return cand.filter(cos > 0.3).select(
         "a_id", "b_id", F.round(cos, 4).alias("cosine")
