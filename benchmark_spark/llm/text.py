@@ -1116,7 +1116,7 @@ _BPE_K = 8  # merge-table size: enough rounds that merged symbols re-merge
 _BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, final: str | None = None) -> str:
     """K unrolled merge iterations (the q_knn_pq_trained precedent:
     a driver loop replayed as chained SQL). Each words_i CTE is
     MATERIALIZED — chained iteration CTEs inline exponentially
@@ -1155,7 +1155,7 @@ def _bpe_oracle(k: int) -> str:
             FROM pairs{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
         )"""
         )
-        if i < k:
+        if i < k or final is not None:
             ctes.append(
                 f"""words{i} AS MATERIALIZED (
                 SELECT replace(ws,
@@ -1167,6 +1167,8 @@ def _bpe_oracle(k: int) -> str:
             )"""
             )
         tops.append(f"SELECT * FROM top{i}")
+    if final is not None:
+        return "WITH " + ",\n".join(ctes) + "\n" + final.format(last=f"words{k}")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(tops)
 
 
@@ -1201,16 +1203,63 @@ def _bpe_oracle(k: int) -> str:
     tags=("extension", "text"),
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_train_merges(spark, _bpe_vocab(spark, sf_dir), _BPE_K)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, cnt long"
+    )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, n) pre-token vocabulary of events.props — the one
+    corpus-wide shuffle both BPE queries start from."""
     events = load_table(spark, sf_dir, "events", assert_schema=False)
     toks = F.regexp_extract_all(F.col("props"), F.lit(_BPE_REGEX), F.lit(0))
-    vocab = (
+    return (
         events.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    merges = bpe_train_merges(spark, vocab, _BPE_K)
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, cnt long"
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_oracle(
+        _BPE_K,
+        final="""
+        SELECT sym AS tok, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM (SELECT n, unnest(string_split(trim(ws), '  ')) AS sym FROM {last})
+        GROUP BY sym
+        ORDER BY n_tokens DESC, tok
+        LIMIT 20
+    """,
+    ),
+    doc=(
+        "BPE ENCODE — apply the learned merge table (the q_bpe_train "
+        "-> tokenize step every training pipeline runs after vocab "
+        "induction): train the same K merges, apply all of them to the "
+        "vocabulary (each application is ONE literal replace over the "
+        "separator-encoded words — greedy classic semantics, see "
+        "q_bpe_train), then explode the resulting symbols weighted by "
+        "word frequency and count — the top-20 encoded-token "
+        "distribution. Because encoding runs on the VOCAB table and "
+        "re-weights by count, the corpus is never rescanned after the "
+        "initial pre-token shuffle — at 100 TB the encode cost is "
+        "O(vocab x K), not O(corpus x K). The oracle replays the whole "
+        "train+apply chain as unrolled MATERIALIZED CTEs and counts "
+        "the same symbols — a single mis-applied merge changes the "
+        "token histogram and breaks the hash."
+    ),
+    tags=("extension", "text"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, words = bpe_train(spark, _bpe_vocab(spark, sf_dir), _BPE_K)
+    syms = F.split(F.trim(F.col("ws")), "  ")
+    return (
+        words.select("n", F.explode(syms).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("tok"))
+        .limit(20)
     )
 
 
@@ -1221,6 +1270,15 @@ def bpe_train_merges(
     q_bpe_train's docstring for the separator encoding that makes the
     per-round replace classic greedy BPE. Returns [(rank, lhs, rhs,
     pair count at merge time)]; stops early if no pair remains."""
+    merges, _words = bpe_train(spark, vocab, k)
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession, vocab: DataFrame, k: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """bpe_train_merges plus the POST-merge vocabulary state (ws, n)
+    with merge k applied — the input to encoding (q_bpe_encode)."""
     from pyspark.sql import Window
 
     words = vocab.select(
@@ -1260,7 +1318,7 @@ def bpe_train_merges(
                 ).alias("ws"),
                 "n",
             )
-        return merges
+        return merges, words
     finally:
         base.unpersist()
 

@@ -558,17 +558,22 @@ def test_bpe_train_merge_semantics_and_shape(spark):
     # round 2: (a,b) = 2x4 + 1x3 = 11
     # round 3: the rank-1 MERGED symbol re-merges with itself (aa,aa)=5
     # round 4: ditto for ab; round 5 finds no pair left -> early stop
-    from benchmark_spark.llm.text import _BPE_K, bpe_train_merges, q_bpe_train
+    from benchmark_spark.llm.text import _BPE_K, bpe_train, q_bpe_train
 
     vocab = spark.createDataFrame(
         [("aaaa", 5), ("abab", 4), ("ab", 3)], "tok string, n long"
     )
-    assert bpe_train_merges(spark, vocab, 8) == [
+    merges, words = bpe_train(spark, vocab, 8)
+    assert merges == [
         (1, "a", "a", 15),
         (2, "a", "b", 11),
         (3, "aa", "aa", 5),
         (4, "ab", "ab", 4),
     ]
+    # the post-merge state encodes each crafted word to ONE symbol —
+    # the q_bpe_encode contract on a fully-learnable corpus
+    enc = {(r["ws"], r["n"]) for r in words.collect()}
+    assert enc == {(" aaaa ", 5), (" abab ", 4), (" ab ", 3)}
 
     table = q_bpe_train(spark, SF_SMOKE).collect()
     assert [r["merge_rank"] for r in table] == list(range(1, _BPE_K + 1))
