@@ -446,14 +446,9 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
-    """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS/DRI from
-    the stream, Huffman-decodes with restart-marker resync,
-    dequantizes, inverse-DCTs, upsamples subsampled chroma, converts
-    to RGB. Handles any SOF-declared sampling-factor grid (h, v in
-    1..4 per A.1.1 — 4:4:4, 4:2:0, 4:2:2, ...); MCU geometry and
-    per-component dimensions follow A.2.4. Returns ("jpeg", width,
-    height, top-down RGB bytes)."""
+def _parse_headers(payload: bytes) -> dict:
+    """Parse DQT/DHT/SOF0/SOS/DRI; return the frame description plus
+    the raw entropy-segment bytes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -522,56 +517,73 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
-
-    hmax = max(h for _cid, h, _v, _tq in comp_spec)
-    vmax = max(v for _cid, _h, v, _tq in comp_spec)
-    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    # per-component block-grid dims: mcux*h across, mcuy*v down (A.2.4)
-    grid = {c: (mcuy * v, mcux * h) for c, (_cid, h, v, _tq) in enumerate(comp_spec)}
-    zz_planes = {
-        c: np.zeros((gh * gw, 64), dtype=np.int64) for c, (gh, gw) in grid.items()
+    return {
+        "qts": qts, "hts": hts, "width": width, "height": height,
+        "comp_spec": comp_spec, "scan": scan,
+        "restart_interval": restart_interval,
+        "entropy": payload[entropy_start:end],
     }
 
-    r = _BitReader(payload[entropy_start:end])
-    # entropy pass (inherently sequential bits) fills per-component
-    # coefficient matrices; dequant + IDCT + assembly run BATCHED below
-    prev_dc = [0, 0, 0]
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            m = my * mcux + mx
-            if restart_interval and m and m % restart_interval == 0:
-                r.expect_restart(rst)  # byte-align + consume RSTm
-                rst += 1
-                prev_dc = [0, 0, 0]  # DC prediction resets (E.2.4)
-            for comp, dc_t, ac_t in scan:
-                _cid, h, v, _tq = comp_spec[comp]
-                _gh, gw = grid[comp]
-                for dv in range(v):
-                    for dh in range(h):
-                        zz = zz_planes[comp][(my * v + dv) * gw + (mx * h + dh)]
-                        s = _huff_decode(r, hts[(0, dc_t)])
-                        diff = _extend(r.read_bits(s), s) if s else 0
-                        prev_dc[comp] += diff
-                        zz[0] = prev_dc[comp]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, hts[(1, ac_t)])
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(r.read_bits(size), size)
-                            k += 1
 
-    # batched per-component reconstruction, then nearest-neighbor
-    # upsample to the luma grid (the upsampling filter is decoder's
-    # choice per A.1.1; nearest keeps the arithmetic integer-exact)
+def _geometry(hdr: dict) -> tuple[int, int, dict]:
+    """MCU grid (mcux, mcuy) and per-component block-grid dims
+    (A.2.4)."""
+    comp_spec = hdr["comp_spec"]
+    hmax = max(h for _cid, h, _v, _tq in comp_spec)
+    vmax = max(v for _cid, _h, v, _tq in comp_spec)
+    mcux = -(-hdr["width"] // (8 * hmax))
+    mcuy = -(-hdr["height"] // (8 * vmax))
+    grid = {c: (mcuy * v, mcux * h) for c, (_cid, h, v, _tq) in enumerate(comp_spec)}
+    return mcux, mcuy, grid
+
+
+def _decode_mcu_run(
+    r: _BitReader, hdr: dict, grid: dict, zz_planes: dict,
+    mcux: int, mcu_lo: int, mcu_hi: int,
+) -> None:
+    """Entropy-decode MCUs [mcu_lo, mcu_hi) from `r` into zz_planes,
+    with FRESH DC predictors — exactly a restart segment's contract
+    (E.2.4), which is what makes segments independently decodable."""
+    hts, scan, comp_spec = hdr["hts"], hdr["scan"], hdr["comp_spec"]
+    prev_dc = [0, 0, 0]
+    for m in range(mcu_lo, mcu_hi):
+        my, mx = divmod(m, mcux)
+        for comp, dc_t, ac_t in scan:
+            _cid, h, v, _tq = comp_spec[comp]
+            _gh, gw = grid[comp]
+            for dv in range(v):
+                for dh in range(h):
+                    zz = zz_planes[comp][(my * v + dv) * gw + (mx * h + dh)]
+                    s = _huff_decode(r, hts[(0, dc_t)])
+                    diff = _extend(r.read_bits(s), s) if s else 0
+                    prev_dc[comp] += diff
+                    zz[0] = prev_dc[comp]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, hts[(1, ac_t)])
+                        run, size = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zz[k] = _extend(r.read_bits(size), size)
+                        k += 1
+
+
+def _reconstruct(hdr: dict, grid: dict, zz_planes: dict) -> tuple[str, int, int, bytes]:
+    """Batched per-component dequant + IDCT + assembly, then
+    nearest-neighbor upsample of subsampled chroma to the luma grid
+    (the upsampling filter is decoder's choice per A.1.1; nearest
+    keeps the arithmetic integer-exact)."""
+    width, height, comp_spec, qts = (
+        hdr["width"], hdr["height"], hdr["comp_spec"], hdr["qts"]
+    )
+    hmax = max(h for _cid, h, _v, _tq in comp_spec)
+    vmax = max(v for _cid, _h, v, _tq in comp_spec)
     channels = []
     for c, (_cid, h, v, tq) in enumerate(comp_spec):
         gh, gw = grid[c]
@@ -593,3 +605,88 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
     ycc = np.stack(channels, axis=-1)
     rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
     return "jpeg", width, height, rgb.tobytes()
+
+
+def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS/DRI from
+    the stream, Huffman-decodes with restart-marker resync,
+    dequantizes, inverse-DCTs, upsamples subsampled chroma, converts
+    to RGB. Handles any SOF-declared sampling-factor grid (h, v in
+    1..4 per A.1.1 — 4:4:4, 4:2:0, 4:2:2, ...); MCU geometry and
+    per-component dimensions follow A.2.4. Returns ("jpeg", width,
+    height, top-down RGB bytes).
+
+    Structure: the stream is decoded as a sequence of restart
+    SEGMENTS (the whole image is one segment when DRI is absent);
+    each segment decodes through the same _decode_mcu_run core the
+    strip-parallel decode_jpeg_split uses, with the RSTm markers
+    consumed and index-checked between segments."""
+    hdr = _parse_headers(payload)
+    mcux, mcuy, grid = _geometry(hdr)
+    n_mcus = mcux * mcuy
+    zz_planes = {
+        c: np.zeros((gh * gw, 64), dtype=np.int64) for c, (gh, gw) in grid.items()
+    }
+    r = _BitReader(hdr["entropy"])
+    ri = hdr["restart_interval"] or n_mcus
+    rst = 0
+    for lo in range(0, n_mcus, ri):
+        if lo:
+            r.expect_restart(rst)  # byte-align + consume RSTm (E.2.4)
+            rst += 1
+        _decode_mcu_run(r, hdr, grid, zz_planes, mcux, lo, min(lo + ri, n_mcus))
+    return _reconstruct(hdr, grid, zz_planes)
+
+
+def split_entropy_segments(entropy: bytes) -> list[bytes]:
+    """Split an entropy segment at its RSTm markers. Unambiguous
+    without decoding: inside entropy data a 0xFF byte is ALWAYS
+    followed by a stuffed 0x00 (B.1.1.5) or a restart marker D0-D7 —
+    so the markers are findable by pure byte scan, which is exactly
+    why they are the legal parallel-split points of a JPEG."""
+    parts, start, i = [], 0, 0
+    while i < len(entropy) - 1:
+        if entropy[i] == 0xFF:
+            nxt = entropy[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                parts.append(entropy[start:i])
+                start = i + 2
+            i += 2  # skip the marker or the stuffed 0x00 pair
+        else:
+            i += 1
+    parts.append(entropy[start:])
+    return parts
+
+
+def decode_jpeg_split(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Restart-parallel decode: split the entropy segment at its RSTm
+    markers by byte scan and decode every strip INDEPENDENTLY (fresh
+    bit reader, fresh DC predictors — the guarantee a restart segment
+    provides), then reconstruct once. Byte-identical to decode_jpeg
+    (pinned in tests/test_jpeg.py) because the per-strip coefficient
+    math is the same _decode_mcu_run.
+
+    This is the cluster shape for decoding GIANT scans (satellite
+    tiles, pathology slides): ship (headers, strip bytes, strip index)
+    to workers — each strip is self-contained — and assemble
+    coefficient planes by offset. Here the strips run in-process; the
+    parallelism hook is the split itself, proven lossless."""
+    hdr = _parse_headers(payload)
+    ri = hdr["restart_interval"]
+    if not ri:
+        raise ValueError("no restart markers to split on (DRI absent or 0)")
+    mcux, mcuy, grid = _geometry(hdr)
+    n_mcus = mcux * mcuy
+    strips = split_entropy_segments(hdr["entropy"])
+    expected = -(-n_mcus // ri)
+    if len(strips) != expected:
+        raise ValueError(f"found {len(strips)} strips, expected {expected}")
+    zz_planes = {
+        c: np.zeros((gh * gw, 64), dtype=np.int64) for c, (gh, gw) in grid.items()
+    }
+    for si, strip in enumerate(strips):  # independent: any order works
+        _decode_mcu_run(
+            _BitReader(strip), hdr, grid, zz_planes,
+            mcux, si * ri, min((si + 1) * ri, n_mcus),
+        )
+    return _reconstruct(hdr, grid, zz_planes)

@@ -891,6 +891,7 @@ JPEG420_STATS_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("mcus", T.LongType()),
         T.StructField("restarts", T.LongType()),
+        T.StructField("split_eq", T.LongType()),
         T.StructField("max_err_ok", T.LongType()),
         T.StructField("mean_err_ok", T.LongType()),
     ]
@@ -907,6 +908,7 @@ JPEG420_STATS_SCHEMA = T.StructType(
                     AS BIGINT) AS mcus,
                (CAST(ceil((16 + doc_id % 9) / 16.0) * ceil((16 + doc_id % 7) / 16.0)
                      AS BIGINT) - 1) // 2 AS restarts,
+               CAST(1 AS BIGINT) AS split_eq,
                CAST(1 AS BIGINT) AS max_err_ok,
                CAST(1 AS BIGINT) AS mean_err_ok
         FROM documents
@@ -922,7 +924,12 @@ JPEG420_STATS_SCHEMA = T.StructType(
         "check, DC predictor reset) and nearest-upsamples the chroma "
         "planes. The worker counts the RST markers ACTUALLY in the "
         "entropy segment (hash-checked vs the oracle's (MCUs-1)//2 "
-        "replay — a lost or extra marker breaks it) and emits the "
+        "replay — a lost or extra marker breaks it), verifies PER "
+        "DOCUMENT that the restart-PARALLEL decode (decode_jpeg_split: "
+        "strips found by pure byte scan, each decoded independently "
+        "with fresh DC predictors, any order) is byte-identical to the "
+        "sequential decode (split_eq, r10 — the cluster-split-point "
+        "claim as hashed data), and emits the "
         "4:4:4-style tolerance verdicts (max err <= "
         f"{_JPEG420_MAX_ERR}, mean <= {_JPEG420_MEAN_CENTI / 100}). "
         "Resync-skew rejection, edge-MCU dims, and the 4:4:4 "
@@ -947,7 +954,7 @@ def q_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {
                 "doc_id": [], "width": [], "height": [], "mcus": [],
-                "restarts": [], "max_err_ok": [], "mean_err_ok": [],
+                "restarts": [], "split_eq": [], "max_err_ok": [], "mean_err_ok": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
@@ -958,6 +965,10 @@ def q_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
                     restart_interval=_JPEG420_RST_INTERVAL,
                 )
                 fmt, dw, dh, rgb = jpeg.decode_jpeg(payload)
+                # restart-PARALLEL decode (strips split by byte scan,
+                # each decoded independently) must be byte-identical —
+                # the 100 TB split-point claim, verified per document
+                split_eq = int(jpeg.decode_jpeg_split(payload)[3] == rgb)
                 expected = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
                 got = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                 err = np.abs(got - expected)
@@ -972,6 +983,7 @@ def q_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["height"].append(dh)
                 rows["mcus"].append(-(-dw // 16) * -(-dh // 16))
                 rows["restarts"].append(rsts)
+                rows["split_eq"].append(split_eq)
                 rows["max_err_ok"].append(int(err.max() <= _JPEG420_MAX_ERR))
                 rows["mean_err_ok"].append(
                     int(err.mean() * 100 <= _JPEG420_MEAN_CENTI)

@@ -209,3 +209,43 @@ def test_444_bytes_unchanged_by_420_support():
 
     assert hashlib.sha256(enc).hexdigest() == EXPECTED_444_SHA
 
+
+
+def test_split_decode_is_byte_identical_and_order_independent():
+    """Restart strips decode independently: decode_jpeg_split equals
+    the sequential decoder byte-for-byte across subsamplings and
+    intervals, strips are recoverable by pure byte scan, and decoding
+    them in REVERSE order yields the same planes (true independence —
+    no hidden cross-strip state)."""
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    w, h = 120, 90
+    src = jpeg_rgb(13, w, h)
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (1, 3, 7):
+            enc = J.encode_jpeg(w, h, src, 85, subsampling=sub, restart_interval=ri)
+            assert J.decode_jpeg_split(enc) == J.decode_jpeg(enc)
+    # order independence, by hand: run the strip loop reversed
+    import numpy as np
+
+    enc = J.encode_jpeg(w, h, src, 85, subsampling="4:2:0", restart_interval=3)
+    hdr = J._parse_headers(enc)
+    mcux, mcuy, grid = J._geometry(hdr)
+    n_mcus = mcux * mcuy
+    ri = hdr["restart_interval"]
+    strips = J.split_entropy_segments(hdr["entropy"])
+    zz = {c: np.zeros((gh * gw, 64), dtype=np.int64) for c, (gh, gw) in grid.items()}
+    for si in reversed(range(len(strips))):
+        J._decode_mcu_run(
+            J._BitReader(strips[si]), hdr, grid, zz,
+            mcux, si * ri, min((si + 1) * ri, n_mcus),
+        )
+    assert J._reconstruct(hdr, grid, zz) == J.decode_jpeg(enc)
+
+
+def test_split_decode_requires_restart_markers():
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    enc = J.encode_jpeg(32, 32, jpeg_rgb(1, 32, 32), 85)
+    with pytest.raises(ValueError, match="no restart markers"):
+        J.decode_jpeg_split(enc)
