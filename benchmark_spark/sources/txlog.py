@@ -1751,6 +1751,84 @@ def _txlog_stream_source_cls():
     return TxLogStreamSource
 
 
+def _txlog_partitioned_stream_source_cls():
+    """PARTITIONED streaming source over the txlog (round 10 — the
+    scale path the simple reader's docstring promised): offsets are
+    still log versions, but each file ADDED in the consumed version
+    range becomes one InputPartition, so the data bytes are read BY
+    EXECUTORS in parallel — the driver only plans (reads the commit
+    JSONs). This is the Delta-source execution shape: a 1000-file
+    ingest batch fans out as 1000 tasks, and the driver never touches
+    a data byte."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _FilePart(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _Reader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.versions_per_batch = int(options.get("versionsperbatch", "2"))
+            # last version this reader has handed out: advanced by
+            # partitions() (planning) and commit(); latestOffset must
+            # never step more than versions_per_batch past it
+            self._consumed = -1
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            head = (TxLogTable(self.path).versions() or [-1])[-1]
+            # cap versions per micro-batch so a multi-commit backlog
+            # exercises several offset hand-offs through the checkpoint
+            return {"version": min(head, self._consumed + self.versions_per_batch)}
+
+        def partitions(self, start: dict, end: dict):
+            self._consumed = max(self._consumed, end["version"])
+            t = TxLogTable(self.path)
+            parts = []
+            for v in t.versions():
+                if not (start["version"] < v <= end["version"]):
+                    continue
+                for a in t._read_commit(v)["actions"]:
+                    if "remove" in a:
+                        raise ValueError(
+                            f"append-only stream saw a remove at v{v}; "
+                            "reprocess from a snapshot instead"
+                        )
+                    if "add" in a:
+                        parts.append(_FilePart(os.path.join(self.path, a["add"])))
+            return parts
+
+        def read(self, partition):
+            # runs ON THE EXECUTOR: one task per added file
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(partition.path)
+            return iter(zip(*[tbl.column(c).to_pylist() for c in tbl.column_names]))
+
+        def commit(self, end: dict) -> None:
+            self._consumed = max(self._consumed, end["version"])
+
+    class TxLogPartitionedStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlogstreampart"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def streamReader(self, schema):
+            return _Reader(self.options)
+
+    return TxLogPartitionedStreamSource
+
+
 @register(
     "q_txlog_stream_source",
     oracle=f"""
@@ -1813,6 +1891,96 @@ def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"txlog_src_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        done = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                done = spark.table(sink).agg(F.sum("n")).first()[0]
+            except AnalysisException:
+                done = None
+            if done == expected:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(f"txlog stream incomplete: {done}/{expected} rows")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink)
+
+
+@register(
+    "q_txlog_stream_partitioned",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc=(
+        "PARTITIONED streaming source over the transaction log (round "
+        "10 — the scale path the simple q_txlog_stream_source "
+        "documents): same version offsets, but each file ADDED in the "
+        "consumed range becomes one InputPartition, so the data bytes "
+        "are read BY EXECUTORS in parallel tasks — the driver only "
+        "plans from the commit JSONs and never touches a data byte "
+        "(the Delta-source execution shape: a 1000-file ingest batch "
+        "fans out as 1000 tasks). latestOffset caps 2 versions per "
+        "micro-batch so the 5-commit fixture still exercises multiple "
+        "offset hand-offs through the checkpoint; the append-only "
+        "contract raises on a remove in the consumed range at PLAN "
+        "time. Same md5-fingerprint complete-mode rollup equal to the "
+        "batch aggregate — a lost, duplicated, or torn partition "
+        "breaks the hash."
+    ),
+    tags=("source", "extension", "streaming", "txlog"),
+)
+def q_txlog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from benchmark_spark.streaming.windows import scratch_dir
+
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    expected = base.count()
+    path = _fresh_table_dir("streampart")
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+    for i in range(5):  # five append commits = five offset steps
+        t.append(spark, base.filter(F.col("o_orderkey") % 50 == 10 * i), ("o_orderkey",))
+
+    spark.dataSource.register(_txlog_partitioned_stream_source_cls())
+    agg = (
+        spark.readStream.format("txlogstreampart")
+        .option("path", path)
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+                ).cast("long")
+                % 1000003
+            ).alias("fp"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    sink = f"txlog_part_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir()
     q = (
         agg.writeStream.outputMode("complete")

@@ -680,3 +680,45 @@ def test_partitioned_dv_and_compose(spark, ptable):
     assert got == 334 - 3  # 3 and 6 and 501 are all %3==0
     df, _ = ptable.read_where(spark, "k", 0, 10, partition={"p": "a"})
     assert sorted(r[0] for r in df.select("k").collect()) == [0, 9]
+
+
+def test_partitioned_stream_reader_protocol(spark, table, tmp_path):
+    """The partitioned streaming source's planner contract: offsets
+    step at most versionsperbatch per latestOffset, each added FILE in
+    the consumed range is one InputPartition, read(partition) yields
+    that file's rows, and a remove in the range raises at PLAN time."""
+    from benchmark_spark.sources.txlog import (
+        _txlog_partitioned_stream_source_cls,
+    )
+
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(2000 + 10 * i, 2010 + 10 * i).select(
+                F.col("id").alias("k"), F.lit(i).alias("v")
+            ),
+            ("k",),
+        )
+    src = _txlog_partitioned_stream_source_cls()({"path": table.path})
+    r = src.streamReader(None)
+    offset = r.initialOffset()
+    seen_rows, hops = 0, 0
+    while True:
+        end = r.latestOffset()
+        if end == offset:
+            break
+        parts = r.partitions(offset, end)
+        hops += 1
+        for p in parts:
+            seen_rows += sum(1 for _ in r.read(p))
+        r.commit(end)
+        offset = end
+    assert hops == 3  # 5 commits / cap 2
+    assert seen_rows == 1000 + 40
+    # the create commit alone contributed 4 partitions (4 bucket files)
+    parts0 = r.partitions({"version": -1}, {"version": 0})
+    assert len(parts0) == 4
+    # a remove poisons planning, not execution
+    table.delete_where(spark, "k", 0, 99, ("k",))
+    with pytest.raises(ValueError, match="append-only"):
+        r.partitions(offset, {"version": offset["version"] + 1})
