@@ -125,8 +125,80 @@ def cdc_curve(mults: list[int]) -> None:
     print(json.dumps({"metric": "txlog_cdc_curve", "base": "sf0.1", "curves": out}))
 
 
+def partition_curve(mults: list[int]) -> None:
+    """Partition+stats prune vs TABLE size (--partition mode, round
+    10): build a partitioned txlog table of N x sf0.1 orders, run a
+    CONSTANT-selectivity (status='F' AND one-bucket key range)
+    read_where, and record the composed counters plus wall time
+    against a full scan. The claim under test (q_txlog_partition_prune):
+    files_scanned stays ~FLAT while files_total grows ~linearly — the
+    partition filter is O(1) per file from the log and the zone map
+    bounds the remainder, so selective reads cost O(matching cells),
+    never O(table)."""
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.session import get_spark
+    from benchmark_spark.sources.txlog import TxLogTable
+
+    spark = get_spark("txlog-partition-curve", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "orders", assert_schema=False).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    blo, bhi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = int(bhi) - int(blo) + 1  # dense shift: no gaps, so the
+    out = {}                       # equal-width buckets stay occupied
+    for n in mults:
+        df = base
+        for r in range(1, n):  # replicas with shifted keys, same statuses
+            df = df.unionByName(
+                base.select(
+                    (F.col("o_orderkey") + r * span).alias("o_orderkey"),
+                    "o_orderstatus",
+                    "o_totalprice",
+                )
+            )
+        d = tempfile.mkdtemp(prefix="txlog-part-")
+        try:
+            t = TxLogTable.create_partitioned(
+                spark, d, df, "o_orderstatus", "o_orderkey", 8 * n, ("o_orderkey",)
+            )
+            lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+            width = max(1, (int(hi) - int(lo) + 8 * n) // (8 * n))
+            dlo, dhi = int(lo) + 3 * width, int(lo) + 3 * width + width // 2
+            t0 = time.perf_counter()
+            sel, c = t.read_where(
+                spark, "o_orderkey", dlo, dhi, partition={"o_orderstatus": "F"}
+            )
+            n_sel = sel.count()
+            sel_s = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            total = t.read(spark).count()
+            full_s = time.perf_counter() - t1
+            row = {
+                "mult": n,
+                "table_rows": total,
+                "selected_rows": n_sel,
+                "files_total": c["files_total"],
+                "files_in_partition": c["files_in_partition"],
+                "files_scanned": c["files_scanned"],
+                "selective_sec": round(sel_s, 3),
+                "full_scan_sec": round(full_s, 3),
+            }
+            out[f"x{n}"] = row
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"metric": "txlog_partition_curve", "base": "sf0.1", "curves": out}))
+
+
 if __name__ == "__main__":
     if "--cdc" in sys.argv:
         cdc_curve([int(a) for a in sys.argv[1:] if a != "--cdc"] or [1, 4, 10])
+    elif "--partition" in sys.argv:
+        partition_curve(
+            [int(a) for a in sys.argv[1:] if a != "--partition"] or [1, 4, 10]
+        )
     else:
         main()
