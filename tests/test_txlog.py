@@ -722,3 +722,27 @@ def test_partitioned_stream_reader_protocol(spark, table, tmp_path):
     table.delete_where(spark, "k", 0, 99, ("k",))
     with pytest.raises(ValueError, match="append-only"):
         r.partitions(offset, {"version": offset["version"] + 1})
+
+
+def test_checkpoint_preserves_deletion_vector_state(spark, table):
+    """A checkpoint stores the MERGED dv state, and a reader starting
+    from it (never opening the raw dv commits) resolves the same live
+    rows; dv commits AFTER the checkpoint layer on top."""
+    table.delete_keys(spark, "k", [5, 6], ("k",))
+    table.checkpoint()
+    table.delete_keys(spark, "k", [7], ("k",))
+
+    class CountingTable(TxLogTable):
+        opened: list = []
+
+        def _read_commit(self, version):
+            self.opened.append(version)
+            return super()._read_commit(version)
+
+    t2 = CountingTable(table.path)
+    adds = t2.snapshot_adds()
+    assert t2.opened == [2]  # only the post-checkpoint dv commit
+    dv = {p for a in adds if a.get("dv") for p in a["dv"]}
+    assert len(dv) == 3
+    got = {r[0] for r in t2.read(spark).select("k").collect()}
+    assert got == set(range(1000)) - {5, 6, 7}
