@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from benchmark_spark.catalog import load_table
 from benchmark_spark.llm import codecs
+from benchmark_spark.operators.aggregates import rnd_sql
 from benchmark_spark.registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -1086,3 +1087,104 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(spectrum, schema=SPECTRUM_SCHEMA)
+
+
+# Filterbank features (round 10): the feature-extraction step AFTER
+# the FFT — a bank of overlapping triangular filters pools spectral
+# power into a handful of band energies (the linear-frequency analog
+# of the mel filterbank under every speech/audio model's front end).
+_FB_N = 7  # filters; centers 4(f+1) = 4..28 over rfft bins 0..32
+_FB_HALF = 4  # triangle half-width in bins
+
+FILTERBANK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_filters", T.LongType()),
+        T.StructField("dom_bin", T.LongType()),
+        T.StructField("fb_centroid", T.DoubleType()),
+        T.StructField("concentration_ok", T.LongType()),
+    ]
+)
+
+
+@register(
+    "q_audio_filterbank",
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST({_FB_N} AS BIGINT) AS n_filters,
+               CAST(1 + d.doc_id % 31 AS BIGINT) AS dom_bin,
+               {rnd_sql('SUM(t.f * GREATEST(0.0, 1.0 - ABS((1 + d.doc_id % 31) '
+                        f'- 4.0 * (t.f + 1)) / {_FB_HALF}.0)) / '
+                        'SUM(GREATEST(0.0, 1.0 - ABS((1 + d.doc_id % 31) '
+                        f'- 4.0 * (t.f + 1)) / {_FB_HALF}.0))', 4)} AS fb_centroid,
+               CAST(1 AS BIGINT) AS concentration_ok
+        FROM documents d, (SELECT unnest(range(0, {_FB_N})) AS f) t
+        GROUP BY d.doc_id
+    """,
+    doc=(
+        "Triangular FILTERBANK energies over the rfft (round 10 — the "
+        "feature-pooling step after q_audio_spectrum's transform, the "
+        "linear-frequency analog of the mel front end): decode WAV, "
+        "rfft, pool power through 7 overlapping triangles (centers "
+        "4..28, half-width 4 bins), and emit the energy-weighted "
+        "FILTER CENTROID. Because the fixture tone sits at an exact "
+        "bin k, the true energies are w_f(k)^2-free — E_f = w_f(k) * "
+        "P_k up to int16-rounding leakage ~1e-8 relative — so the "
+        "DuckDB oracle replays the centroid ANALYTICALLY from the "
+        "triangle weight formula without computing a transform (the "
+        "q_audio_spectrum trick lifted from argmax to a weighted "
+        "moment, which is tie-free where argmax is not: midpoint "
+        "tones land BETWEEN filters and the centroid says exactly "
+        "that). concentration_ok pins in-plan that >= 99.9% of pooled "
+        "energy comes from the tone bin. At 100 TB this is a pure "
+        "Arrow-batched map stage like the decode tiers."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_audio_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, ch, samples = synth_tone(int(doc_id))
+                payloads.append(codecs.encode_wav(rate, ch, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    audio = ids.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+    def filterbank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bins = np.arange(33, dtype=np.float64)
+        centers = 4.0 * (np.arange(_FB_N, dtype=np.float64) + 1.0)
+        # (filters x bins) triangle weights — the REAL pooling matrix
+        w = np.maximum(0.0, 1.0 - np.abs(bins[None, :] - centers[:, None]) / _FB_HALF)
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_filters": [], "dom_bin": [],
+                "fb_centroid": [], "concentration_ok": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = codecs.decode_wav(bytes(payload))
+                x = np.asarray(samples, dtype=np.float64)
+                power = np.abs(np.fft.rfft(x)) ** 2
+                energies = w @ power
+                centroid = float(
+                    (np.arange(_FB_N) * energies).sum() / energies.sum()
+                )
+                dom = int(np.argmax(power[1:]) + 1)
+                tone_only = w[:, dom] * power[dom]
+                conc = float(tone_only.sum() / energies.sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["n_filters"].append(_FB_N)
+                rows["dom_bin"].append(dom)
+                # tie-deterministic 4dp round, the rnd()/rnd_sql contract
+                rows["fb_centroid"].append(
+                    float(np.floor(centroid * 1e4 + 0.5) / 1e4)
+                )
+                rows["concentration_ok"].append(int(conc >= 0.999))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(filterbank, schema=FILTERBANK_SCHEMA)
