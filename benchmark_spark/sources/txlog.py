@@ -471,9 +471,16 @@ class TxLogTable:
 
     @staticmethod
     def _partition_match(a: dict, partition: dict | None) -> bool:
+        """Can this file contain rows of `partition`? Files WITHOUT
+        partition metadata (e.g. appended or merged in unattributed)
+        must answer YES — they can contain anything, so a partition
+        filter keeps them and relies on the row-level filter for
+        exactness (read_where applies it)."""
         if not partition:
             return True
-        have = a.get("partition") or {}
+        have = a.get("partition")
+        if have is None:
+            return True  # unattributed: conservatively in every partition
         return all(have.get(k) == str(v) for k, v in partition.items())
 
     def _read_adds(self, spark: SparkSession, adds: list[dict]) -> DataFrame:
@@ -579,6 +586,12 @@ class TxLogTable:
             empty = spark.createDataFrame([], self.read(spark, version).schema)
             return empty, counters
         df = self._read_adds(spark, touched).filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        if partition:
+            # row-level partition filter: exactness for unattributed
+            # files (attributed groups inject the literal, so for them
+            # this predicate is constant-folded true by Catalyst)
+            for k, v in partition.items():
+                df = df.filter(F.col(k) == str(v))
         return df, counters
 
     def prune(
@@ -818,9 +831,23 @@ class TxLogTable:
     ) -> int:
         """Replace the live file set with target_files files, one commit."""
         adds = self.snapshot_adds()
-        df = self._read_adds(spark, adds)  # folds deletion vectors back in
-        slices = [df.coalesce(1)] if target_files == 1 else [df.coalesce(target_files)]
-        actions = self._write_files(spark, slices, stats_cols)
+        # compact per partition group (round 10): rewritten files must
+        # KEEP their partition attribution or partition-filtered reads
+        # lose them; deletion vectors fold back in via _read_adds
+        groups: dict[tuple, list[dict]] = {}
+        for a in adds:
+            key = tuple(sorted((a.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(a)
+        actions: list[dict] = []
+        for pitems in sorted(groups):
+            df = self._read_adds(spark, groups[pitems])
+            if pitems:
+                df = df.drop(*[k for k, _v in pitems])
+            slices = [df.coalesce(1)] if target_files == 1 else [df.coalesce(target_files)]
+            writes = self._write_files(spark, slices, stats_cols)
+            if pitems:
+                writes = [{**w, "partition": dict(pitems)} for w in writes]
+            actions += writes
         actions += [{"remove": a["add"]} for a in adds]
         return self.commit(actions, op="compact")
 

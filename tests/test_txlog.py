@@ -746,3 +746,36 @@ def test_checkpoint_preserves_deletion_vector_state(spark, table):
     assert len(dv) == 3
     got = {r[0] for r in t2.read(spark).select("k").collect()}
     assert got == set(range(1000)) - {5, 6, 7}
+
+
+def test_partitioned_compact_preserves_attribution(spark, ptable):
+    """Compaction on a partitioned table rewrites PER PARTITION GROUP:
+    attribution survives (partition-filtered reads still see all rows)
+    and the layout collapses to one file per partition."""
+    ptable.delete_keys(spark, "k", [3], ("k",))  # a dv to fold in, too
+    ptable.compact(spark, ("k",))
+    adds = ptable.snapshot_adds()
+    assert len(adds) == 2  # one compacted file per partition
+    assert {a["partition"]["p"] for a in adds} == {"a", "b"}
+    assert not any(a.get("dv") for a in adds)
+    df, c = ptable.read_where(spark, "k", 0, 999, partition={"p": "a"})
+    assert c == {"files_total": 2, "files_in_partition": 1, "files_scanned": 1}
+    assert df.count() == 334 - 1
+
+
+def test_unattributed_files_stay_visible_to_partition_reads(spark, ptable):
+    """A merge (or plain append) writes files WITHOUT partition
+    metadata; the partition filter must keep them conservatively and
+    rely on the row filter — rows must never vanish from partition
+    reads just because a writer didn't attribute them."""
+    ups = spark.createDataFrame([(3, "a", -1), (5000, "a", 7)], "k long, p string, v long")
+    ptable.merge(spark, ups, "k", ("k",))
+    # k=3 (updated, %3==0 so partition a) and k=5000 (insert) live in
+    # unattributed files now; both must appear under the 'a' filter
+    df, c = ptable.read_where(spark, "k", 0, 5000, partition={"p": "a"})
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got[3] == -1 and got[5000] == 7
+    assert df.filter(F.col("p") != "a").count() == 0  # row filter exact
+    # and the b partition does NOT see them
+    df_b, _ = ptable.read_where(spark, "k", 0, 5000, partition={"p": "b"})
+    assert 5000 not in {r["k"] for r in df_b.select("k").collect()}
