@@ -1847,7 +1847,11 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_NLIST_MIN = 16  # coarse-centroid floor (tiny-corpus fixtures)
 _IVFPQ_NPROBE_MIN = 6  # probe floor
-_IVFPQ_ITERS = 2  # unrolled Lloyd iterations, coarse AND residual PQ
+_IVFPQ_ITERS = 3  # unrolled Lloyd iterations, coarse AND residual PQ
+# (2 -> 3 in r10: the third iteration flattens the recall-vs-scale
+# curve to monotone 0.88 / 0.88 / 1.00 at x1/x10/x100 — iters=2 dipped
+# to 0.78 at x10 — at the cost of one more unrolled CTE block per
+# quantizer in the oracle; scan fractions unchanged)
 _IVFPQ_TRAIN_MIN = 512  # training-sample floor
 _IVFPQ_TRAIN_CAP = 4096  # driver-side sample cap (bounds collect + Lloyd)
 
@@ -1858,9 +1862,10 @@ def _ivfpq_params(n: int) -> tuple[int, int, int]:
     sqrt(N) instead of linearly; nprobe ~ 2.5*sqrt(nlist) so the
     scanned fraction nprobe/nlist ~ 2.5/N^(1/4) FALLS as the corpus
     grows while holding recall (measured on the rolled-replica curve,
-    tools/curve_pq_recall.py: recall@10 0.92 @ 38% scanned at x1,
-    ~0.85 @ 20% at x10, 1.0 @ 11% at x100 — the 1.5x multiplier hit
-    0.94 @ 6% at x100 but dipped to 0.78 at small N); the Lloyd
+    tools/curve_pq_recall.py at 3 Lloyd iterations: recall@10 0.88 @
+    38% scanned at x1, 0.88 @ 20% at x10, 1.0 @ 11% at x100 —
+    MONOTONE in N; the 1.5x multiplier hit 0.94 @ 6% at x100 but
+    dipped to 0.78 at small N); the Lloyd
     sample is corpus-proportional (16 vectors per centroid, the
     level the sweep showed lifts small-N recall +0.02..0.04) with
     floor 512 and cap 4096 (bounds the driver collect). All three

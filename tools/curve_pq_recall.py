@@ -91,15 +91,17 @@ def recall(v: np.ndarray, m: int, d: int, k: int, train_n: int, iters: int,
 
 def ivfpq_recall(
     v: np.ndarray, m: int = 8, d: int = 8,
-    k: int = 64, iters: int = 2, sl_div: int = 8,
+    k: int = 64, iters: int | None = None, sl_div: int = 8,
 ) -> tuple[float, float, dict]:
     """Recall@10 and mean corpus fraction ADC-scanned for the IVFPQ
     tier (q_knn_ivfpq's exact integer arithmetic, with the r10
     corpus-derived nlist/nprobe/train from _ivfpq_params). Matmuls
     run in float64 for BLAS speed — every product is < 2^53, so the
     results are integer-exact."""
-    from benchmark_spark.llm.similarity import _ivfpq_params
+    from benchmark_spark.llm.similarity import _IVFPQ_ITERS, _ivfpq_params
 
+    if iters is None:
+        iters = _IVFPQ_ITERS  # whatever the registered query runs
     n = len(v)
     nlist, nprobe, train_n = _ivfpq_params(n)
     vm = micros(v)
