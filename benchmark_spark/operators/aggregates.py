@@ -984,6 +984,109 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+
+
+@register(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+        WITH kc AS (
+            SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1
+        ),
+        rws AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+        cells AS (
+            SELECT r, CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
+                           || CAST(key AS VARCHAR)), 1, 15) AS BIGINT)
+                       % {_CMS_W} AS idx,
+                   CAST(SUM(cnt) AS BIGINT) AS c
+            FROM kc CROSS JOIN rws
+            GROUP BY 1, 2
+        ),
+        top AS (SELECT key, cnt FROM kc ORDER BY cnt DESC, key LIMIT 20),
+        est AS (
+            SELECT t.key, t.cnt, MIN(c.c) AS est
+            FROM top t
+            CROSS JOIN rws
+            JOIN cells c ON c.r = rws.r
+                AND c.idx = CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR)
+                            || '|' || CAST(t.key AS VARCHAR)), 1, 15) AS BIGINT)
+                            % {_CMS_W}
+            GROUP BY t.key, t.cnt
+        )
+        SELECT key, cnt, est,
+               CAST(est >= cnt AS BIGINT) AS over_ok,
+               CAST((est - cnt) * 1000000
+                    // CAST((SELECT SUM(cnt) FROM kc) AS BIGINT) AS BIGINT)
+                   AS err_ppm
+        FROM est
+        ORDER BY cnt DESC, key
+    """,
+    doc=(
+        "COUNT-MIN SKETCH heavy hitters (round 10 — the sketch family "
+        f"member with a FULL value oracle): a {_CMS_D}x{_CMS_W} CMS "
+        "built distributively — per-key counts first (the only "
+        "corpus-sized shuffle), then each distinct key feeds its count "
+        f"into {_CMS_D} md5-derived counters; cells are merged by "
+        "(row, index) SUM, which is exactly how per-partition sketches "
+        "merge at 100 TB (CMS is a linear sketch: merge = cell-wise "
+        "add, the property that makes it distributable where exact "
+        "top-k is not). Point estimates = MIN over the key's "
+        f"{_CMS_D} cells for the true top-20 keys, emitted next to the "
+        "exact counts with the one-sided-error verdict (est >= cnt "
+        "ALWAYS, by construction) and the collision overhead in ppm of "
+        "the stream. Unlike the engine-native HLL/KLL sketches "
+        "(q_approx_stats — in-plan verdicts only), the md5 hash rows "
+        "make the ENTIRE sketch construction bit-identical in DuckDB, "
+        "so the driver hash-checks every counter the estimate "
+        "touched."
+    ),
+    tags=("extension", "agg", "skew"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    kc = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").alias("r"))
+
+    def cms_idx(key_col, r_col):
+        h = F.md5(F.concat(r_col.cast("string"), F.lit("|"), key_col.cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _CMS_W).alias(
+            "idx"
+        )
+
+    cells = (
+        kc.crossJoin(F.broadcast(rows))
+        .select("r", cms_idx(F.col("key"), F.col("r")), "cnt")
+        .groupBy("r", "idx")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    top = kc.orderBy(F.desc("cnt"), "key").limit(20)
+    est = (
+        top.crossJoin(F.broadcast(rows))
+        .select("key", "cnt", "r", cms_idx(F.col("key"), F.col("r")))
+        .join(F.broadcast(cells), ["r", "idx"])
+        .groupBy("key", "cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    total = kc.agg(F.sum("cnt").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            "est",
+            (F.col("est") >= F.col("cnt")).cast("long").alias("over_ok"),
+            F.floor((F.col("est") - F.col("cnt")) * 1000000 / F.col("n"))
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+    )
+
+
 @register(
     "q_zscore_outliers",
     oracle=f"""
