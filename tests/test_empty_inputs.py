@@ -34,6 +34,15 @@ EMPTY_SAFE = [
     "q_latest_snapshot",
     "q_equidepth_hist",
     "q_trend_fit",
+    # round 10: the iterative/sketch/codec tiers also short-circuit —
+    # BPE training stops at round 1 with no pairs, the CMS top-20 of
+    # nothing is nothing, the media fixtures generate zero payloads
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_heavy_hitters_cms",
+    "q_audio_filterbank",
+    "q_decode_jpeg_420",
+    "q_apply_in_pandas",
 ]
 
 
