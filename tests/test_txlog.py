@@ -779,3 +779,25 @@ def test_unattributed_files_stay_visible_to_partition_reads(spark, ptable):
     # and the b partition does NOT see them
     df_b, _ = ptable.read_where(spark, "k", 0, 5000, partition={"p": "b"})
     assert 5000 not in {r["k"] for r in df_b.select("k").collect()}
+
+
+def test_concurrent_dv_writers_serialize_or_conflict(spark, table):
+    """Two point-delete writers: if their dv commits land on different
+    versions they BOTH apply (cumulative union — neither is lost); a
+    dv staged against a snapshot whose target was compacted away
+    raises ConcurrentModification instead of resurrecting rows."""
+    from benchmark_spark.sources.txlog import ConcurrentModification
+
+    t2 = TxLogTable(table.path)  # second writer, same table
+    table.delete_keys(spark, "k", [1], ("k",))
+    t2.delete_keys(spark, "k", [2], ("k",))
+    got = {r[0] for r in table.read(spark).select("k").collect()}
+    assert got == set(range(1000)) - {1, 2}
+    # stage a dv against the current head, then compact underneath it
+    target = table.snapshot_adds()[0]["add"]
+    table.compact(spark, ("k",))
+    with pytest.raises(ConcurrentModification):
+        t2.commit([{"dv": target, "positions": [3]}], op="delete_dv")
+    # recompute against the NEW snapshot succeeds (the recovery path)
+    t2.delete_keys(spark, "k", [3], ("k",))
+    assert table.read(spark).count() == 997
