@@ -443,6 +443,134 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive JFIF encoder (SOF2, SPECTRAL SELECTION): the same
+    quantized coefficients as the baseline encoder, reorganized into
+    one interleaved DC scan followed by per-component AC band scans
+    (default bands 1-5 then 6-63 — a coarse image first, detail
+    later, the progressive rendering contract). Successive
+    approximation (Ah/Al) is not emitted; spectral selection alone is
+    a legal progressive profile (T.81 Annex G). 4:4:4 only (non-
+    interleaved AC scans run over each component's OWN block grid,
+    which equals the MCU grid only without subsampling). End-of-band
+    runs are emitted as per-block EOB0 — the Annex-K AC tables carry
+    no EOBn (n >= 1) symbols; the decoder handles general EOBn."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
+    qt_l, qt_c = _scaled_tables(quality)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    ycc = _rgb_to_ycbcr(arr)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.pad(
+        ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
+    )
+    blocks = (
+        padded.reshape(bh, 8, bw, 8, 3).transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = _C @ blocks @ _C.T
+    n_blocks = len(blocks)
+    qt_all = np.stack([qt_l, qt_c, qt_c])[np.arange(n_blocks) % 3]
+    zz_all = np.round(coefs / qt_all).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    # zz for component c, block b (raster order) = zz_all[b * 3 + c]
+
+    enc_codes = {
+        "dcl": _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        "acl": _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        "dcc": _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        "acc": _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    }
+    n_units = bw * bh
+
+    def sos(comps: list[tuple[int, int]], ss: int, se: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid, tables in comps:
+            body += bytes([cid, tables])
+        body += bytes([ss, se, 0x00])  # Ah=0 Al=0: spectral selection only
+        return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    scans: list[bytes] = []
+    # scan 1: interleaved DC, Ss=Se=0 — identical coding to baseline DC
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for b in range(n_units):
+        for comp in range(3):
+            zz0 = int(zz_all[b * 3 + comp][0])
+            dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
+            diff = zz0 - prev_dc[comp]
+            prev_dc[comp] = zz0
+            s = _size_cat(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans.append(sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0) + w.flush())
+    # per-component AC band scans (non-interleaved; G.1.2.2 with EOB0)
+    for comp in range(3):
+        ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+        for lo, hi in bands:
+            w = _BitWriter()
+            for b in range(n_units):
+                zz = zz_all[b * 3 + comp]
+                run = 0
+                emitted = False
+                for k in range(lo, hi + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    s = _size_cat(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    code, length = ac_codes[0x00]  # EOB0: rest of band zero
+                    w.write(code, length)
+            # chroma AC uses table 1 (tables byte: DC<<4 | AC)
+            scans.append(sos([(comp + 1, 0x01 if comp else 0x00)], lo, hi) + w.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[ZIGZAG]))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof2 = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + sof2
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 _LUT_CACHE: dict[tuple, tuple] = {}
 
 
@@ -652,20 +780,179 @@ def _reconstruct(hdr: dict, grid: dict, zz_planes: dict) -> tuple[str, int, int,
     return "jpeg", width, height, rgb.tobytes()
 
 
+def _is_progressive(payload: bytes) -> bool:
+    """True iff the frame header is SOF2 (walks markers up to the
+    first SOF/SOS — header segments only, never entropy data)."""
+    if payload[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    while pos + 3 < len(payload):
+        if payload[pos] != 0xFF:
+            return False
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFC2:
+            return True
+        if marker in (0xFFC0, 0xFFC1, 0xFFC3, 0xFFDA, 0xFFD9):
+            return False
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + length
+    return False
+
+
+def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Progressive (SOF2) decoder, SPECTRAL SELECTION profile: walks
+    the marker stream scan by scan, accumulating each scan's
+    coefficients into per-component planes — one interleaved or
+    DC-only scan fills zigzag index 0, non-interleaved AC scans fill
+    their [Ss, Se] band with general EOBn end-of-band runs (G.2) —
+    then reconstructs ONCE. Because progressive merely reorganizes
+    the same quantized coefficients, the output is byte-identical to
+    a baseline decode of the same image (pinned in tests/test_jpeg.py
+    and hash-checked per document by q_decode_jpeg_progressive).
+    Successive approximation (Ah/Al != 0) raises with a clear
+    message; 4:4:4 only (non-interleaved scans address a component's
+    OWN block grid, equal to the MCU grid only unsubsampled)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], tuple] = {}
+    width = height = -1
+    comp_spec: list[tuple[int, int, int, int]] = []
+    zz_planes: dict[int, np.ndarray] = {}
+    n_units = -1
+    bw = -1
+    while pos < len(payload):
+        # skip fill bytes (FF FF ... before a marker is legal padding)
+        while pos + 1 < len(payload) and payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
+            pos += 1
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            b = 0
+            while b < len(body):
+                if body[b] >> 4 != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                tid = body[b] & 0xF
+                zzq = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zzq
+                qts[tid] = nat.reshape(8, 8)
+                b += 65
+        elif marker == 0xFFC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                hts[(tc, th)] = _build_decode_table(bits, list(body[b + 17 : b + 17 + n]))
+                b += 17 + n
+        elif marker == 0xFFC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise ValueError("unsupported SOF2 (need 8-bit, 3 components)")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "progressive + chroma subsampling not supported (4:4:4 only)"
+                    )
+                comp_spec.append((cid, 1, 1, tq))
+            bw, bh2 = -(-width // 8), -(-height // 8)
+            n_units = bw * bh2
+            zz_planes = {
+                c: np.zeros((n_units, 64), dtype=np.int64) for c in range(ncomp)
+            }
+        elif marker == 0xFFC0:
+            raise ValueError("baseline SOF0 inside _decode_progressive")
+        elif marker == 0xFFDA:  # one scan
+            if n_units < 0:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            ids = {cid: i for i, (cid, *_r) in enumerate(comp_spec)}
+            scomps = []
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scomps.append((ids[cid], tables >> 4, tables & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ah or al:
+                raise ValueError(
+                    "progressive successive approximation not supported "
+                    "(spectral selection only)"
+                )
+            estart = pos + 2 + length
+            r = _BitReader(payload[estart:])
+            if ss == 0:  # DC scan (interleaved over the shared grid at 4:4:4)
+                if se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                prev_dc = [0] * len(comp_spec)
+                for b in range(n_units):
+                    for comp, dc_t, _ac_t in scomps:
+                        s = _huff_decode(r, hts[(0, dc_t)])
+                        diff = _extend(r.read_bits(s), s) if s else 0
+                        prev_dc[comp] += diff
+                        zz_planes[comp][b][0] = prev_dc[comp]
+            else:  # AC band scan: ONE component, general EOBn
+                if ns != 1:
+                    raise ValueError("progressive AC scans are non-interleaved")
+                comp, _dc_t, ac_t = scomps[0]
+                table = hts[(1, ac_t)]
+                eobrun = 0
+                for b in range(n_units):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    zz = zz_planes[comp][b]
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(r, table)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL inside the band
+                                k += 16
+                                continue
+                            # EOBn: this block done + 2^run - 1 more
+                            eobrun = (1 << run) - 1 + (r.read_bits(run) if run else 0)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC run past end of band")
+                        zz[k] = _extend(r.read_bits(size), size)
+                        k += 1
+            # advance past this scan's entropy to the next marker
+            pos = estart + r.pos
+            continue
+        pos += 2 + length
+    if width < 0 or not zz_planes:
+        raise ValueError("JPEG missing SOF2/SOS")
+    grid = {c: (-(-height // 8), bw) for c in range(len(comp_spec))}
+    hdr = {"width": width, "height": height, "comp_spec": comp_spec, "qts": qts}
+    return _reconstruct(hdr, grid, zz_planes)
+
+
 def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
     """Baseline sequential decoder: parses DQT/DHT/SOF0/SOS/DRI from
     the stream, Huffman-decodes with restart-marker resync,
     dequantizes, inverse-DCTs, upsamples subsampled chroma, converts
     to RGB. Handles any SOF-declared sampling-factor grid (h, v in
     1..4 per A.1.1 — 4:4:4, 4:2:0, 4:2:2, ...); MCU geometry and
-    per-component dimensions follow A.2.4. Returns ("jpeg", width,
-    height, top-down RGB bytes).
+    per-component dimensions follow A.2.4. PROGRESSIVE (SOF2)
+    streams dispatch to _decode_progressive (spectral-selection
+    profile). Returns ("jpeg", width, height, top-down RGB bytes).
 
     Structure: the stream is decoded as a sequence of restart
     SEGMENTS (the whole image is one segment when DRI is absent);
     each segment decodes through the same _decode_mcu_run core the
     strip-parallel decode_jpeg_split uses, with the RSTm markers
     consumed and index-checked between segments."""
+    if _is_progressive(payload):
+        return _decode_progressive(payload)
     hdr = _parse_headers(payload)
     mcux, mcuy, grid = _geometry(hdr)
     n_mcus = mcux * mcuy

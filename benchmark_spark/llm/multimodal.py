@@ -876,6 +876,87 @@ def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
 
 
+PROGRESSIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_scans", T.LongType()),
+        T.StructField("prog_eq_baseline", T.LongType()),
+        T.StructField("max_err_ok", T.LongType()),
+        T.StructField("mean_err_ok", T.LongType()),
+    ]
+)
+
+
+@register(
+    "q_decode_jpeg_progressive",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 + doc_id % 9 AS INTEGER) AS width,
+               CAST(16 + doc_id % 7 AS INTEGER) AS height,
+               CAST(7 AS BIGINT) AS n_scans,
+               CAST(1 AS BIGINT) AS prog_eq_baseline,
+               CAST(1 AS BIGINT) AS max_err_ok,
+               CAST(1 AS BIGINT) AS mean_err_ok
+        FROM documents
+    """,
+    doc=(
+        "PROGRESSIVE JPEG decode (SOF2, spectral selection — round 10; "
+        "a meaningful share of any web image corpus is progressive): "
+        "the fixture encodes each pattern progressively (one "
+        "interleaved DC scan + per-component AC band scans 1-5 / 6-63 "
+        "= 7 scans, counted from the ACTUAL SOS markers and "
+        "hash-checked), and the decoder walks the marker stream scan "
+        "by scan, accumulating coefficient bands with general EOBn "
+        "end-of-band runs, then reconstructs once. The load-bearing "
+        "verdict is EXACT, not tolerance-based: progressive merely "
+        "reorganizes the same quantized coefficients, so the decode "
+        "must be BYTE-IDENTICAL to the baseline decode of the same "
+        "image (prog_eq_baseline — computed per document by running "
+        "both decoders). Tolerance verdicts vs the formula ride along "
+        "with the q_decode_jpeg bounds. Successive approximation "
+        "raises with a clear message (spectral selection is the "
+        "supported progressive profile); hand-built EOBn streams and "
+        "multi-band scripts pinned in tests/test_jpeg.py."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from benchmark_spark.llm import jpeg
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_scans": [],
+                "prog_eq_baseline": [], "max_err_ok": [], "mean_err_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = jpeg_dims(d)
+                src = jpeg_rgb(d, w, h)
+                prog = jpeg.encode_jpeg_progressive(w, h, src, quality=90)
+                fmt, dw, dh, rgb = jpeg.decode_jpeg(prog)
+                base_rgb = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, src, quality=90))[3]
+                expected = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
+                got = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                err = np.abs(got - expected)
+                rows["doc_id"].append(d)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_scans"].append(prog.count(b"\xff\xda"))
+                rows["prog_eq_baseline"].append(int(rgb == base_rgb))
+                rows["max_err_ok"].append(int(err.max() <= _JPEG_MAX_ERR))
+                rows["mean_err_ok"].append(int(err.mean() * 100 <= _JPEG_MEAN_CENTI))
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PROGRESSIVE_SCHEMA)
+
+
 # 4:2:0 tier (round 10, VERDICT r9 #1): real-corpus JPEGs are
 # overwhelmingly chroma-subsampled and restart-marked; bounds measured
 # over the full 63-dim fixture cycle (worst max 5, worst mean 0.94 —

@@ -84,37 +84,40 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-10 re-cut (VERDICT r9 #4): continue the staleness rotation.
-    # 9 rows with NO VALID driver evidence lead: 8 never-checked r10
+    # 10 rows with NO VALID driver evidence lead: 9 never-checked r10
     # queries (BPE merge training + encode, JPEG 4:2:0 with the
-    # split-parallel verdict, txlog deletion vectors / partition
-    # pruning / partitioned stream source, audio filterbank, Count-Min
-    # heavy hitters) and q_apply_in_pandas, whose FIXTURE AND ORACLE
+    # split-parallel verdict + progressive SOF2, txlog deletion
+    # vectors / partition pruning / partitioned stream source, audio
+    # filterbank, Count-Min heavy hitters) and q_apply_in_pandas,
+    # whose FIXTURE AND ORACLE
     # changed this round (VERDICT r9 #5) so its old evidence validated
     # a different query — a new row's first driver check must come
     # through the window. Then the r5-evidence tier (verified against
     # the CORRECTNESS_r01-r09 artifacts; includes the round-9-rewritten
     # q_winnow_fingerprint, closing ADVICE r9 #3) fills the remaining
-    # 41 slots: four r5 rows (q_big_orders, q_nation_volume,
-    # q_waiting_suppliers, q_shipmode — simple aggregates, unchanged
-    # since r5 and gate-green every round) are deferred to the r11 cut
-    # because the window cannot hold 9 + 45. After CORRECTNESS_r10 the
-    # oldest evidence is r5x4 (those deferrals), everything else r6+.
+    # 40 slots: five r5 rows (q_big_orders, q_nation_volume,
+    # q_waiting_suppliers, q_shipmode, q_mkt_share — simple aggregates,
+    # unchanged since r5 and gate-green every round) are deferred to
+    # the r11 cut because the window cannot hold 10 + 45. After
+    # CORRECTNESS_r10 the oldest evidence is r5x5 (those deferrals),
+    # everything else r6+.
     # Everything displaced stays checked by the local full gate
     # (tools/check_oracle.py every round; GATE_sf01 at 10x driver
     # scale — the gate's oracle cache keys on fixture md5, so this
     # round's rewrites, q_knn_ivfpq included, recompute fresh there).
     # no valid driver evidence (new or rewritten in round 10)
     "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_420",
+    "q_decode_jpeg_progressive",
     "q_txlog_delete_vectors", "q_txlog_partition_prune",
     "q_txlog_stream_partitioned", "q_audio_filterbank",
     "q_heavy_hitters_cms", "q_apply_in_pandas",
-    # latest driver evidence r5 (tier minus the 4 documented deferrals)
+    # latest driver evidence r5 (tier minus the 5 documented deferrals)
     "q_approx_stats_bounded", "q_bigram_lm",
     "q_bpe_pretokenize", "q_brand_revenue", "q_chunk_documents",
     "q_compaction", "q_crosstab_chi2", "q_dormant_rich", "q_entropy",
     "q_forecast_revenue", "q_gap_fill", "q_heaps_law",
     "q_heavy_hitters", "q_hybrid_search", "q_importance_sample",
-    "q_incremental_dedup", "q_mkt_share",
+    "q_incremental_dedup",
     "q_order_dist", "q_outer_stream_join", "q_pmi_bigrams",
     "q_profile", "q_retention_cohort", "q_schema_evolution",
     "q_session", "q_session_labels", "q_sliding",

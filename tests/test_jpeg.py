@@ -249,3 +249,84 @@ def test_split_decode_requires_restart_markers():
     enc = J.encode_jpeg(32, 32, jpeg_rgb(1, 32, 32), 85)
     with pytest.raises(ValueError, match="no restart markers"):
         J.decode_jpeg_split(enc)
+
+
+def test_progressive_equals_baseline_decode():
+    """Spectral-selection progressive reorganizes the SAME quantized
+    coefficients, so its decode must be BYTE-IDENTICAL to the baseline
+    decode of the same image — across dims, band scripts, qualities."""
+    from benchmark_spark.llm.multimodal import jpeg_dims, jpeg_rgb
+
+    for d in (0, 3, 13, 101):
+        w, h = jpeg_dims(d)
+        src = jpeg_rgb(d, w, h)
+        base = J.decode_jpeg(J.encode_jpeg(w, h, src, 90))
+        prog = J.encode_jpeg_progressive(w, h, src, 90)
+        assert J._is_progressive(prog) and not J._is_progressive(
+            J.encode_jpeg(w, h, src, 90)
+        )
+        assert J.decode_jpeg(prog) == base
+    # odd dims + a three-band script + single full band
+    for dims, bands in (((33, 17), ((1, 2), (3, 9), (10, 63))), ((120, 90), ((1, 63),))):
+        w, h = dims
+        src = jpeg_rgb(5, w, h)
+        assert J.decode_jpeg(J.encode_jpeg_progressive(w, h, src, 85, bands=bands)) \
+            == J.decode_jpeg(J.encode_jpeg(w, h, src, 85))
+
+
+def test_progressive_eobn_run_decodes():
+    """General EOBn (n >= 1) end-of-band runs — which the Annex-K
+    encoder can't emit (no EOBn symbols in the baseline tables) — via
+    a hand-built scan with a CUSTOM Huffman table: EOB1 + 1 extension
+    bit covers three trailing blocks in one symbol."""
+    import struct
+
+    import numpy as np
+
+    w = h = 16  # 2x2 blocks at 4:4:4? 16x16 -> 4 blocks per component
+    # custom AC table: 0x10 (EOB1) -> '00', 0x01 -> '01', 0x00 -> '100'
+    bits = [0, 2, 1] + [0] * 13
+    vals = [0x10, 0x01, 0x00]
+    enc = J._canonical_codes(bits, vals)
+    # DC scan: all-zero DCs with the standard tables (diff category 0)
+    dcl = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    dcc = J._canonical_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    wdc = J._BitWriter()
+    for _b in range(4):
+        for comp in range(3):
+            code, ln = (dcl if comp == 0 else dcc)[0]
+            wdc.write(code, ln)
+    # luma AC scan, band 1..63: block0 has zz[1] = +1 (symbol 0x01 +
+    # sign bit 1), then EOB0 for the rest of its band; block1 emits
+    # EOB1 with extension bit 1 -> run of 3: blocks 1,2,3 all done
+    wac = J._BitWriter()
+    c, ln = enc[0x01]; wac.write(c, ln); wac.write(1, 1)
+    c, ln = enc[0x00]; wac.write(c, ln)
+    c, ln = enc[0x10]; wac.write(c, ln); wac.write(1, 1)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt = np.full((8, 8), 16, dtype=np.int64)  # dequant 1 -> 16: visible ripple
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qt.reshape(64)[J.ZIGZAG]))
+        + seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(J.DC_CHROMA_BITS) + bytes(J.DC_CHROMA_VALS))
+        + seg(0xFFC4, bytes([0x12]) + bytes(bits) + bytes(vals))  # AC table 2
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0])) + wdc.flush()
+        + seg(0xFFDA, bytes([1, 1, 0x02, 1, 63, 0])) + wac.flush()
+        + b"\xff\xd9"
+    )
+    fmt, dw, dh, rgb = J.decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    got = np.frombuffer(rgb, np.uint8).astype(np.int64).reshape(h, w, 3)
+    # expected: all coefficients zero except luma block0 zz[1] = 1
+    # (natural index 1 = horizontal AC) -> Y = 128 + IDCT of that one
+    # coefficient in the top-left block; other blocks flat 128 gray
+    flat = got[:, 8:, :]  # right half: blocks 1 and 3 are flat
+    assert flat.std() == 0
+    assert got[8:, :8, :].std() == 0  # block 2 flat
+    assert got[:8, :8, :].std() > 0  # block 0 carries the AC ripple

@@ -20,8 +20,8 @@ from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
 ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9)
-# The round-10 cut takes the 9 rows with no valid driver evidence
-# (8 new r10 queries + the rewritten q_apply_in_pandas) and 41 of the
+# The round-10 cut takes the 10 rows with no valid driver evidence
+# (9 new r10 queries + the rewritten q_apply_in_pandas) and 40 of the
 # 45 r5-latest-tier rows; no slot may hold evidence newer than this...
 WINDOW_MAX_LATEST_GREEN = 5
 # ...EXCEPT a row whose fixture AND oracle were rewritten this round:
@@ -29,12 +29,13 @@ WINDOW_MAX_LATEST_GREEN = 5
 # re-enters the window regardless of evidence age (ADVICE r9 #3 made
 # exactly this argument for the r9 rewrites).
 REWRITTEN_IN_WINDOW = {"q_apply_in_pandas"}  # r10: capped fan-in fixture
-# Four r5-tier rows deferred to the r11 cut because 9 + 45 > 50:
+# Five r5-tier rows deferred to the r11 cut because 10 + 45 > 50:
 # simple aggregates, unchanged since r5, gate-green every round. They
 # are the ONLY rows allowed to sit outside the window at the boundary
 # evidence age.
 DEFERRED_R5 = {
-    "q_big_orders", "q_nation_volume", "q_waiting_suppliers", "q_shipmode",
+    "q_big_orders", "q_nation_volume", "q_waiting_suppliers",
+    "q_shipmode", "q_mkt_share",
 }
 
 
