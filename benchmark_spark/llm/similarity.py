@@ -830,27 +830,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity"),
 )
 def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 10 (plan-advisor interpreted-hof-in-topk fix, the q8_knn
+    # template): the coarse int8 scan is posexplode -> per-element
+    # quantize (floor(x*127+0.5), elementwise-identical to the old
+    # transform HOF) -> integer product -> map-side partial SUM — the
+    # whole corpus-sized stage whole-stage-codegens, no HOFs; the
+    # 30-row exact re-rank takes the same shape
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    quant = emb.select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 127.0 + F.lit(0.5)).cast("long"),
-        ).alias("q"),
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("a_emb")
     )
-    anchor = quant.filter(F.col("vec_id") == 0).select(
-        F.col("q").alias("aq"), F.col("embedding").alias("a_emb")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("aq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    pair = F.posexplode(F.arrays_zip("embedding", "a_emb"))
+
+    def q8(col):  # int8 quantization, in codegen
+        return F.floor(col.cast("double") * 127.0 + F.lit(0.5)).cast("long")
+
     coarse = (
-        quant.filter(F.col("vec_id") != 0)
+        emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(anchor))
-        .select("vec_id", "embedding", "a_emb", idot.alias("iscore"))
+        .select("vec_id", pair.alias("i", "p"))
+        .select("vec_id", (q8(F.col("p.embedding")) * q8(F.col("p.a_emb"))).alias("prod"))
+        .groupBy("vec_id")
+        .agg(F.sum("prod").alias("iscore"))
     )
     # top-30 via orderBy+limit, NOT a global row_number window: Catalyst
     # plans TakeOrderedAndProject (per-partition top-k + driver merge of
@@ -859,12 +860,21 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SQ8 scan-bandwidth argument at 100 TB (tests/test_plans.py
     # pins the plan)
     shortlist = coarse.orderBy(F.desc("iscore"), F.asc("vec_id")).limit(30)
-    exact = dot(F.col("embedding"), F.col("a_emb"))
+    survivors = emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
     return (
-        shortlist.select("vec_id", "embedding", "a_emb", exact.alias("raw"))
-        .orderBy(F.desc("raw"), F.asc("vec_id"))
+        survivors.crossJoin(F.broadcast(anchor))
+        .select("vec_id", pair.alias("i", "p"))
+        .select(
+            "vec_id",
+            (
+                F.col("p.embedding").cast("double")
+                * F.col("p.a_emb").cast("double")
+            ).alias("prod"),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("prod"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("raw", 4).alias("score"))
     )
 
 
@@ -1095,15 +1105,26 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.split("text", " ")) >= 20)
         & (F.col("doc_id") != 0)
     ).select("doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    # q8_knn codegen template (round 10, plan-advisor interpreted-hof-
+    # in-topk fix): the HOF dot was evaluated inside TakeOrderedAnd-
+    # Project's interpreted projection; posexplode -> product ->
+    # map-side partial sum whole-stage-codegens end to end
+    pair = F.posexplode(F.arrays_zip("embedding", "anchor_emb"))
     return (
         filtered.join(emb, filtered.doc_id == emb.vec_id)
         .crossJoin(F.broadcast(anchor))
+        .select("doc_id", "lang", "n_tokens", pair.alias("i", "p"))
         .select(
             "doc_id",
             "lang",
             "n_tokens",
-            F.round(dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"),
+            (
+                F.col("p.embedding").cast("double")
+                * F.col("p.anchor_emb").cast("double")
+            ).alias("prod"),
         )
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(F.round(F.sum("prod"), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
