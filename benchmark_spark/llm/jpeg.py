@@ -443,24 +443,146 @@ def encode_jpeg(
     )
 
 
+def _enc_dc_first(zz_all: np.ndarray, n_units: int, enc_codes: dict, al: int) -> bytes:
+    """Interleaved DC scan, Ah=0: diff-code DC >> al (G.1.2.1 — the
+    point transform is an arithmetic shift)."""
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for b in range(n_units):
+        for comp in range(3):
+            v = int(zz_all[b * 3 + comp][0]) >> al
+            dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
+            diff = v - prev_dc[comp]
+            prev_dc[comp] = v
+            s = _size_cat(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return w.flush()
+
+
+def _enc_dc_refine(zz_all: np.ndarray, n_units: int, al: int) -> bytes:
+    """Interleaved DC refinement, Ah=Al+1: ONE raw bit per block =
+    bit `al` of the (two's-complement) DC value. No Huffman coding."""
+    w = _BitWriter()
+    for b in range(n_units):
+        for comp in range(3):
+            w.write((int(zz_all[b * 3 + comp][0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): sign(v) * (|v| >> al)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_ac_first(
+    zz_all: np.ndarray, n_units: int, comp: int, ac_codes: dict,
+    lo: int, hi: int, al: int,
+) -> bytes:
+    """Non-interleaved AC band scan, Ah=0: run/size over the
+    point-transformed values; per-block EOB0 (no EOBn in Annex-K)."""
+    w = _BitWriter()
+    for b in range(n_units):
+        zz = zz_all[b * 3 + comp]
+        run = 0
+        emitted = False
+        for k in range(lo, hi + 1):
+            v = _pt(int(zz[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            s = _size_cat(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+            emitted = True
+        if run > 0 or not emitted:
+            code, length = ac_codes[0x00]
+            w.write(code, length)
+    return w.flush()
+
+
+def _enc_ac_refine(
+    zz_all: np.ndarray, n_units: int, comp: int, ac_codes: dict,
+    lo: int, hi: int, ah: int, al: int,
+) -> bytes:
+    """Non-interleaved AC refinement scan (G.1.2.3): newly significant
+    coefficients (zero at precision ah, +-1 at precision al) are coded
+    as (run, 1) + sign bit; coefficients already significant at ah
+    contribute one buffered CORRECTION bit (bit al of |v|), appended
+    after the next emitted symbol — including after the per-block EOB0
+    that closes a block with trailing state."""
+    w = _BitWriter()
+    for b in range(n_units):
+        zz = zz_all[b * 3 + comp]
+        run = 0
+        pending: list[int] = []  # correction bits buffered in k-order
+        for k in range(lo, hi + 1):
+            v = int(zz[k])
+            if _pt(v, al) == 0:
+                run += 1  # zero at this precision: zero-history run
+                continue
+            # nonzero at precision al (EITHER kind): ZRLs flush FIRST —
+            # like libjpeg's encoder, so the decoder's 16-zero skip
+            # never has to cross a buffered correction bit it cannot
+            # see (the skip consumes correction bits only for
+            # positions BEFORE its 16th zero)
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+                for bit in pending:
+                    w.write(bit, 1)
+                pending = []
+            if _pt(v, ah) != 0:
+                # already significant: buffer its correction bit
+                pending.append((abs(v) >> al) & 1)
+                continue
+            # newly significant: magnitude at al is exactly 1
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if v > 0 else 0, 1)  # sign bit
+            for bit in pending:
+                w.write(bit, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            code, length = ac_codes[0x00]  # EOB0 closes the block
+            w.write(code, length)
+            for bit in pending:
+                w.write(bit, 1)
+    return w.flush()
+
+
 def encode_jpeg_progressive(
     width: int,
     height: int,
     rgb: bytes,
     quality: int = 90,
     bands: tuple = ((1, 5), (6, 63)),
+    successive: bool = False,
 ) -> bytes:
-    """Progressive JFIF encoder (SOF2, SPECTRAL SELECTION): the same
-    quantized coefficients as the baseline encoder, reorganized into
-    one interleaved DC scan followed by per-component AC band scans
+    """Progressive JFIF encoder (SOF2): the same quantized
+    coefficients as the baseline encoder, reorganized into one
+    interleaved DC scan followed by per-component AC band scans
     (default bands 1-5 then 6-63 — a coarse image first, detail
-    later, the progressive rendering contract). Successive
-    approximation (Ah/Al) is not emitted; spectral selection alone is
-    a legal progressive profile (T.81 Annex G). 4:4:4 only (non-
-    interleaved AC scans run over each component's OWN block grid,
-    which equals the MCU grid only without subsampling). End-of-band
-    runs are emitted as per-block EOB0 — the Annex-K AC tables carry
-    no EOBn (n >= 1) symbols; the decoder handles general EOBn."""
+    later, the progressive rendering contract). With
+    ``successive=True`` the scans additionally split by PRECISION
+    (successive approximation, the libjpeg-default profile): DC and
+    AC first passes carry the top bits (Al=1), then a raw-bit DC
+    refinement and per-component AC refinement scans deliver the
+    final bit (Ah=1, Al=0). 4:4:4 only (non-interleaved AC scans run
+    over each component's OWN block grid, which equals the MCU grid
+    only without subsampling). End-of-band runs are emitted as
+    per-block EOB0 — the Annex-K AC tables carry no EOBn (n >= 1)
+    symbols; the decoder handles general EOBn."""
     if len(rgb) != 3 * width * height:
         raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
     qt_l, qt_c = _scaled_tables(quality)
@@ -488,58 +610,44 @@ def encode_jpeg_progressive(
     }
     n_units = bw * bh
 
-    def sos(comps: list[tuple[int, int]], ss: int, se: int) -> bytes:
+    def sos(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(comps)])
         for cid, tables in comps:
             body += bytes([cid, tables])
-        body += bytes([ss, se, 0x00])  # Ah=0 Al=0: spectral selection only
+        body += bytes([ss, se, (ah << 4) | al])
         return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
 
+    all_comps = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    first_al = 1 if successive else 0
     scans: list[bytes] = []
-    # scan 1: interleaved DC, Ss=Se=0 — identical coding to baseline DC
-    w = _BitWriter()
-    prev_dc = [0, 0, 0]
-    for b in range(n_units):
-        for comp in range(3):
-            zz0 = int(zz_all[b * 3 + comp][0])
-            dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
-            diff = zz0 - prev_dc[comp]
-            prev_dc[comp] = zz0
-            s = _size_cat(diff)
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-    scans.append(sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0) + w.flush())
-    # per-component AC band scans (non-interleaved; G.1.2.2 with EOB0)
+    # scan 1: interleaved DC first pass (baseline DC coding at Al)
+    scans.append(
+        sos(all_comps, 0, 0, 0, first_al)
+        + _enc_dc_first(zz_all, n_units, enc_codes, first_al)
+    )
+    # per-component AC band first passes (G.1.2.2)
     for comp in range(3):
         ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+        tables = 0x01 if comp else 0x00  # chroma AC table 1
         for lo, hi in bands:
-            w = _BitWriter()
-            for b in range(n_units):
-                zz = zz_all[b * 3 + comp]
-                run = 0
-                emitted = False
-                for k in range(lo, hi + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, length = ac_codes[(run << 4) | s]
-                    w.write(code, length)
-                    w.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                    emitted = True
-                if run > 0 or not emitted:
-                    code, length = ac_codes[0x00]  # EOB0: rest of band zero
-                    w.write(code, length)
-            # chroma AC uses table 1 (tables byte: DC<<4 | AC)
-            scans.append(sos([(comp + 1, 0x01 if comp else 0x00)], lo, hi) + w.flush())
+            scans.append(
+                sos([(comp + 1, tables)], lo, hi, 0, first_al)
+                + _enc_ac_first(zz_all, n_units, comp, ac_codes, lo, hi, first_al)
+            )
+    if successive:
+        # DC refinement: raw bit per block (Ah=1 -> Al=0)
+        scans.append(
+            sos(all_comps, 0, 0, 1, 0) + _enc_dc_refine(zz_all, n_units, 0)
+        )
+        # AC refinement per component over the full union of bands
+        for comp in range(3):
+            ac_codes = enc_codes["acl"] if comp == 0 else enc_codes["acc"]
+            tables = 0x01 if comp else 0x00
+            for lo, hi in bands:
+                scans.append(
+                    sos([(comp + 1, tables)], lo, hi, 1, 0)
+                    + _enc_ac_refine(zz_all, n_units, comp, ac_codes, lo, hi, 1, 0)
+                )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -800,18 +908,24 @@ def _is_progressive(payload: bytes) -> bool:
 
 
 def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
-    """Progressive (SOF2) decoder, SPECTRAL SELECTION profile: walks
-    the marker stream scan by scan, accumulating each scan's
-    coefficients into per-component planes — one interleaved or
-    DC-only scan fills zigzag index 0, non-interleaved AC scans fill
-    their [Ss, Se] band with general EOBn end-of-band runs (G.2) —
-    then reconstructs ONCE. Because progressive merely reorganizes
-    the same quantized coefficients, the output is byte-identical to
-    a baseline decode of the same image (pinned in tests/test_jpeg.py
-    and hash-checked per document by q_decode_jpeg_progressive).
-    Successive approximation (Ah/Al != 0) raises with a clear
-    message; 4:4:4 only (non-interleaved scans address a component's
-    OWN block grid, equal to the MCU grid only unsubsampled)."""
+    """Progressive (SOF2) decoder — SPECTRAL SELECTION and SUCCESSIVE
+    APPROXIMATION (the libjpeg-default profile): walks the marker
+    stream scan by scan, accumulating coefficients into per-component
+    planes. Four scan kinds (T.81 Annex G): DC first pass (diff-coded
+    at Al, shifted back), raw-bit DC refinement (bit Al via
+    two's-complement OR), AC band first pass (run/size at Al with
+    general EOBn end-of-band runs), and AC refinement (correction
+    bits for already-significant coefficients interleaved with +-1
+    insertions, EOB blocks refining their remaining band — the
+    buffered-bit ordering that makes ZRL handling subtle, see
+    _enc_ac_refine). Reconstructs ONCE at the end. Because
+    progressive merely reorganizes the same quantized coefficients,
+    the fully-refined output is byte-identical to a baseline decode
+    of the same image (pinned in tests/test_jpeg.py on mixed
+    noise/flat/edge content at three qualities, and hash-checked per
+    document by q_decode_jpeg_progressive). 4:4:4 only
+    (non-interleaved scans address a component's OWN block grid,
+    equal to the MCU grid only unsubsampled)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -881,14 +995,9 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
                 scomps.append((ids[cid], tables >> 4, tables & 0xF))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
-            if ah or al:
-                raise ValueError(
-                    "progressive successive approximation not supported "
-                    "(spectral selection only)"
-                )
             estart = pos + 2 + length
             r = _BitReader(payload[estart:])
-            if ss == 0:  # DC scan (interleaved over the shared grid at 4:4:4)
+            if ss == 0 and ah == 0:  # DC first pass (interleaved at 4:4:4)
                 if se != 0:
                     raise ValueError("DC scan must have Se = 0")
                 prev_dc = [0] * len(comp_spec)
@@ -897,8 +1006,13 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
                         s = _huff_decode(r, hts[(0, dc_t)])
                         diff = _extend(r.read_bits(s), s) if s else 0
                         prev_dc[comp] += diff
-                        zz_planes[comp][b][0] = prev_dc[comp]
-            else:  # AC band scan: ONE component, general EOBn
+                        zz_planes[comp][b][0] = prev_dc[comp] << al
+            elif ss == 0:  # DC refinement: one raw bit -> bit `al` (G.2.1)
+                for b in range(n_units):
+                    for comp, _dc_t, _ac_t in scomps:
+                        if r.read_bit():
+                            zz_planes[comp][b][0] |= 1 << al
+            elif ah == 0:  # AC band first pass: ONE component, general EOBn
                 if ns != 1:
                     raise ValueError("progressive AC scans are non-interleaved")
                 comp, _dc_t, ac_t = scomps[0]
@@ -923,8 +1037,64 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
                         k += run
                         if k > se:
                             raise ValueError("AC run past end of band")
-                        zz[k] = _extend(r.read_bits(size), size)
+                        zz[k] = _extend(r.read_bits(size), size) << al
                         k += 1
+            else:  # AC refinement (G.2.2): correction bits + new +-1s
+                if ns != 1:
+                    raise ValueError("progressive AC scans are non-interleaved")
+                comp, _dc_t, ac_t = scomps[0]
+                table = hts[(1, ac_t)]
+                p1, m1 = 1 << al, -1 << al
+                eobrun = 0
+
+                def refine_nonzero(zz, k):
+                    """Correction bit for an already-significant coef."""
+                    if r.read_bit() and not (int(zz[k]) & p1):
+                        zz[k] += p1 if zz[k] >= 0 else m1
+
+                for b in range(n_units):
+                    zz = zz_planes[comp][b]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_decode(r, table)
+                            run, size = rs >> 4, rs & 0xF
+                            newval = 0
+                            if size == 0:
+                                if run != 15:  # EOBn (incl. this block)
+                                    eobrun = (1 << run) + (
+                                        r.read_bits(run) if run else 0
+                                    )
+                                    break
+                                # ZRL: skip 16 zero-HISTORY positions
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                newval = p1 if r.read_bit() else m1
+                            # advance over `run` zero-history coefficients,
+                            # refining nonzero-history ones along the way
+                            while k <= se:
+                                if zz[k] != 0:
+                                    refine_nonzero(zz, k)
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError("refinement past band end")
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # EOB block: refine remaining nonzero-history coefs
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                            k += 1
+                        eobrun -= 1
             # advance past this scan's entropy to the next marker
             pos = estart + r.pos
             continue
@@ -943,8 +1113,9 @@ def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:
     to RGB. Handles any SOF-declared sampling-factor grid (h, v in
     1..4 per A.1.1 — 4:4:4, 4:2:0, 4:2:2, ...); MCU geometry and
     per-component dimensions follow A.2.4. PROGRESSIVE (SOF2)
-    streams dispatch to _decode_progressive (spectral-selection
-    profile). Returns ("jpeg", width, height, top-down RGB bytes).
+    streams dispatch to _decode_progressive (spectral selection +
+    successive approximation). Returns ("jpeg", width, height,
+    top-down RGB bytes).
 
     Structure: the stream is decoded as a sequence of restart
     SEGMENTS (the whole image is one segment when DRI is absent);

@@ -895,29 +895,32 @@ PROGRESSIVE_SCHEMA = T.StructType(
         SELECT doc_id,
                CAST(16 + doc_id % 9 AS INTEGER) AS width,
                CAST(16 + doc_id % 7 AS INTEGER) AS height,
-               CAST(7 AS BIGINT) AS n_scans,
+               CAST(14 AS BIGINT) AS n_scans,
                CAST(1 AS BIGINT) AS prog_eq_baseline,
                CAST(1 AS BIGINT) AS max_err_ok,
                CAST(1 AS BIGINT) AS mean_err_ok
         FROM documents
     """,
     doc=(
-        "PROGRESSIVE JPEG decode (SOF2, spectral selection — round 10; "
-        "a meaningful share of any web image corpus is progressive): "
-        "the fixture encodes each pattern progressively (one "
-        "interleaved DC scan + per-component AC band scans 1-5 / 6-63 "
-        "= 7 scans, counted from the ACTUAL SOS markers and "
-        "hash-checked), and the decoder walks the marker stream scan "
-        "by scan, accumulating coefficient bands with general EOBn "
-        "end-of-band runs, then reconstructs once. The load-bearing "
-        "verdict is EXACT, not tolerance-based: progressive merely "
-        "reorganizes the same quantized coefficients, so the decode "
-        "must be BYTE-IDENTICAL to the baseline decode of the same "
-        "image (prog_eq_baseline — computed per document by running "
-        "both decoders). Tolerance verdicts vs the formula ride along "
-        "with the q_decode_jpeg bounds. Successive approximation "
-        "raises with a clear message (spectral selection is the "
-        "supported progressive profile); hand-built EOBn streams and "
+        "PROGRESSIVE JPEG decode (SOF2, spectral selection + "
+        "SUCCESSIVE APPROXIMATION — the libjpeg-default profile; round "
+        "10; a meaningful share of any web image corpus is "
+        "progressive): the fixture encodes each pattern with the full "
+        "14-scan script — DC first pass at Al=1, per-component AC band "
+        "first passes (1-5 / 6-63) at Al=1, a raw-bit DC refinement, "
+        "and per-component AC refinement scans delivering the final "
+        "precision bit (correction bits for already-significant "
+        "coefficients, +-1 insertions for newly significant ones, "
+        "EOBn/ZRL with buffered-bit ordering per T.81 Annex G) — scan "
+        "count verified from the ACTUAL SOS markers and hash-checked. "
+        "The load-bearing verdict is EXACT, not tolerance-based: "
+        "progressive merely reorganizes the same quantized "
+        "coefficients, so the fully-refined decode must be "
+        "BYTE-IDENTICAL to the baseline decode of the same image "
+        "(prog_eq_baseline — computed per document by running both "
+        "decoders). Tolerance verdicts vs the formula ride along with "
+        "the q_decode_jpeg bounds. Hand-built EOBn streams, mixed "
+        "noise/flat/edge stress content at three qualities, and "
         "multi-band scripts pinned in tests/test_jpeg.py."
     ),
     tags=("extension", "multimodal"),
@@ -939,7 +942,9 @@ def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 w, h = jpeg_dims(d)
                 src = jpeg_rgb(d, w, h)
-                prog = jpeg.encode_jpeg_progressive(w, h, src, quality=90)
+                prog = jpeg.encode_jpeg_progressive(
+                    w, h, src, quality=90, successive=True
+                )
                 fmt, dw, dh, rgb = jpeg.decode_jpeg(prog)
                 base_rgb = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, src, quality=90))[3]
                 expected = np.frombuffer(src, dtype=np.uint8).astype(np.int64)

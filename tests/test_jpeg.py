@@ -330,3 +330,40 @@ def test_progressive_eobn_run_decodes():
     assert flat.std() == 0
     assert got[8:, :8, :].std() == 0  # block 2 flat
     assert got[:8, :8, :].std() > 0  # block 0 carries the AC ripple
+
+
+def test_successive_approximation_equals_baseline_decode():
+    """Full successive approximation (the libjpeg-default profile):
+    first passes at Al=1, then DC raw-bit refinement and AC refinement
+    scans deliver the final precision bit — the fully-refined decode
+    is BYTE-IDENTICAL to the baseline decode of the same image, on
+    content mixing noise (dense corrections), flat areas (long zero
+    runs / ZRL-in-refine), and smooth gradients, at three qualities."""
+    for seed in (0, 5, 9):
+        rng = np.random.RandomState(seed)
+        w, h = 64 + seed * 8, 48 + seed * 5
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        smooth = (x * 2 + y * 3) % 200
+        noise = rng.randint(0, 256, (h, w))
+        flat = np.full((h, w), 128)
+        sel = (x // 16 + y // 16) % 3
+        gray = np.where(sel == 0, smooth, np.where(sel == 1, noise, flat)).astype(
+            np.uint8
+        )
+        rgb = (
+            np.stack([gray, 255 - gray, (gray * 3) % 256], axis=-1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        for q in (25, 50, 90):
+            base = J.decode_jpeg(J.encode_jpeg(w, h, rgb, q))
+            sa = J.decode_jpeg(
+                J.encode_jpeg_progressive(w, h, rgb, q, successive=True)
+            )
+            assert sa == base, (seed, q)
+    # the SA script emits 14 scans with the default two bands
+    from benchmark_spark.llm.multimodal import jpeg_rgb
+
+    enc = J.encode_jpeg_progressive(17, 13, jpeg_rgb(3, 17, 13), 90, successive=True)
+    assert enc.count(b"\xff\xda") == 14
