@@ -861,18 +861,17 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins the plan)
     shortlist = coarse.orderBy(F.desc("iscore"), F.asc("vec_id")).limit(30)
     survivors = emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+    # 30-row exact re-rank: the SEQUENTIAL array fold, not posexplode +
+    # groupBy SUM (ADVICE r10 #4) — a floating double sum's value must
+    # not depend on partial-aggregation order, and on 30 rows the
+    # interpreted HOF costs nothing. The corpus-sized coarse stage
+    # above stays codegen AND order-independent (integer sum).
     return (
         survivors.crossJoin(F.broadcast(anchor))
-        .select("vec_id", pair.alias("i", "p"))
         .select(
             "vec_id",
-            (
-                F.col("p.embedding").cast("double")
-                * F.col("p.a_emb").cast("double")
-            ).alias("prod"),
+            F.round(dot(F.col("embedding"), F.col("a_emb")), 4).alias("score"),
         )
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("prod"), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
@@ -1066,14 +1065,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hybrid_search",
     oracle="""
+        WITH am AS (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS a
+            FROM embeddings WHERE vec_id = 0
+        )
         SELECT d.doc_id, d.lang,
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-               round(list_dot_product(
-                   CAST(e.embedding AS DOUBLE[]),
-                   CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
-                        AS DOUBLE[])), 4) AS score
+               round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(floor(e.v[i] * 1000000.0 + 0.5) AS BIGINT) * am.a[i]))
+                   / 1000000000000.0, 4) AS score
         FROM documents d
-        JOIN embeddings e ON e.vec_id = d.doc_id
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+          ON e.vec_id = d.doc_id, am
         WHERE d.lang = 'en'
           AND len(string_split(d.text, ' ')) >= 20
           AND d.doc_id <> 0
@@ -1090,7 +1094,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so the expensive dot products run on the filtered slice, not the "
         "corpus — at 100 TB pre-filtering is the difference between "
         "scoring billions and scoring millions. TakeOrderedAndProject "
-        "keeps the top-k merge per-partition."
+        "keeps the top-k merge per-partition. The score is an EXACT "
+        "integer micro dot (floor(x*1e6+0.5) per element, products "
+        "summed as longs, scaled back by 1e12 — ADVICE r10 #4): a "
+        "double sum's value depends on partial-aggregation order, an "
+        "integer sum's cannot, so the hash is partition-count-proof "
+        "while the stage stays whole-stage-codegen; the oracle replays "
+        "the identical quantization."
     ),
     tags=("extension", "similarity", "text"),
 )
@@ -1106,10 +1116,16 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") != 0)
     ).select("doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     # q8_knn codegen template (round 10, plan-advisor interpreted-hof-
-    # in-topk fix): the HOF dot was evaluated inside TakeOrderedAnd-
-    # Project's interpreted projection; posexplode -> product ->
-    # map-side partial sum whole-stage-codegens end to end
+    # in-topk fix): posexplode -> product -> map-side partial sum
+    # whole-stage-codegens end to end. Round 11 (ADVICE r10 #4): the
+    # summed terms are exact 1e6 fixed-point INTEGERS, so the score is
+    # independent of partial-aggregation/partition order — a double
+    # sum here was in principle nondeterministic across partitionings.
     pair = F.posexplode(F.arrays_zip("embedding", "anchor_emb"))
+
+    def micro(col):  # exact int 1e6 fixed-point, in codegen
+        return F.floor(col.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+
     return (
         filtered.join(emb, filtered.doc_id == emb.vec_id)
         .crossJoin(F.broadcast(anchor))
@@ -1118,13 +1134,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_tokens",
-            (
-                F.col("p.embedding").cast("double")
-                * F.col("p.anchor_emb").cast("double")
-            ).alias("prod"),
+            (micro(F.col("p.embedding")) * micro(F.col("p.anchor_emb"))).alias("prod"),
         )
         .groupBy("doc_id", "lang", "n_tokens")
-        .agg(F.round(F.sum("prod"), 4).alias("score"))
+        .agg(F.round(F.sum("prod") / F.lit(1e12), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
@@ -1897,7 +1910,12 @@ def _ivfpq_params(n: int) -> tuple[int, int, int]:
 
     nlist = max(_IVFPQ_NLIST_MIN, math.ceil(math.sqrt(n)))
     nprobe = max(_IVFPQ_NPROBE_MIN, math.ceil(2.5 * math.sqrt(nlist)))
-    train = min(n, min(_IVFPQ_TRAIN_CAP, max(_IVFPQ_TRAIN_MIN, 16 * nlist)))
+    # train >= nlist (ADVICE r10 #2): past the cap (N > ~16.7M), a
+    # sample smaller than nlist would silently yield < nlist centroids
+    # under first-nlist-rows init while the oracle's cc0 still takes
+    # vec_id < nlist — the clamp keeps both sides at nlist exactly
+    # where the sqrt sizing rule crosses the cap.
+    train = min(n, max(nlist, min(_IVFPQ_TRAIN_CAP, max(_IVFPQ_TRAIN_MIN, 16 * nlist))))
     return nlist, nprobe, train
 
 
@@ -2019,8 +2037,10 @@ _IVFPQ_ORACLE = f"""
                GREATEST({_IVFPQ_NPROBE_MIN},
                         CAST(CEIL(2.5 * SQRT(CAST(nlist AS DOUBLE))) AS BIGINT))
                    AS nprobe,
-               LEAST(n, LEAST({_IVFPQ_TRAIN_CAP},
-                              GREATEST({_IVFPQ_TRAIN_MIN}, 16 * nlist))) AS train
+               LEAST(n, GREATEST(nlist,  -- train >= nlist, ADVICE r10 #2
+                                 LEAST({_IVFPQ_TRAIN_CAP},
+                                       GREATEST({_IVFPQ_TRAIN_MIN}, 16 * nlist))))
+                   AS train
         FROM (
             SELECT GREATEST({_IVFPQ_NLIST_MIN},
                             CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nlist,

@@ -1278,9 +1278,16 @@ def bpe_train(
     spark: SparkSession, vocab: DataFrame, k: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """bpe_train_merges plus the POST-merge vocabulary state (ws, n)
-    with merge k applied — the input to encoding (q_bpe_encode)."""
-    from pyspark.sql import Window
+    with merge k applied — the input to encoding (q_bpe_encode).
 
+    Pair counting is PER-ROW array arithmetic (transform over adjacent
+    symbol pairs), not a posexplode + lead() window: no shuffle before
+    the partial-aggregated pair count, and correct even if the caller
+    hands a vocabulary with duplicate toks (ADVICE r10 #3 — the old
+    Window.partitionBy('ws') interleaved rows sharing a ws value).
+    Lineage is cut with localCheckpoint every 4 merge rounds so round
+    i's top-pair job does not replay i chained replaces over the base
+    (the triangle/PageRank lineage fix, SCALE.md item 9)."""
     words = vocab.select(
         F.concat(
             F.lit(" "),
@@ -1293,14 +1300,17 @@ def bpe_train(
     try:
         merges: list[tuple[int, str, str, int]] = []
         for i in range(1, k + 1):
-            syms = F.split(F.trim(F.col("ws")), "  ")
-            tok = words.select("ws", "n", F.posexplode(syms).alias("pos", "sym"))
-            w = Window.partitionBy("ws").orderBy("pos")
-            pr = tok.select(
+            pr = words.withColumn(
+                "syms", F.split(F.trim(F.col("ws")), "  ")
+            ).select(
                 "n",
-                F.col("sym").alias("lhs"),
-                F.lead("sym").over(w).alias("rhs"),
-            ).filter(F.col("rhs").isNotNull())
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS lhs, syms[i + 1] AS rhs))"
+                    )
+                ).alias("p"),
+            ).select("n", "p.lhs", "p.rhs")
             top = (
                 pr.groupBy("lhs", "rhs")
                 .agg(F.sum("n").alias("cnt"))
@@ -1318,6 +1328,10 @@ def bpe_train(
                 ).alias("ws"),
                 "n",
             )
+            if i % 4 == 0:
+                # cut lineage: without this, round i replays i chained
+                # replaces over the persisted base (O(K^2) total)
+                words = words.localCheckpoint(eager=True)
         return merges, words
     finally:
         base.unpersist()

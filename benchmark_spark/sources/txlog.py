@@ -422,11 +422,15 @@ class TxLogTable:
         Delta partition columns over per-file stats. The bucket width
         derives from the GLOBAL split_col range (same arithmetic as
         create), so the oracle can replay which (partition, bucket)
-        files exist. Partition values are strings (Hive dir layout);
-        the column is NOT stored in the data files and is re-injected
-        at read time from the log."""
+        files exist. Partition values are logged as strings (Hive dir
+        layout) TOGETHER with the column's data type (`ptype` — ADVICE
+        r10 #5), so read-time re-injection casts back to the native
+        type and unions cleanly with unattributed appends that carry
+        the column natively; the column is NOT stored in the data
+        files."""
         t = TxLogTable(path)
         os.makedirs(path, exist_ok=True)
+        ptype = df.schema[part_col].dataType.simpleString()
         lo, hi = df.agg(F.min(split_col), F.max(split_col)).first()
         width = max(1, (int(hi) - int(lo) + n_files) // n_files)
         stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -462,7 +466,12 @@ class TxLogTable:
                             os.unlink(os.path.join(path, name))
                             continue
                         actions.append(
-                            {"add": name, **st, "partition": {part_col: pval}}
+                            {
+                                "add": name,
+                                **st,
+                                "partition": {part_col: pval},
+                                "ptype": {part_col: ptype},
+                            }
                         )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
@@ -483,13 +492,33 @@ class TxLogTable:
             return True  # unattributed: conservatively in every partition
         return all(have.get(k) == str(v) for k, v in partition.items())
 
+    def _partition_pred(self, partition: dict, version: int | None = None):
+        """Row-level predicate `partition-columns == partition-values`
+        with each literal cast to the column's LOGGED data type (ADVICE
+        r10 #5: an unattributed file carries the column natively, so
+        'F' == F string-compares are wrong for non-string columns).
+        The type is looked up across the WHOLE snapshot (the touched
+        file itself may be the unattributed one, which records no
+        ptype); falls back to string when nothing recorded one."""
+        ptypes: dict = {}
+        for a in self.snapshot_adds(version):
+            ptypes.update(a.get("ptype") or {})
+        pred = F.lit(True)
+        for k, v in partition.items():
+            pred = pred & (F.col(k) == F.lit(str(v)).cast(ptypes.get(k, "string")))
+        return pred
+
     def _read_adds(self, spark: SparkSession, adds: list[dict]) -> DataFrame:
         """Materialize the LIVE rows of a set of add actions.
 
         Partition handling (Delta/Hive-style): a partitioned file does
         NOT store its partition column — the value lives in the add
-        action and is re-injected as a literal per partition group
-        (partition values are strings, as in Hive dir layouts).
+        action and is re-injected as a literal per partition group.
+        The literal is CAST to the column's logged data type (`ptype`
+        in the add action, recorded by create_partitioned — ADVICE
+        r10 #5): Hive dir names stringify the value, but an
+        unattributed append carries the column with its native type,
+        and unionByName across the two groups must agree on one type.
         Deletion vectors: files with one are read with parquet row
         positions (_metadata.row_index) and the deleted (file,
         position) pairs anti-joined away — merge-on-read, broadcast
@@ -502,8 +531,11 @@ class TxLogTable:
         parts = []
         for pitems in sorted(groups):
             df = self._read_group(spark, groups[pitems])
+            ptypes = next(
+                (a["ptype"] for a in groups[pitems] if a.get("ptype")), {}
+            )
             for c, v in pitems:
-                df = df.withColumn(c, F.lit(v))
+                df = df.withColumn(c, F.lit(v).cast(ptypes.get(c, "string")))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -589,9 +621,9 @@ class TxLogTable:
         if partition:
             # row-level partition filter: exactness for unattributed
             # files (attributed groups inject the literal, so for them
-            # this predicate is constant-folded true by Catalyst)
-            for k, v in partition.items():
-                df = df.filter(F.col(k) == str(v))
+            # this predicate is constant-folded true by Catalyst);
+            # literals are cast to the logged partition type
+            df = df.filter(self._partition_pred(partition, version))
         return df, counters
 
     def prune(
@@ -644,9 +676,19 @@ class TxLogTable:
                 key = tuple(sorted((a.get("partition") or {}).items()))
                 groups.setdefault(key, []).append(a)
             for pitems in sorted(groups):
-                survivors = self._read_adds(spark, groups[pitems]).filter(
-                    (F.col(col) < lo) | (F.col(col) > hi)
-                )
+                survivors = self._read_adds(spark, groups[pitems])
+                in_range = (F.col(col) >= lo) & (F.col(col) <= hi)
+                if partition and not pitems:
+                    # ADVICE r10 #1: an UNATTRIBUTED file can hold rows
+                    # of every partition, so a partition-scoped delete
+                    # must be bounded row-level — delete only rows that
+                    # are BOTH in range AND in the target partition,
+                    # not every in-range row the file happens to hold.
+                    survivors = survivors.filter(
+                        ~(in_range & self._partition_pred(partition))
+                    )
+                else:
+                    survivors = survivors.filter(~in_range)
                 if pitems:
                     survivors = survivors.drop(*[k for k, _v in pitems])
                 writes = self._write_files(spark, [survivors], stats_cols)

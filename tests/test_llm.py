@@ -580,3 +580,45 @@ def test_bpe_train_merge_semantics_and_shape(spark):
     assert all(r["cnt"] > 0 for r in table)
     merged = [r["lhs"] + r["rhs"] for r in table]
     assert len(set(merged)) == _BPE_K  # merges are distinct symbols
+
+
+def test_ivfpq_train_clamped_to_nlist_past_cap():
+    """ADVICE r10 #2: when ceil(sqrt(N)) crosses the 4096 training cap
+    (N > ~16.7M), train clamps UP to nlist so first-nlist-rows init
+    still yields nlist centroids; the DuckDB params CTE replays the
+    same arithmetic."""
+    import duckdb
+
+    from benchmark_spark.llm.similarity import (
+        _IVFPQ_TRAIN_CAP,
+        _ivfpq_params,
+    )
+
+    for n in (1, 50, 512, 100_000, 16_800_000, 20_000_000, 10**9):
+        nlist, _nprobe, train = _ivfpq_params(n)
+        assert train >= min(n, nlist), (n, nlist, train)
+        assert train <= max(n and n, max(nlist, _IVFPQ_TRAIN_CAP))
+        sql_train = duckdb.sql(
+            f"""SELECT LEAST(n, GREATEST(nlist, LEAST({_IVFPQ_TRAIN_CAP},
+                       GREATEST(512, 16 * nlist))))
+                FROM (SELECT GREATEST(16, CAST(CEIL(SQRT({n})) AS BIGINT)) AS nlist,
+                             CAST({n} AS BIGINT) AS n)"""
+        ).fetchone()[0]
+        assert sql_train == train, (n, sql_train, train)
+    # the advertised failure point: 20M vectors -> nlist 4473 > cap
+    nlist, _, train = _ivfpq_params(20_000_000)
+    assert nlist > _IVFPQ_TRAIN_CAP and train == nlist
+
+
+def test_bpe_train_handles_duplicate_vocab_toks(spark):
+    """ADVICE r10 #3: the exported bpe_train helpers must count pairs
+    correctly even when the input vocabulary has DUPLICATE toks (the
+    old lead()-over-partitionBy('ws') window interleaved rows sharing
+    a ws). Two 'ab' rows weighted 2 and 3 -> pair (a,b) counts 5."""
+    from benchmark_spark.llm.text import bpe_train_merges
+
+    vocab = spark.createDataFrame(
+        [("ab", 2), ("ab", 3), ("ba", 1)], "tok string, n long"
+    )
+    merges = bpe_train_merges(spark, vocab, 1)
+    assert merges == [(1, "a", "b", 5)]

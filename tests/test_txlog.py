@@ -801,3 +801,39 @@ def test_concurrent_dv_writers_serialize_or_conflict(spark, table):
     # recompute against the NEW snapshot succeeds (the recovery path)
     t2.delete_keys(spark, "k", [3], ("k",))
     assert table.read(spark).count() == 997
+
+
+def test_partition_delete_bounded_with_unattributed_file(spark, tmp_path):
+    """ADVICE r10 #1 + #5: an INT-partitioned table plus an
+    unattributed append spanning both partitions. (a) read() unions the
+    injected-literal group with the native-typed group — the ptype cast
+    must make both sides int; (b) a partition-scoped delete_where whose
+    range covers the unattributed file deletes ONLY that partition's
+    rows from it."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t = TxLogTable.create_partitioned(
+        spark, str(tmp_path / "pt_int"), df, "p", "k", n_files=2, stats_cols=("k",)
+    )
+    assert all(a["ptype"] == {"p": "int"} for a in t.snapshot_adds())
+    extra = spark.range(1000, 1010).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.append(spark, extra, ("k",))
+    got = t.read(spark)
+    assert dict(got.dtypes)["p"] == "int"  # not string: ptype cast applied
+    assert got.count() == 110
+    # read_where with a NATIVE int partition value prunes + filters right
+    dfw, c = t.read_where(spark, "k", 1000, 2000, partition={"p": 1})
+    assert sorted(r["k"] for r in dfw.collect()) == [1001, 1003, 1005, 1007, 1009]
+    # partition-scoped delete over the unattributed rows: p=1 survives
+    t.delete_where(spark, "k", 1000, 1009, ("k",), partition={"p": 0})
+    rest = t.read(spark).filter(F.col("k") >= 1000).collect()
+    assert sorted(r["k"] for r in rest) == [1001, 1003, 1005, 1007, 1009]
+    assert all(r["p"] == 1 for r in rest)
+    assert t.read(spark).count() == 105  # the attributed base untouched
