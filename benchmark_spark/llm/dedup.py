@@ -1110,3 +1110,95 @@ def q_chargram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)
     return verify_jaccard(sh, cand, 0.6)
+
+
+# Repeated n-gram SPAN detection (round 11): the fixed-width-window
+# approximation of exact substring deduplication (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# suffix-array pass production pipelines run to excise verbatim
+# repeated spans). A position's 8-token window is "duplicated" when
+# the same 8-gram occurs in >= 2 DISTINCT documents; the per-document
+# duplicated-position fraction is the excision signal.
+_SPAN_N = 8
+
+
+@register(
+    "q_ngram_span_dedup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(t[k + 1:k + {_SPAN_N}], ' ') AS g
+            FROM tok,
+                 unnest(range(0, greatest(len(t) - {_SPAN_N - 1}, 0))) AS r(k)
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN g IN (SELECT g FROM dup)
+                            THEN 1 ELSE 0 END) AS n_dup
+            FROM grams GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               {rnd_sql('n_dup * 1.0 / n_grams', 4)} AS frac_dup,
+               CAST(CASE WHEN n_dup * 1.0 / n_grams > 0.5
+                         THEN 1 ELSE 0 END AS BIGINT) AS heavy
+        FROM agg
+    """,
+    doc=(
+        "Repeated 8-gram span detection (round 11) — the fixed-window "
+        "form of exact-substring dedup (Lee et al. 2022): every token "
+        "position opens an 8-gram window, a window is DUPLICATED when "
+        "its 8-gram occurs in >= 2 distinct documents, and each doc "
+        "reports its duplicated-position fraction (the signal used to "
+        "excise verbatim repeated spans from a training corpus). "
+        "Plan: the codegen shifted-slices n-gram shape (no HOFs), "
+        "positions keyed by md5(gram) — at 100 TB the shuffle carries "
+        "16-byte fingerprints instead of 8-token strings, the dup-gram "
+        "side is aggregated BEFORE the join back (distinct-doc count "
+        "per gram, map-side partial), and hot grams (boilerplate) are "
+        "the classic skew case AQE's skew-join handles. The oracle "
+        "groups raw grams; md5 collisions are absent at fixture scale "
+        "and the emitted columns are per-doc counts, not hashes."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    width = F.size(toks) - (_SPAN_N - 1)  # full windows only
+    zipped = F.arrays_zip(
+        *[F.slice(toks, off + 1, F.greatest(width, F.lit(0))) for off in range(_SPAN_N)]
+    )
+    gram = F.concat_ws(" ", *[F.col("g")[str(i)] for i in range(_SPAN_N)])
+    grams = docs.select("doc_id", F.explode(zipped).alias("g")).select(
+        "doc_id", F.md5(gram.cast("binary")).alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("d"))
+    )
+    agg = (
+        grams.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        rnd(frac, 4).alias("frac_dup"),
+        (frac > 0.5).cast("long").alias("heavy"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
-from benchmark_spark.operators.aggregates import rnd
+from benchmark_spark.operators.aggregates import rnd, rnd_sql
 from benchmark_spark.registry import register
 
 # Deterministic language profile over the fixture vocabulary:
@@ -1503,3 +1503,92 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_bp"),
     ).orderBy("threshold_pct")
+
+
+# Gopher-style quality rules (round 11): the published rule family from
+# the Gopher/MassiveText curation pipeline (Rae et al. 2021, public) —
+# document-level heuristics that gate admission to a training corpus.
+# Thresholds are calibrated to the fixture's 10..99-word docs so the
+# filter genuinely splits the corpus (not all-pass / all-fail).
+_GOPHER_STOPS = ("the", "a", "to", "of", "and", "row", "data", "table")
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 90
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_LEN1 = 0.08  # max fraction of 1-char words (symbol proxy)
+_GOPHER_MIN_STOPS = 3  # distinct stopwords required
+
+
+@register(
+    "q_gopher_quality",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_words,
+                   SUM(length(tok)) AS sum_len,
+                   SUM(CASE WHEN length(tok) = 1 THEN 1 ELSE 0 END) AS n_len1,
+                   COUNT(DISTINCT CASE WHEN tok IN ({_GOPHER_STOP_SQL})
+                                       THEN tok END) AS stop_distinct
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               {rnd_sql('sum_len * 1.0 / n_words', 4)} AS mean_wlen,
+               {rnd_sql('n_len1 * 1.0 / n_words', 4)} AS frac_len1,
+               CAST(stop_distinct AS BIGINT) AS stop_distinct,
+               CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS}
+                                          AND {_GOPHER_MAX_WORDS}
+                          AND sum_len * 1.0 / n_words
+                              BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+                          AND n_len1 * 1.0 / n_words <= {_GOPHER_MAX_LEN1}
+                          AND stop_distinct >= {_GOPHER_MIN_STOPS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM agg
+    """,
+    doc=(
+        "Gopher-rule quality filter (round 11; Rae et al. 2021's "
+        "MassiveText heuristics, the rule family production curation "
+        "pipelines actually run): per-document word count bounds, mean "
+        "word length bounds, max fraction of 1-character words (the "
+        "fixture analogue of the symbol-to-word rule), and a minimum "
+        "number of DISTINCT stopwords — each emitted as a column plus "
+        "the composite keep bit. One explode + one groupBy(doc_id): "
+        "the canonical corpus-statistics shape — at 100 TB this is a "
+        "single shuffle keyed by doc_id with map-side partial "
+        "aggregation, and every rule is plain codegen arithmetic "
+        "(ratios of integers, so the 4dp snap is tie-deterministic on "
+        "both engines). Rule comparisons use the RAW integer ratios, "
+        "identical doubles in Spark and DuckDB."
+    ),
+    tags=("extension", "text"),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum((F.length("tok") == 1).cast("long")).alias("n_len1"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(*_GOPHER_STOPS), F.col("tok"))
+        ).alias("stop_distinct"),
+    )
+    mwl = F.col("sum_len") / F.col("n_words")
+    fl1 = F.col("n_len1") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mwl.between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (fl1 <= _GOPHER_MAX_LEN1)
+        & (F.col("stop_distinct") >= _GOPHER_MIN_STOPS)
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        rnd(mwl, 4).alias("mean_wlen"),
+        rnd(fl1, 4).alias("frac_len1"),
+        F.col("stop_distinct").cast("long").alias("stop_distinct"),
+        keep.cast("long").alias("keep"),
+    )
