@@ -2371,3 +2371,87 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact10"),
     )
+
+
+# SemDeDup (round 11): semantic deduplication WITHIN k-means clusters
+# (Abbas et al. 2023, public) — cluster the corpus with the same
+# replayable k-means-lite build q_ann_ivf indexes with, then compute
+# pairwise cosine only INSIDE each cluster and mark every vector that
+# has a near-duplicate with a lower vec_id (deterministic keep-lowest
+# survivor; the paper keeps the member farthest from the centroid —
+# same pair set, different representative choice).
+_SEMDEDUP_TAU = 0.3  # same radius as the q_dedup_embed tier
+
+
+def _semdedup_oracle() -> str:
+    parts = _ivf_prefix_parts()
+    parts.append(
+        "mem AS MATERIALIZED (SELECT l.vec_id, l.cid, v.v "
+        "FROM lists l JOIN vecs v USING (vec_id))"
+    )
+    parts.append(
+        "sem_dups AS MATERIALIZED (SELECT DISTINCT b.vec_id AS b_id "
+        "FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.v, b.v) >= {_SEMDEDUP_TAU})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+        SELECT l.vec_id, CAST(l.cid AS BIGINT) AS cid,
+               CAST(CASE WHEN l.vec_id IN (SELECT b_id FROM sem_dups)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM lists l
+        """
+    )
+
+
+@register(
+    "q_semdedup",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup — semantic dedup within k-means clusters (round 11; "
+        "Abbas et al. 2023, the embedding-space dedup production "
+        "curation stacks run after exact/MinHash passes): partition "
+        "the corpus with the replayable k-means-lite quantizer (same "
+        "unrolled build as q_ann_ivf/q_cluster_sample), compute "
+        "pairwise cosine ONLY within clusters, and flag every vector "
+        "with a >= 0.3 neighbor of lower vec_id (keep-lowest "
+        "deterministic survivor). Emits (vec_id, cid, is_dup) — the "
+        "full dedup verdict table. Scale: clustering bounds the pair "
+        "join to cluster-local work (~(N/k)^2 per cluster, k grown "
+        "~sqrt(N) at 100 TB), vectors shuffle ONCE on cid, and the "
+        "broadcast centroid table keeps assignment map-side; the LSH "
+        "twin (q_dedup_embed_lsh) is the sub-quadratic fallback when "
+        "clusters are still too fat. The whole iterative build plus "
+        "the dup verdict replays bit-exact in DuckDB (raw-double "
+        "cosine comparisons are the same IEEE doubles both engines)."
+    ),
+    tags=("extension", "similarity", "dedup"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    centroids = kmeans_lite(emb, k=10, iters=2)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    lists = _assign(vecs, centroids, keep_vec=True)
+    a = lists.select(
+        "cid", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    b = lists.select(
+        "cid", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dot(F.col("a_v"), F.col("b_v")) >= _SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(1))
+    )
+    return (
+        lists.select("vec_id", "cid")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )
