@@ -443,12 +443,21 @@ def encode_jpeg(
     )
 
 
-def _enc_dc_first(zz_all: np.ndarray, n_units: int, enc_codes: dict, al: int) -> bytes:
+def _enc_dc_first(
+    zz_all: np.ndarray, n_units: int, enc_codes: dict, al: int, ri: int = 0
+) -> bytes:
     """Interleaved DC scan, Ah=0: diff-code DC >> al (G.1.2.1 — the
-    point transform is an arithmetic shift)."""
+    point transform is an arithmetic shift). With ri > 0 an RSTm is
+    emitted every ri MCUs with DC predictors reset (T.81 allows
+    restarts in ANY scan, G.1.1 via E.1.4; m resets to 0 per scan)."""
     w = _BitWriter()
     prev_dc = [0, 0, 0]
+    rst = 0
     for b in range(n_units):
+        if ri and b and b % ri == 0:
+            w.emit_marker(0xD0 + (rst & 7))
+            rst += 1
+            prev_dc = [0, 0, 0]
         for comp in range(3):
             v = int(zz_all[b * 3 + comp][0]) >> al
             dc_codes = enc_codes["dcl"] if comp == 0 else enc_codes["dcc"]
@@ -462,11 +471,16 @@ def _enc_dc_first(zz_all: np.ndarray, n_units: int, enc_codes: dict, al: int) ->
     return w.flush()
 
 
-def _enc_dc_refine(zz_all: np.ndarray, n_units: int, al: int) -> bytes:
+def _enc_dc_refine(zz_all: np.ndarray, n_units: int, al: int, ri: int = 0) -> bytes:
     """Interleaved DC refinement, Ah=Al+1: ONE raw bit per block =
-    bit `al` of the (two's-complement) DC value. No Huffman coding."""
+    bit `al` of the (two's-complement) DC value. No Huffman coding.
+    Restarts (ri > 0) just byte-align and mark — no predictor state."""
     w = _BitWriter()
+    rst = 0
     for b in range(n_units):
+        if ri and b and b % ri == 0:
+            w.emit_marker(0xD0 + (rst & 7))
+            rst += 1
         for comp in range(3):
             w.write((int(zz_all[b * 3 + comp][0]) >> al) & 1, 1)
     return w.flush()
@@ -479,12 +493,19 @@ def _pt(v: int, al: int) -> int:
 
 def _enc_ac_first(
     zz_all: np.ndarray, n_units: int, comp: int, ac_codes: dict,
-    lo: int, hi: int, al: int,
+    lo: int, hi: int, al: int, ri: int = 0,
 ) -> bytes:
     """Non-interleaved AC band scan, Ah=0: run/size over the
-    point-transformed values; per-block EOB0 (no EOBn in Annex-K)."""
+    point-transformed values; per-block EOB0 (no EOBn in Annex-K).
+    In a non-interleaved scan the MCU is ONE data unit (A.2.2), so
+    ri > 0 emits an RSTm every ri blocks; all run/EOB state here is
+    per-block already, so nothing else resets."""
     w = _BitWriter()
+    rst = 0
     for b in range(n_units):
+        if ri and b and b % ri == 0:
+            w.emit_marker(0xD0 + (rst & 7))
+            rst += 1
         zz = zz_all[b * 3 + comp]
         run = 0
         emitted = False
@@ -511,16 +532,23 @@ def _enc_ac_first(
 
 def _enc_ac_refine(
     zz_all: np.ndarray, n_units: int, comp: int, ac_codes: dict,
-    lo: int, hi: int, ah: int, al: int,
+    lo: int, hi: int, ah: int, al: int, ri: int = 0,
 ) -> bytes:
     """Non-interleaved AC refinement scan (G.1.2.3): newly significant
     coefficients (zero at precision ah, +-1 at precision al) are coded
     as (run, 1) + sign bit; coefficients already significant at ah
     contribute one buffered CORRECTION bit (bit al of |v|), appended
     after the next emitted symbol — including after the per-block EOB0
-    that closes a block with trailing state."""
+    that closes a block with trailing state. Restart intervals (ri >
+    0) are block-aligned and the correction-bit buffer is per-block
+    (always flushed by the closing EOB0/last symbol), so an RSTm every
+    ri blocks needs no extra state handling."""
     w = _BitWriter()
+    rst = 0
     for b in range(n_units):
+        if ri and b and b % ri == 0:
+            w.emit_marker(0xD0 + (rst & 7))
+            rst += 1
         zz = zz_all[b * 3 + comp]
         run = 0
         pending: list[int] = []  # correction bits buffered in k-order
@@ -568,6 +596,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     bands: tuple = ((1, 5), (6, 63)),
     successive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JFIF encoder (SOF2): the same quantized
     coefficients as the baseline encoder, reorganized into one
@@ -582,7 +611,12 @@ def encode_jpeg_progressive(
     over each component's OWN block grid, which equals the MCU grid
     only without subsampling). End-of-band runs are emitted as
     per-block EOB0 — the Annex-K AC tables carry no EOBn (n >= 1)
-    symbols; the decoder handles general EOBn."""
+    symbols; the decoder handles general EOBn. With
+    ``restart_interval`` > 0 a DRI segment is written and EVERY scan
+    emits RSTm markers at that MCU cadence (T.81 allows restarts in
+    progressive scans too — E.1.4 applies per scan, m reset to 0 at
+    each scan start), making each scan's entropy data independently
+    splittable exactly like the baseline/4:2:0 path."""
     if len(rgb) != 3 * width * height:
         raise ValueError(f"rgb length {len(rgb)} != 3*{width}*{height}")
     qt_l, qt_c = _scaled_tables(quality)
@@ -619,11 +653,12 @@ def encode_jpeg_progressive(
 
     all_comps = [(1, 0x00), (2, 0x11), (3, 0x11)]
     first_al = 1 if successive else 0
+    ri = restart_interval
     scans: list[bytes] = []
     # scan 1: interleaved DC first pass (baseline DC coding at Al)
     scans.append(
         sos(all_comps, 0, 0, 0, first_al)
-        + _enc_dc_first(zz_all, n_units, enc_codes, first_al)
+        + _enc_dc_first(zz_all, n_units, enc_codes, first_al, ri)
     )
     # per-component AC band first passes (G.1.2.2)
     for comp in range(3):
@@ -632,12 +667,12 @@ def encode_jpeg_progressive(
         for lo, hi in bands:
             scans.append(
                 sos([(comp + 1, tables)], lo, hi, 0, first_al)
-                + _enc_ac_first(zz_all, n_units, comp, ac_codes, lo, hi, first_al)
+                + _enc_ac_first(zz_all, n_units, comp, ac_codes, lo, hi, first_al, ri)
             )
     if successive:
         # DC refinement: raw bit per block (Ah=1 -> Al=0)
         scans.append(
-            sos(all_comps, 0, 0, 1, 0) + _enc_dc_refine(zz_all, n_units, 0)
+            sos(all_comps, 0, 0, 1, 0) + _enc_dc_refine(zz_all, n_units, 0, ri)
         )
         # AC refinement per component over the full union of bands
         for comp in range(3):
@@ -646,7 +681,7 @@ def encode_jpeg_progressive(
             for lo, hi in bands:
                 scans.append(
                     sos([(comp + 1, tables)], lo, hi, 1, 0)
-                    + _enc_ac_refine(zz_all, n_units, comp, ac_codes, lo, hi, 1, 0)
+                    + _enc_ac_refine(zz_all, n_units, comp, ac_codes, lo, hi, 1, 0, ri)
                 )
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -664,6 +699,7 @@ def encode_jpeg_progressive(
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    dri = seg(0xFFDD, struct.pack(">H", ri)) if ri else b""
     return (
         b"\xff\xd8"
         + app0
@@ -674,6 +710,7 @@ def encode_jpeg_progressive(
         + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
         + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + dri
         + b"".join(scans)
         + b"\xff\xd9"
     )
@@ -907,7 +944,138 @@ def _is_progressive(payload: bytes) -> bool:
     return False
 
 
-def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
+def _entropy_extent(payload: bytes, start: int) -> int:
+    """End offset (exclusive) of the entropy data beginning at
+    ``start``: the first 0xFF followed by a byte that is neither a
+    stuffed 0x00 nor an RSTm nor a 0xFF fill byte (B.1.1.5) — i.e.
+    the next real marker, findable by pure byte scan without
+    decoding, which is what makes per-scan splitting cheap."""
+    i, n = start, len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte before a marker
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _dec_prog_dc_first(r, zz_planes, scomps, hts, al, b0, b1, prev_dc) -> None:
+    """DC first pass over blocks [b0, b1) — one restart segment (or
+    the whole scan); prev_dc is the segment's predictor state."""
+    for b in range(b0, b1):
+        for comp, dc_t, _ac_t in scomps:
+            s = _huff_decode(r, hts[(0, dc_t)])
+            diff = _extend(r.read_bits(s), s) if s else 0
+            prev_dc[comp] += diff
+            zz_planes[comp][b][0] = prev_dc[comp] << al
+
+
+def _dec_prog_dc_refine(r, zz_planes, scomps, al, b0, b1) -> None:
+    """DC refinement (G.2.1): one raw bit -> bit ``al``, [b0, b1)."""
+    for b in range(b0, b1):
+        for comp, _dc_t, _ac_t in scomps:
+            if r.read_bit():
+                zz_planes[comp][b][0] |= 1 << al
+
+
+def _dec_prog_ac_first(r, plane, table, ss, se, al, b0, b1) -> None:
+    """AC band first pass with general EOBn over blocks [b0, b1).
+    The EOB run is segment-local: T.81 forbids it crossing a restart
+    boundary (E.1.4 resets all entropy state), so leftover run at the
+    segment end is stream corruption, not a decoder choice."""
+    eobrun = 0
+    for b in range(b0, b1):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        zz = plane[b]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, table)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL inside the band
+                    k += 16
+                    continue
+                # EOBn: this block done + 2^run - 1 more
+                eobrun = (1 << run) - 1 + (r.read_bits(run) if run else 0)
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+    if eobrun:
+        raise ValueError("EOB run crosses a restart/scan boundary")
+
+
+def _dec_prog_ac_refine(r, plane, table, ss, se, al, b0, b1) -> None:
+    """AC refinement (G.2.2) over blocks [b0, b1): correction bits +
+    new +-1 insertions; EOB-run state segment-local like _dec_prog_ac_first."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    def refine_nonzero(zz, k):
+        """Correction bit for an already-significant coef."""
+        if r.read_bit() and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    for b in range(b0, b1):
+        zz = plane[b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(r, table)
+                run, size = rs >> 4, rs & 0xF
+                newval = 0
+                if size == 0:
+                    if run != 15:  # EOBn (incl. this block)
+                        eobrun = (1 << run) + (
+                            r.read_bits(run) if run else 0
+                        )
+                        break
+                    # ZRL: skip 16 zero-HISTORY positions
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "AC refinement size must be 1"
+                        )
+                    newval = p1 if r.read_bit() else m1
+                # advance over `run` zero-history coefficients,
+                # refining nonzero-history ones along the way
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement past band end")
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            # EOB block: refine remaining nonzero-history coefs
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+    if eobrun:
+        raise ValueError("EOB run crosses a restart/scan boundary")
+
+
+def _decode_progressive(
+    payload: bytes, split: bool = False
+) -> tuple[str, int, int, bytes]:
     """Progressive (SOF2) decoder — SPECTRAL SELECTION and SUCCESSIVE
     APPROXIMATION (the libjpeg-default profile): walks the marker
     stream scan by scan, accumulating coefficients into per-component
@@ -925,7 +1093,20 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
     noise/flat/edge content at three qualities, and hash-checked per
     document by q_decode_jpeg_progressive). 4:4:4 only
     (non-interleaved scans address a component's OWN block grid,
-    equal to the MCU grid only unsubsampled)."""
+    equal to the MCU grid only unsubsampled).
+
+    Restart markers (round 11, VERDICT r10 #5): a DRI segment sets
+    the per-scan restart interval, and every scan then resyncs at
+    RSTm boundaries with ALL entropy state reset — DC predictors,
+    the bit phase, and the EOB run (E.1.4 applies to progressive
+    scans too). With ``split=True`` each scan's entropy data is
+    instead split at its RSTm markers BY BYTE SCAN and the strips
+    decoded INDEPENDENTLY in reverse order (fresh reader, fresh
+    predictors, fresh EOB state — proving any-order strip decode),
+    the per-scan parallel shape for giant progressive images;
+    output is byte-identical to the sequential walk (pinned in
+    tests/test_jpeg.py and hash-checked per document as
+    prog_split_eq)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -936,6 +1117,7 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
     zz_planes: dict[int, np.ndarray] = {}
     n_units = -1
     bw = -1
+    restart_interval = 0
     while pos < len(payload):
         # skip fill bytes (FF FF ... before a marker is legal padding)
         while pos + 1 < len(payload) and payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
@@ -966,6 +1148,8 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
                 n = sum(bits)
                 hts[(tc, th)] = _build_decode_table(bits, list(body[b + 17 : b + 17 + n]))
                 b += 17 + n
+        elif marker == 0xFFDD:  # DRI: applies to the following scans
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFC2:  # SOF2 progressive
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp != 3:
@@ -996,107 +1180,75 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             estart = pos + 2 + length
-            r = _BitReader(payload[estart:])
-            if ss == 0 and ah == 0:  # DC first pass (interleaved at 4:4:4)
-                if se != 0:
-                    raise ValueError("DC scan must have Se = 0")
+            # restart segments: `ri` MCUs each; in a non-interleaved
+            # scan the MCU is ONE data unit of that component (A.2.2),
+            # and at 4:4:4 the interleaved DC scan's MCU is one block
+            # triple — both are `n_units` block indexes
+            ri = restart_interval
+            if ri:
+                bounds = [
+                    (sg * ri, min((sg + 1) * ri, n_units))
+                    for sg in range(-(-n_units // ri))
+                ]
+            else:
+                bounds = [(0, n_units)]
+
+            def run_segment(r, b0, b1, prev_dc):
+                if ss == 0 and ah == 0:  # DC first pass (interleaved)
+                    if se != 0:
+                        raise ValueError("DC scan must have Se = 0")
+                    _dec_prog_dc_first(
+                        r, zz_planes, scomps, hts, al, b0, b1, prev_dc
+                    )
+                elif ss == 0:  # DC refinement (G.2.1)
+                    _dec_prog_dc_refine(r, zz_planes, scomps, al, b0, b1)
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scans are non-interleaved"
+                        )
+                    comp, _dc_t, ac_t = scomps[0]
+                    if ah == 0:  # AC band first pass
+                        _dec_prog_ac_first(
+                            r, zz_planes[comp], hts[(1, ac_t)], ss, se, al, b0, b1
+                        )
+                    else:  # AC refinement (G.2.2)
+                        _dec_prog_ac_refine(
+                            r, zz_planes[comp], hts[(1, ac_t)], ss, se, al, b0, b1
+                        )
+
+            if split:
+                # independent-strip decode: split this scan's entropy
+                # at its RSTm markers by byte scan and decode strips
+                # in REVERSE order — each with fresh reader/predictors
+                if not ri:
+                    raise ValueError(
+                        "no restart markers to split on (DRI absent or 0)"
+                    )
+                end = _entropy_extent(payload, estart)
+                strips = split_entropy_segments(payload[estart:end])
+                if len(strips) != len(bounds):
+                    raise ValueError(
+                        f"found {len(strips)} strips, expected {len(bounds)}"
+                    )
+                for si in reversed(range(len(strips))):
+                    run_segment(
+                        _BitReader(strips[si]), *bounds[si], [0] * len(comp_spec)
+                    )
+                pos = end
+            else:
+                r = _BitReader(payload[estart:])
                 prev_dc = [0] * len(comp_spec)
-                for b in range(n_units):
-                    for comp, dc_t, _ac_t in scomps:
-                        s = _huff_decode(r, hts[(0, dc_t)])
-                        diff = _extend(r.read_bits(s), s) if s else 0
-                        prev_dc[comp] += diff
-                        zz_planes[comp][b][0] = prev_dc[comp] << al
-            elif ss == 0:  # DC refinement: one raw bit -> bit `al` (G.2.1)
-                for b in range(n_units):
-                    for comp, _dc_t, _ac_t in scomps:
-                        if r.read_bit():
-                            zz_planes[comp][b][0] |= 1 << al
-            elif ah == 0:  # AC band first pass: ONE component, general EOBn
-                if ns != 1:
-                    raise ValueError("progressive AC scans are non-interleaved")
-                comp, _dc_t, ac_t = scomps[0]
-                table = hts[(1, ac_t)]
-                eobrun = 0
-                for b in range(n_units):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    zz = zz_planes[comp][b]
-                    k = ss
-                    while k <= se:
-                        rs = _huff_decode(r, table)
-                        run, size = rs >> 4, rs & 0xF
-                        if size == 0:
-                            if run == 15:  # ZRL inside the band
-                                k += 16
-                                continue
-                            # EOBn: this block done + 2^run - 1 more
-                            eobrun = (1 << run) - 1 + (r.read_bits(run) if run else 0)
-                            break
-                        k += run
-                        if k > se:
-                            raise ValueError("AC run past end of band")
-                        zz[k] = _extend(r.read_bits(size), size) << al
-                        k += 1
-            else:  # AC refinement (G.2.2): correction bits + new +-1s
-                if ns != 1:
-                    raise ValueError("progressive AC scans are non-interleaved")
-                comp, _dc_t, ac_t = scomps[0]
-                table = hts[(1, ac_t)]
-                p1, m1 = 1 << al, -1 << al
-                eobrun = 0
-
-                def refine_nonzero(zz, k):
-                    """Correction bit for an already-significant coef."""
-                    if r.read_bit() and not (int(zz[k]) & p1):
-                        zz[k] += p1 if zz[k] >= 0 else m1
-
-                for b in range(n_units):
-                    zz = zz_planes[comp][b]
-                    k = ss
-                    if eobrun == 0:
-                        while k <= se:
-                            rs = _huff_decode(r, table)
-                            run, size = rs >> 4, rs & 0xF
-                            newval = 0
-                            if size == 0:
-                                if run != 15:  # EOBn (incl. this block)
-                                    eobrun = (1 << run) + (
-                                        r.read_bits(run) if run else 0
-                                    )
-                                    break
-                                # ZRL: skip 16 zero-HISTORY positions
-                            else:
-                                if size != 1:
-                                    raise ValueError(
-                                        "AC refinement size must be 1"
-                                    )
-                                newval = p1 if r.read_bit() else m1
-                            # advance over `run` zero-history coefficients,
-                            # refining nonzero-history ones along the way
-                            while k <= se:
-                                if zz[k] != 0:
-                                    refine_nonzero(zz, k)
-                                else:
-                                    if run == 0:
-                                        break
-                                    run -= 1
-                                k += 1
-                            if newval:
-                                if k > se:
-                                    raise ValueError("refinement past band end")
-                                zz[k] = newval
-                            k += 1
-                    if eobrun > 0:
-                        # EOB block: refine remaining nonzero-history coefs
-                        while k <= se:
-                            if zz[k] != 0:
-                                refine_nonzero(zz, k)
-                            k += 1
-                        eobrun -= 1
-            # advance past this scan's entropy to the next marker
-            pos = estart + r.pos
+                for si, (b0, b1) in enumerate(bounds):
+                    if si:
+                        # resync: discard bit phase, expect RSTm, reset
+                        # DC predictors (EOB state is segment-local in
+                        # the _dec_prog_* helpers)
+                        r.expect_restart((si - 1) & 7)
+                        prev_dc = [0] * len(comp_spec)
+                    run_segment(r, b0, b1, prev_dc)
+                # advance past this scan's entropy to the next marker
+                pos = estart + r.pos
             continue
         pos += 2 + length
     if width < 0 or not zz_planes:
@@ -1104,6 +1256,22 @@ def _decode_progressive(payload: bytes) -> tuple[str, int, int, bytes]:
     grid = {c: (-(-height // 8), bw) for c in range(len(comp_spec))}
     hdr = {"width": width, "height": height, "comp_spec": comp_spec, "qts": qts}
     return _reconstruct(hdr, grid, zz_planes)
+
+
+def decode_jpeg_progressive_split(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Restart-parallel PROGRESSIVE decode (round 11, VERDICT r10 #5):
+    every scan's entropy data is split at its RSTm markers by pure
+    byte scan and the strips are decoded independently (reverse strip
+    order — any order works; fresh bit reader, DC predictors, and EOB
+    state per strip), then the coefficient planes reconstruct once.
+    Byte-identical to the sequential _decode_progressive (pinned in
+    tests/test_jpeg.py; hash-checked per document as prog_split_eq by
+    q_decode_jpeg_progressive). Scans themselves stay ordered — later
+    refinement scans read earlier scans' coefficient state — so the
+    parallel unit for a giant progressive image is (scan, strip),
+    with a barrier between scans; within a scan all strips are
+    embarrassingly parallel. Raises if the stream carries no DRI."""
+    return _decode_progressive(payload, split=True)
 
 
 def decode_jpeg(payload: bytes) -> tuple[str, int, int, bytes]:

@@ -882,24 +882,40 @@ PROGRESSIVE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_scans", T.LongType()),
+        T.StructField("rst_markers", T.LongType()),
         T.StructField("prog_eq_baseline", T.LongType()),
+        T.StructField("prog_split_eq", T.LongType()),
         T.StructField("max_err_ok", T.LongType()),
         T.StructField("mean_err_ok", T.LongType()),
     ]
 )
 
+_PROG_RST_INTERVAL = 2  # blocks per restart segment in every scan
+
 
 @register(
     "q_decode_jpeg_progressive",
     oracle="""
-        SELECT doc_id,
-               CAST(16 + doc_id % 9 AS INTEGER) AS width,
-               CAST(16 + doc_id % 7 AS INTEGER) AS height,
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS INTEGER) AS width,
+                   CAST(16 + doc_id % 7 AS INTEGER) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
                CAST(14 AS BIGINT) AS n_scans,
+               -- every scan addresses the same n_units block grid
+               -- (interleaved DC at 4:4:4 and non-interleaved AC
+               -- alike), and the encoder emits RSTm BETWEEN restart
+               -- intervals only: per scan, ceil(n_units / ri) - 1
+               -- markers, over all 14 scans — replayed analytically
+               CAST(14 * (ceil(ceil(width / 8.0) * ceil(height / 8.0)
+                               / 2.0) - 1) AS BIGINT) AS rst_markers,
                CAST(1 AS BIGINT) AS prog_eq_baseline,
+               CAST(1 AS BIGINT) AS prog_split_eq,
                CAST(1 AS BIGINT) AS max_err_ok,
                CAST(1 AS BIGINT) AS mean_err_ok
-        FROM documents
+        FROM dims
     """,
     doc=(
         "PROGRESSIVE JPEG decode (SOF2, spectral selection + "
@@ -918,7 +934,18 @@ PROGRESSIVE_SCHEMA = T.StructType(
         "coefficients, so the fully-refined decode must be "
         "BYTE-IDENTICAL to the baseline decode of the same image "
         "(prog_eq_baseline — computed per document by running both "
-        "decoders). Tolerance verdicts vs the formula ride along with "
+        "decoders). Round 11 (VERDICT r10 #5): the fixture now also "
+        "carries DRI + RSTm restart markers in EVERY scan (T.81 allows "
+        "restarts in progressive scans; E.1.4 resets DC predictors, "
+        "bit phase, and EOB runs per segment) — rst_markers is the "
+        "EXACT marker count, which the oracle replays analytically "
+        "(14 scans x (ceil(n_units/ri) - 1)), and prog_split_eq "
+        "verifies the restart-PARALLEL path: every scan's entropy "
+        "split at its markers by byte scan and the strips decoded "
+        "independently in reverse order, byte-identical to the "
+        "sequential walk. The parallel unit for a giant progressive "
+        "image is (scan, strip) with a barrier between scans. "
+        "Tolerance verdicts vs the formula ride along with "
         "the q_decode_jpeg bounds. Hand-built EOBn streams, mixed "
         "noise/flat/edge stress content at three qualities, and "
         "multi-band scripts pinned in tests/test_jpeg.py."
@@ -936,25 +963,35 @@ def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {
                 "doc_id": [], "width": [], "height": [], "n_scans": [],
-                "prog_eq_baseline": [], "max_err_ok": [], "mean_err_ok": [],
+                "rst_markers": [], "prog_eq_baseline": [], "prog_split_eq": [],
+                "max_err_ok": [], "mean_err_ok": [],
             }
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = jpeg_dims(d)
                 src = jpeg_rgb(d, w, h)
                 prog = jpeg.encode_jpeg_progressive(
-                    w, h, src, quality=90, successive=True
+                    w, h, src, quality=90, successive=True,
+                    restart_interval=_PROG_RST_INTERVAL,
                 )
                 fmt, dw, dh, rgb = jpeg.decode_jpeg(prog)
                 base_rgb = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, src, quality=90))[3]
+                split_rgb = jpeg.decode_jpeg_progressive_split(prog)[3]
                 expected = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
                 got = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                 err = np.abs(got - expected)
+                n_rst = sum(
+                    1
+                    for i in range(len(prog) - 1)
+                    if prog[i] == 0xFF and 0xD0 <= prog[i + 1] <= 0xD7
+                )
                 rows["doc_id"].append(d)
                 rows["width"].append(dw)
                 rows["height"].append(dh)
                 rows["n_scans"].append(prog.count(b"\xff\xda"))
+                rows["rst_markers"].append(n_rst)
                 rows["prog_eq_baseline"].append(int(rgb == base_rgb))
+                rows["prog_split_eq"].append(int(split_rgb == rgb))
                 rows["max_err_ok"].append(int(err.max() <= _JPEG_MAX_ERR))
                 rows["mean_err_ok"].append(int(err.mean() * 100 <= _JPEG_MEAN_CENTI))
             yield pd.DataFrame(rows)

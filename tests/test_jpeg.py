@@ -367,3 +367,62 @@ def test_successive_approximation_equals_baseline_decode():
 
     enc = J.encode_jpeg_progressive(17, 13, jpeg_rgb(3, 17, 13), 90, successive=True)
     assert enc.count(b"\xff\xda") == 14
+
+
+def test_progressive_restart_markers_roundtrip():
+    """Round 11 (VERDICT r10 #5): progressive scans carry DRI/RSTn.
+    Three claims: (1) a restart-marked progressive stream decodes
+    byte-identically to the unmarked one (markers reorganize entropy
+    coding only); (2) the split decoder — every scan's strips decoded
+    INDEPENDENTLY, reverse order — matches the sequential decode
+    byte-for-byte; (3) the marker count is exactly
+    n_scans * (ceil(n_units / ri) - 1). Interval cases: ri dividing
+    the block count exactly, not dividing, and ri=1 (a marker between
+    every pair of blocks)."""
+    rng = np.random.RandomState(11)
+    w, h = 40, 48  # 5x6 = 30 blocks
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+    for succ in (False, True):
+        plain = J.encode_jpeg_progressive(w, h, rgb, 80, successive=succ)
+        want = J.decode_jpeg(plain)
+        n_scans = plain.count(b"\xff\xda")
+        for ri in (1, 5, 7):  # 30 % 5 == 0; 30 % 7 != 0; ri=1 extreme
+            marked = J.encode_jpeg_progressive(
+                w, h, rgb, 80, successive=succ, restart_interval=ri
+            )
+            assert J.decode_jpeg(marked) == want, (succ, ri)
+            assert J.decode_jpeg_progressive_split(marked) == want, (succ, ri)
+            n_rst = sum(
+                1
+                for i in range(len(marked) - 1)
+                if marked[i] == 0xFF and 0xD0 <= marked[i + 1] <= 0xD7
+            )
+            assert n_rst == n_scans * (-(-30 // ri) - 1), (succ, ri)
+
+
+def test_progressive_split_requires_restart_markers():
+    """Mirror of the baseline split guard: splitting a progressive
+    stream without DRI is an explicit error, not a silent whole-image
+    'strip'."""
+    rgb = bytes(range(256)) * (3 * 24 * 24 // 256 + 1)
+    enc = J.encode_jpeg_progressive(24, 24, rgb[: 3 * 24 * 24], 90)
+    with pytest.raises(ValueError, match="no restart markers"):
+        J.decode_jpeg_progressive_split(enc)
+
+
+def test_progressive_restart_resync_rejects_wrong_marker_index():
+    """E.1.4's modulo-8 restart index is load-bearing: corrupt the
+    first RSTm in the stream to the WRONG index and the sequential
+    decoder must refuse to resync (a skipped/duplicated segment in a
+    corrupt file must not silently shift every later block)."""
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8).tobytes()
+    enc = bytearray(
+        J.encode_jpeg_progressive(24, 24, rgb, 85, restart_interval=2)
+    )
+    for i in range(2, len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            enc[i + 1] = 0xD5  # expected RST0, found RST5
+            break
+    with pytest.raises(ValueError, match="expected RST0"):
+        J.decode_jpeg(bytes(enc))
