@@ -83,50 +83,51 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-10 re-cut (VERDICT r9 #4): continue the staleness rotation.
-    # 10 rows with NO VALID driver evidence lead: 9 never-checked r10
-    # queries (BPE merge training + encode, JPEG 4:2:0 with the
-    # split-parallel verdict + progressive SOF2, txlog deletion
-    # vectors / partition pruning / partitioned stream source, audio
-    # filterbank, Count-Min heavy hitters) and q_apply_in_pandas,
-    # whose FIXTURE AND ORACLE
-    # changed this round (VERDICT r9 #5) so its old evidence validated
-    # a different query — a new row's first driver check must come
-    # through the window. Then the r5-evidence tier (verified against
-    # the CORRECTNESS_r01-r09 artifacts; includes the round-9-rewritten
-    # q_winnow_fingerprint, closing ADVICE r9 #3) fills the remaining
-    # 40 slots: five r5 rows (q_big_orders, q_nation_volume,
-    # q_waiting_suppliers, q_shipmode, q_mkt_share — simple aggregates,
-    # unchanged since r5 and gate-green every round) are deferred to
-    # the r11 cut because the window cannot hold 10 + 45. After
-    # CORRECTNESS_r10 the oldest evidence is r5x5 (those deferrals),
-    # everything else r6+.
+    # Round-11 re-cut (VERDICT r10 #1): finish the staleness rotation.
+    # Tier A (13): rows with NO VALID driver evidence — q_approx_stats
+    # (the only query never driver-window-proved in 10 rounds, lead
+    # slot per the verdict), the five queries new in round 11
+    # (mel/MFCC audio features, Gopher-rule quality filter, repeated
+    # n-gram span dedup, SemDeDup), and the seven rows REWRITTEN in
+    # round 11, whose old driver evidence validated a different query:
+    # q_bpe_train/q_bpe_encode (K raised 8->32, VERDICT r10 #3),
+    # q_decode_jpeg_progressive (restart markers + rst_markers/
+    # prog_split_eq columns, VERDICT r10 #5), q_hybrid_search
+    # (fixed-point re-rank, ADVICE r10 #4), q_knn_sq8 (sequential-dot
+    # re-rank, same advice), and q_jaccard_chargram/q_jaccard_pairs
+    # (fixtures capped to one doc_id residue class, VERDICT r10 #2).
+    # Tier B (5): the documented r5-evidence deferrals of the r10 cut.
+    # Tier C (32 of 49): the r6-evidence tier, oldest remaining; the
+    # 17 deferred rows (window holds 13 + 5 + 49 > 50) are simple
+    # scalar/window/demo queries unchanged since r6 and gate-green
+    # every round — listed in tests/test_registry.py DEFERRED_R6 and
+    # first in line for the r12 cut. After CORRECTNESS_r11 the oldest
+    # evidence anywhere is r6 (those 17); everything else is r7+.
     # Everything displaced stays checked by the local full gate
-    # (tools/check_oracle.py every round; GATE_sf01 at 10x driver
-    # scale — the gate's oracle cache keys on fixture md5, so this
-    # round's rewrites, q_knn_ivfpq included, recompute fresh there).
-    # no valid driver evidence (new or rewritten in round 10)
-    "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_420",
-    "q_decode_jpeg_progressive",
-    "q_txlog_delete_vectors", "q_txlog_partition_prune",
-    "q_txlog_stream_partitioned", "q_audio_filterbank",
-    "q_heavy_hitters_cms", "q_apply_in_pandas",
-    # latest driver evidence r5 (tier minus the 5 documented deferrals)
-    "q_approx_stats_bounded", "q_bigram_lm",
-    "q_bpe_pretokenize", "q_brand_revenue", "q_chunk_documents",
-    "q_compaction", "q_crosstab_chi2", "q_dormant_rich", "q_entropy",
-    "q_forecast_revenue", "q_gap_fill", "q_heaps_law",
-    "q_heavy_hitters", "q_hybrid_search", "q_importance_sample",
-    "q_incremental_dedup",
-    "q_order_dist", "q_outer_stream_join", "q_pmi_bigrams",
-    "q_profile", "q_retention_cohort", "q_schema_evolution",
-    "q_session", "q_session_labels", "q_sliding",
-    "q_stream_append", "q_stream_enrich", "q_stream_foreach_batch",
-    "q_stream_session", "q_stream_sliding", "q_stream_update",
-    "q_string_agg", "q_targeted_delete", "q_token_budget_mix",
-    "q_trailing_active", "q_triangle_count",
-    "q_watermark", "q_winnow_fingerprint", "q_zipf_slope",
-    "q_zscore_outliers",
+    # (tools/check_oracle.py at sf0.01 + GATE_sf01 at 10x driver
+    # scale, fresh oracles for every rewritten fixture).
+    # --- tier A: no valid driver evidence ---
+    "q_approx_stats",
+    "q_audio_mel", "q_mfcc", "q_gopher_quality",
+    "q_ngram_span_dedup", "q_semdedup",
+    "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_progressive",
+    "q_hybrid_search", "q_knn_sq8",
+    "q_jaccard_chargram", "q_jaccard_pairs",
+    # --- tier B: r5-evidence deferrals from the r10 cut ---
+    "q_big_orders", "q_mkt_share", "q_nation_volume",
+    "q_shipmode", "q_waiting_suppliers",
+    # --- tier C: r6-evidence tier (32 of 49) ---
+    "q_ab_readout", "q_attribution", "q_basket_lift",
+    "q_conversion_lag", "q_corrupt_ingest", "q_cusum_changepoint",
+    "q_dq_checks", "q_equidepth_hist", "q_equidepth_twophase",
+    "q_event_transitions", "q_fuzzy_join", "q_graph_reachability",
+    "q_k_anonymity", "q_kl_novelty", "q_lateral_topn",
+    "q_latest_snapshot", "q_ltv_curve", "q_path_trigrams",
+    "q_pit_join", "q_ppr_seed_expand", "q_pseudonymize",
+    "q_python_datasource", "q_python_stream_source", "q_rfm_segments",
+    "q_salted_hotcold", "q_skyline", "q_skyline_grid",
+    "q_snapshot_diff", "q_stream_dq", "q_trend_fit",
+    "q_triangle_degree", "q_zorder_layout",
 )
 
 

@@ -19,23 +19,33 @@ import json
 from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
-ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9)
-# The round-10 cut takes the 10 rows with no valid driver evidence
-# (9 new r10 queries + the rewritten q_apply_in_pandas) and 40 of the
-# 45 r5-latest-tier rows; no slot may hold evidence newer than this...
-WINDOW_MAX_LATEST_GREEN = 5
-# ...EXCEPT a row whose fixture AND oracle were rewritten this round:
-# its old driver evidence validated a different query, so the rewrite
-# re-enters the window regardless of evidence age (ADVICE r9 #3 made
-# exactly this argument for the r9 rewrites).
-REWRITTEN_IN_WINDOW = {"q_apply_in_pandas"}  # r10: capped fan-in fixture
-# Five r5-tier rows deferred to the r11 cut because 10 + 45 > 50:
-# simple aggregates, unchanged since r5, gate-green every round. They
-# are the ONLY rows allowed to sit outside the window at the boundary
-# evidence age.
-DEFERRED_R5 = {
-    "q_big_orders", "q_nation_volume", "q_waiting_suppliers",
-    "q_shipmode", "q_mkt_share",
+ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+# The round-11 cut (VERDICT r10 #1) finishes the staleness rotation:
+# 13 rows with no valid driver evidence (q_approx_stats — never
+# checked in 10 rounds — plus 5 new r11 queries and 7 r11 rewrites),
+# the 5 documented r5-evidence deferrals, and 32 of the 49 r6-tier
+# rows; no slot may hold evidence newer than this...
+WINDOW_MAX_LATEST_GREEN = 6
+# ...EXCEPT a row whose fixture/plan AND-or oracle were rewritten this
+# round: its old driver evidence validated a different query, so the
+# rewrite re-enters the window regardless of evidence age (the
+# q_apply_in_pandas precedent from the r10 cut).
+REWRITTEN_IN_WINDOW = {
+    "q_bpe_train", "q_bpe_encode",        # K raised 8 -> 32
+    "q_decode_jpeg_progressive",           # restart markers + 2 columns
+    "q_hybrid_search", "q_knn_sq8",        # deterministic re-rank
+    "q_jaccard_chargram", "q_jaccard_pairs",  # capped demo fixtures
+}
+# Seventeen r6-tier rows deferred to the r12 cut because 13 + 5 + 49
+# > 50: simple scalar/window/demo queries, unchanged since r6 and
+# gate-green every round. They are the ONLY rows allowed to sit
+# outside the window at the boundary evidence age.
+DEFERRED_R6 = {
+    "q1_scan_mid", "q1_scan_tight", "q_cluster_sample", "q_cross_join",
+    "q_frame", "q_full_outer", "q_grouping_id", "q_in_subquery",
+    "q_lag", "q_limit_offset", "q_null_pred", "q_range_frame",
+    "q_sql_script", "q_threshold_sweep", "q_udtf_poly", "q_variant",
+    "q_weighted_sample",
 }
 
 
@@ -50,7 +60,7 @@ def _evidence():
     """name -> latest round with any driver evidence (green or not)."""
     seen = {}
     for i in ROUNDS_SEEN:
-        data = json.load(open(f"/root/repo/CORRECTNESS_r0{i}.json"))
+        data = json.load(open(f"/root/repo/CORRECTNESS_r{i:02d}.json"))
         for name in data:
             seen[name] = i
     return seen
@@ -60,7 +70,7 @@ def _green_rounds():
     """name -> set of rounds where the driver recorded a green result."""
     greens = {}
     for i in ROUNDS_SEEN:
-        data = json.load(open(f"/root/repo/CORRECTNESS_r0{i}.json"))
+        data = json.load(open(f"/root/repo/CORRECTNESS_r{i:02d}.json"))
         for name, res in data.items():
             if _green(res):
                 greens.setdefault(name, set()).add(i)
@@ -68,7 +78,7 @@ def _green_rounds():
 
 
 def test_correctness_artifacts_present():
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json"))
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
     assert len(files) >= len(ROUNDS_SEEN)
 
 
@@ -135,3 +145,15 @@ def test_rows_only_in_window_are_all_by_design():
     # so every window slot carries an oracle and can hash-match.
     assert rows_only == set()
     assert {n for n in specs if specs[n].oracle is None} == set()
+
+
+def test_deferred_r6_rows_are_exactly_the_boundary_residue():
+    """The 17 deferred rows are precisely the r6-evidence rows NOT in
+    the window — no silent extra deferral, no stale row forgotten."""
+    greens = _green_rounds()
+    window = set(_PRIORITY)
+    boundary_outside = {
+        n for n in all_specs()
+        if n not in window and max(greens[n]) == WINDOW_MAX_LATEST_GREEN
+    }
+    assert boundary_outside == DEFERRED_R6
