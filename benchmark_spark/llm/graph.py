@@ -535,3 +535,103 @@ def q_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tri"))
         .orderBy("node")
     )
+
+
+_LPA_ROUNDS = 3
+
+_LPA_SETUP_CTE = """
+    sym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        )
+    ),
+    l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings)
+"""
+
+_LPA_ITER_CTE = """
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS vec_id, p.lbl, COUNT(*) AS cnt
+        FROM sym e JOIN l{prev} p ON p.vec_id = e.src
+        GROUP BY e.dst, p.lbl
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT v.vec_id, COALESCE(w.lbl, v.vec_id) AS lbl
+        FROM embeddings v
+        LEFT JOIN (
+            SELECT vec_id, lbl FROM (
+                SELECT vec_id, lbl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cnt DESC, lbl) AS rn
+                FROM c{i}
+            ) WHERE rn = 1
+        ) w ON w.vec_id = v.vec_id
+    )
+"""
+
+
+def _lpa_oracle() -> str:
+    parts = [_EDGES_CTE.format(mass=MASS), _LPA_SETUP_CTE]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(_LPA_ITER_CTE.format(i=i, prev=i - 1))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT vec_id, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"
+    )
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=(
+        "Synchronous LABEL PROPAGATION community detection (round 11; "
+        "Raghavan et al. 2007, the near-linear community algorithm) over "
+        "the symmetrized LSH-kNN similarity graph — communities are the "
+        "semantic-neighborhood granularity BETWEEN q_dedup_clusters' "
+        "connected components (which merge through any single spurious "
+        "edge) and per-node kNN lists: each of 3 unrolled rounds every "
+        "node adopts its neighbors' MOST FREQUENT label, ties broken by "
+        "smallest label id — the tie rule plus synchronous (not "
+        "sequential-random) updates is what makes LPA deterministic and "
+        "engine-replayable, where textbook asynchronous LPA is seeded. "
+        "Labels init to vec_id; isolated nodes keep their own label "
+        "(COALESCE, mirrored in SQL). Scale: each round is one "
+        "join-on-src + groupBy(dst, lbl) + per-node top-1 window — all "
+        "shuffles keyed by node id carrying 16-byte rows, label state "
+        "O(N), the symmetrized edge table localCheckpoint-ed once "
+        "before the loop (the q_pagerank lineage rule). The oracle "
+        "unrolls the same rounds as MATERIALIZED CTEs over the "
+        "identical md5-derived edge set."
+    ),
+    tags=("extension", "graph"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    nodes = emb.select("vec_id")
+    edges = knn_edges(spark, sf_dir)
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = nodes.withColumn("lbl", F.col("vec_id"))
+    top1 = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        winner = (
+            sym.join(lbl.select(F.col("vec_id").alias("src"), "lbl"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("vec_id"), F.col("lbl").alias("new_lbl"))
+        )
+        lbl = nodes.join(winner, "vec_id", "left").select(
+            "vec_id", F.coalesce("new_lbl", F.col("vec_id")).alias("lbl")
+        )
+    return lbl.select("vec_id", F.col("lbl").cast("long").alias("community"))

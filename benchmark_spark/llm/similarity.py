@@ -2455,3 +2455,166 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("is_dup"),
         )
     )
+
+
+_MMR_SCALE = 10_000_000  # the rfix fixed-point scale (graph.py precedent)
+_MMR_SHORTLIST = 10
+_MMR_SELECT = 5
+_MMR_LAM_NUM, _MMR_PEN_NUM, _MMR_DEN = 7, 3, 10  # lambda = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection: fixed-point sims, then _MMR_SELECT
+    greedy rounds as chained CTEs (the Lloyd-unroll precedent)."""
+    idot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    parts = [
+        f"""fx AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {_MMR_SCALE}.0 + 0.5) AS BIGINT)) AS r
+            FROM embeddings
+        )""",
+        f"""simq AS (
+            SELECT f.vec_id,
+                   CAST({idot.format(a='f.r', b='q.r')} AS BIGINT) AS s
+            FROM fx f, (SELECT r FROM fx WHERE vec_id = 0) q
+            WHERE f.vec_id <> 0
+        )""",
+        f"""short AS MATERIALIZED (
+            SELECT vec_id, s FROM simq ORDER BY s DESC, vec_id
+            LIMIT {_MMR_SHORTLIST}
+        )""",
+        f"""pairs AS MATERIALIZED (
+            SELECT sa.vec_id AS a, sb.vec_id AS b,
+                   CAST({idot.format(a='fa.r', b='fb.r')} AS BIGINT) AS sim
+            FROM short sa JOIN short sb ON sa.vec_id <> sb.vec_id
+            JOIN fx fa ON fa.vec_id = sa.vec_id
+            JOIN fx fb ON fb.vec_id = sb.vec_id
+        )""",
+        f"""sel1 AS MATERIALIZED (
+            SELECT vec_id, CAST(1 AS BIGINT) AS rank,
+                   CAST({_MMR_LAM_NUM} * s AS BIGINT) AS score
+            FROM short ORDER BY s DESC, vec_id LIMIT 1
+        )""",
+    ]
+    for i in range(2, _MMR_SELECT + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"""sel{i} AS MATERIALIZED (
+            SELECT vec_id, CAST({i} AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
+            FROM (
+                SELECT sh.vec_id,
+                       {_MMR_LAM_NUM} * sh.s - {_MMR_PEN_NUM} * MAX(p.sim) AS score
+                FROM short sh
+                JOIN pairs p ON p.a = sh.vec_id AND p.b IN ({chosen})
+                WHERE sh.vec_id NOT IN ({chosen})
+                GROUP BY sh.vec_id, sh.s
+            ) ORDER BY score DESC, vec_id LIMIT 1
+        )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_SELECT + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT rank, vec_id, score FROM ({final}) ORDER BY rank"
+    )
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=(
+        "MAXIMAL MARGINAL RELEVANCE re-rank (round 11; Carbonell & "
+        "Goldstein 1998 — the diversity re-rank every RAG retrieval "
+        "stack runs after top-k): from the top-10 cosine shortlist of "
+        "the vec_id=0 anchor, greedily select 5, each round maximizing "
+        "lambda*sim(q,d) - (1-lambda)*max sim(d, selected) with "
+        "lambda=0.7 as the integer pair 7/3 over fixed-point dots "
+        "(the graph-tier 1e7 rfix scale), ties broken by smallest "
+        "vec_id — fully deterministic, no float ordering anywhere. "
+        "Scale shape: ONE corpus scan computes the query sims "
+        "(codegen posexplode dot, exactly q8_knn's plan), the top-10 "
+        "shortlist localCheckpoints, and everything after — the 10x10 "
+        "pair matrix and 4 greedy rounds — is constant-size work "
+        "independent of corpus size; at 100 TB MMR cost is O(scan), "
+        "the selection itself free. The oracle unrolls the greedy "
+        "rounds as chained MATERIALIZED CTEs over the identical "
+        "integer sims."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    fx = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_MMR_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("r"),
+    )
+    qv = fx.filter(F.col("vec_id") == 0).select(F.col("r").alias("qr"))
+    pair = F.posexplode(F.arrays_zip("r", "qr"))
+    simq = (
+        fx.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", pair.alias("i", "p"))
+        .select("vec_id", (F.col("p.r") * F.col("p.qr")).alias("prod"))
+        .groupBy("vec_id")
+        .agg(F.sum("prod").alias("s"))
+    )
+    short = (
+        simq.orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(_MMR_SHORTLIST)
+        .join(fx, "vec_id")
+        .localCheckpoint(eager=True)  # 10 rows; rounds below re-join it
+    )
+    a = short.select(F.col("vec_id").alias("a"), F.col("r").alias("ra"))
+    b = short.select(F.col("vec_id").alias("b"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "aggregate(zip_with(ra, rb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # 90 rows
+    )
+    selected = (
+        short.orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            F.lit(1).cast("long").alias("rank"),
+            (F.lit(_MMR_LAM_NUM) * F.col("s")).alias("score"),
+        )
+    )
+    for i in range(2, _MMR_SELECT + 1):
+        pen = (
+            pairs.join(
+                selected.select(F.col("vec_id").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            short.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(pen, short.vec_id == pen.a)
+            .select(
+                "vec_id",
+                F.lit(i).cast("long").alias("rank"),
+                (
+                    F.lit(_MMR_LAM_NUM) * F.col("s")
+                    - F.lit(_MMR_PEN_NUM) * F.col("pen")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("rank", "vec_id", "score").orderBy("rank")

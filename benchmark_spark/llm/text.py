@@ -778,6 +778,157 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 16  # filter bits; positions are 32-bit md5 slices % M
+_BLOOM_K = 4  # hash functions: the four disjoint 8-hex-char md5 slices
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"CAST('0x' || substring(hex, {1 + 8 * j}, 8) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+        ),
+        holdout AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        cg AS MATERIALIZED (
+            SELECT DISTINCT doc_id, hex FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 6),
+                           i -> md5(array_to_string(t[i:i+7], ' ')))) AS hex
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+            )
+        ),
+        hg AS MATERIALIZED (
+            SELECT DISTINCT hex FROM (
+                SELECT unnest(list_transform(range(1, len(t) - 6),
+                           i -> md5(array_to_string(t[i:i+7], ' ')))) AS hex
+                FROM (SELECT string_split(text, ' ') AS t FROM holdout)
+            )
+        ),
+        bits AS MATERIALIZED (
+            SELECT DISTINCT pos FROM (
+                {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(j)} AS pos FROM hg" for j in range(_BLOOM_K))}
+            )
+        ),
+        exact_fp AS MATERIALIZED (
+            SELECT DISTINCT CAST('0x' || substring(hex, 1, 15) AS BIGINT) AS fp
+            FROM hg
+        ),
+        probe AS (
+            SELECT doc_id, hex,
+                   {" + ".join(f"CASE WHEN {_bloom_pos_sql(j)} IN (SELECT pos FROM bits) THEN 1 ELSE 0 END" for j in range(_BLOOM_K))}
+                       AS hits,
+                   CASE WHEN CAST('0x' || substring(hex, 1, 15) AS BIGINT)
+                            IN (SELECT fp FROM exact_fp)
+                        THEN 1 ELSE 0 END AS is_exact
+            FROM cg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom,
+               CAST(SUM(is_exact) AS BIGINT) AS n_exact,
+               CAST(max(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_hit,
+               CAST(max(is_exact) AS BIGINT) AS exact_hit,
+               CAST(CASE WHEN max(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                              >= max(is_exact)
+                    THEN 1 ELSE 0 END AS BIGINT) AS one_sided_ok
+        FROM probe
+        GROUP BY doc_id
+    """,
+    doc=(
+        "BLOOM-FILTER decontamination (round 11) — the sketch form of "
+        "q_decontaminate, and the shape production pipelines actually "
+        "run when the corpus is large and the eval suite must not ship "
+        "with it: the holdout's word 8-grams (planted: tail-trimmed "
+        "copies of every doc_id % 7 == 0 document, so contamination is "
+        "provable) set K=4 positions in an M=65536-bit filter — each "
+        "position a disjoint 8-hex-char md5 slice mod M, so the whole "
+        "construction replays bit-identically in DuckDB — and every "
+        "corpus gram probes all 4; a gram is flagged iff all positions "
+        "are set. Like the Count-Min tier, the Bloom filter is a LINEAR "
+        "sketch: the bit table OR-merges associatively, so partitions "
+        "build partial filters map-side and the merged 8 KB bitmap "
+        "BROADCASTS to the probe — the corpus shuffles nothing and the "
+        "holdout text never leaves the build stage. Per doc: gram "
+        "counts, bloom/exact hit counts and bits, and the ONE-SIDED "
+        "guarantee verdict (a Bloom filter has false positives, never "
+        "false negatives: bloom_hit >= exact_hit must hold on every "
+        "row, and the n_bloom - n_exact gap IS the measured FP load at "
+        "this M/K/n operating point). The exact side rides the same "
+        "md5, keyed on the 60-bit prefix like q_decontaminate."
+    ),
+    tags=("extension", "text", "dedup"),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False).select(
+        "doc_id", "text"
+    )
+    t = F.split("text", " ")
+    trimmed = F.array_join(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(1))), " "
+    )
+    holdout = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), trimmed.alias("text")
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        tt = F.split("text", " ")
+        cols = [
+            F.slice(tt, off + 1, F.greatest(F.size(tt) - 7, F.lit(0)))
+            for off in range(8)
+        ]
+        ex = df.select("doc_id", F.explode(F.arrays_zip(*cols)).alias("g"))
+        gram = F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(8)])
+        return ex.select("doc_id", F.md5(gram).alias("hex")).distinct()
+
+    def pos(j: int):
+        return (
+            F.conv(F.substring("hex", 1 + 8 * j, 8), 16, 10).cast("long")
+            % _BLOOM_M
+        )
+
+    fp = F.conv(F.substring("hex", 1, 15), 16, 10).cast("long")
+    hg = grams(holdout)
+    # the filter: distinct set positions — at most M rows, broadcast
+    bits = (
+        hg.select(F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    exact_fp = hg.select(fp.alias("fp")).distinct().withColumn("is_exact", F.lit(1))
+
+    cg = grams(docs)
+    probe = (
+        cg.select("doc_id", "hex", F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "hex")
+        .agg(F.sum(F.coalesce(F.col("set_bit"), F.lit(0))).alias("hits"))
+        .withColumn("flagged", (F.col("hits") == _BLOOM_K).cast("int"))
+        .join(F.broadcast(exact_fp), fp == F.col("fp"), "left")
+        .withColumn("is_exact", F.coalesce(F.col("is_exact"), F.lit(0)))
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("flagged").alias("n_bloom"),
+        F.sum("is_exact").cast("long").alias("n_exact"),
+        F.max("flagged").cast("long").alias("bloom_hit"),
+        F.max("is_exact").cast("long").alias("exact_hit"),
+        (F.max("flagged") >= F.max("is_exact")).cast("long").alias("one_sided_ok"),
+    )
+
+
 _EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
 _NUM_RE = "[0-9]{3,}"
 

@@ -820,3 +820,86 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+# ROUND(log10(1 + 1/d) * 1e6) for d = 1..9, hardcoded IDENTICALLY on
+# both engines so no cross-engine log10 call sits on a rounding
+# boundary (the Benford probabilities are constants, not data).
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100, 0)
+                                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+            FROM lineitem WHERE l_extendedprice > 0
+        ),
+        obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n) AS t FROM obs),
+        bf(digit, benford_ppm) AS (VALUES
+            {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))}
+        )
+        SELECT b.digit, COALESCE(o.n, 0) AS n,
+               CAST(COALESCE(o.n, 0) * 1000000 // t.t AS BIGINT) AS share_ppm,
+               CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+               CAST(COALESCE(o.n, 0) * 1000000 // t.t - b.benford_ppm
+                    AS BIGINT) AS dev_ppm
+        FROM bf b LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+        ORDER BY b.digit
+    """,
+    doc=(
+        "BENFORD'S-LAW first-digit audit (round 11) — the classic "
+        "fabricated-data / corrupted-feed detector a data-quality "
+        "suite runs over monetary columns: the first significant digit "
+        "of l_extendedprice vs the Benford expectation "
+        "P(d) = log10(1 + 1/d), emitted as per-digit observed counts, "
+        "observed share, expected share, and deviation, all in integer "
+        "ppm. Digit extraction is exact-integer: prices are 2dp, so "
+        "round(price*100) is an exact BIGINT whose decimal-string "
+        "first character IS the first significant digit (scaling by a "
+        "power of ten preserves it) — no float log10 anywhere near "
+        "data, and the 9 Benford constants are hardcoded identically "
+        "on both engines. One scan + a 9-group aggregate: at 100 TB "
+        "this is a map-side-combined single shuffle of 9 rows per "
+        "partition, the cheapest audit in the suite."
+    ),
+    tags=("extension", "dq"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bf = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)], "digit long, benford_ppm long"
+    )
+    total = obs.agg(F.sum("n").alias("t"))
+    return (
+        F.broadcast(bf)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (F.coalesce("n", F.lit(0)) * 1_000_000 / F.col("t"))
+            .cast("long")
+            .alias("share_ppm"),
+            "benford_ppm",
+            (
+                (F.coalesce("n", F.lit(0)) * 1_000_000 / F.col("t")).cast("long")
+                - F.col("benford_ppm")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -852,3 +852,53 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_done(q)
     return spark.table(sink)
+
+
+@register(
+    "q_stream_dedup_wm",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS w_hour
+        FROM events
+    """,
+    doc=(
+        "STREAMING STATEFUL DEDUP, real-stream form (round 11 — upgrades "
+        "q_stream_dedup's batch twin to the actual streaming operator, "
+        "closing the SURVEY.md §7 M4 'stateful dedup' row): "
+        "dropDuplicatesWithinWatermark "
+        "over a real 4-micro-batch stream, emitting each (user_id, "
+        "event_type, hour) key exactly once in append mode. "
+        "Determinism is by construction: the dedup key is HOUR-BUCKETED, "
+        "so any two events sharing a key are < 1 h apart in event time, "
+        "strictly inside the 2 h watermark delay — which is precisely "
+        "the guarantee dropDuplicatesWithinWatermark gives (duplicates "
+        "within the delay are dropped; only keys farther apart than the "
+        "delay may re-emit, and the bucketing makes that impossible). "
+        "Only the KEY columns are emitted, so which physical row "
+        "survives a batch's partition race is invisible to the hash. "
+        "The oracle is the batch DISTINCT. At 100 TB this is the "
+        "at-least-once -> effectively-once repair stage after every "
+        "replayed ingest, and the watermark is what BOUNDS the dedup "
+        "state: unlike plain dropDuplicates (state grows with distinct "
+        "keys forever), expired hours are evicted, so state holds only "
+        "the watermark horizon's keys."
+    ),
+    tags=("extension", "streaming"),
+)
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream_chunks(spark, sf_dir)
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withColumn("w_hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "w_hour"])
+        .select("user_id", "event_type", "w_hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return spark.table(sink)

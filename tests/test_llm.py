@@ -622,3 +622,59 @@ def test_bpe_train_handles_duplicate_vocab_toks(spark):
     )
     merges = bpe_train_merges(spark, vocab, 1)
     assert merges == [(1, "a", "b", 5)]
+
+
+def test_bloom_decontaminate_is_one_sided(spark):
+    """The Bloom probe may false-positive but never false-negative:
+    every doc flags one_sided_ok, every long-enough planted holdout
+    source (doc_id % 7 == 0, >= 9 tokens so the tail-trimmed copy
+    still shares an 8-gram) is BOTH exact- and bloom-flagged, and the
+    bloom hit count per doc is >= the exact hit count row by row."""
+    rows = SPECS["q_bloom_decontaminate"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["one_sided_ok"] == 1 for r in rows)
+    assert all(r["n_bloom"] >= r["n_exact"] for r in rows)
+    from benchmark_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents", assert_schema=False)
+    long_holdout = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+        if r["doc_id"] % 7 == 0 and r["n"] >= 9
+    }
+    flagged_exact = {r["doc_id"] for r in rows if r["exact_hit"] == 1}
+    flagged_bloom = {r["doc_id"] for r in rows if r["bloom_hit"] == 1}
+    assert long_holdout <= flagged_exact
+    assert flagged_exact <= flagged_bloom
+
+
+def test_label_propagation_forms_real_communities(spark):
+    """LPA output: one row per vector, labels drawn from vec_id space,
+    and the planted near-duplicate structure must produce at least one
+    multi-member community (near-dup vectors share kNN neighborhoods)
+    while NOT collapsing everything into one block — the granularity
+    claim that separates LPA from connected components."""
+    rows = SPECS["q_label_propagation"].fn(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n == len({r["vec_id"] for r in rows})
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in rows)
+    assert max(sizes.values()) > 1  # communities actually form
+    assert len(sizes) > 1  # ...but not one giant blob
+
+
+def test_mmr_rerank_is_diverse_and_deterministic(spark):
+    """MMR output: 5 ranks, first pick is the plain cosine top-1, and
+    the selection must run twice to the identical table (integer
+    scores make the greedy argmax partition-order-proof)."""
+    a = [(r["rank"], r["vec_id"], r["score"])
+         for r in SPECS["q_mmr_rerank"].fn(spark, SF_SMOKE).collect()]
+    b = [(r["rank"], r["vec_id"], r["score"])
+         for r in SPECS["q_mmr_rerank"].fn(spark, SF_SMOKE).collect()]
+    assert a == b
+    assert [r[0] for r in a] == [1, 2, 3, 4, 5]
+    top1 = SPECS["q8_knn"].fn(spark, SF_SMOKE).collect()[0]["vec_id"]
+    assert a[0][1] == top1

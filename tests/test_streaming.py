@@ -773,3 +773,23 @@ def test_stateful_attribution_twin_matches_batch(spark):
     batch_attr = batch.get(1, {"n_purchases": 0})["n_purchases"]
     assert final["n_purchases"] == batch_total
     assert final["n_attr"] == batch_attr
+
+
+def test_stream_dedup_wm_emits_each_key_exactly_once(spark):
+    """dropDuplicatesWithinWatermark with the hour-bucketed key: the
+    append-mode sink must hold each (user, type, hour) key EXACTLY
+    once (no re-emission across micro-batches — all duplicates fall
+    inside the 2 h delay by construction) and the emitted key set must
+    equal the batch DISTINCT."""
+    sink = all_specs()["q_stream_dedup_wm"].fn(spark, "/root/testdata/sf0.001")
+    rows = sink.collect()
+    keys = [(r["user_id"], r["event_type"], r["w_hour"]) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once emission
+    events = load_table(spark, "/root/testdata/sf0.001", "events", assert_schema=False)
+    batch = {
+        (r["user_id"], r["event_type"], r["h"])
+        for r in events.select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).distinct().collect()
+    }
+    assert set(keys) == batch
