@@ -631,7 +631,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("vec_id"), F.col("lbl").alias("new_lbl"))
         )
-        lbl = nodes.join(winner, "vec_id", "left").select(
-            "vec_id", F.coalesce("new_lbl", F.col("vec_id")).alias("lbl")
+        lbl = (
+            nodes.join(winner, "vec_id", "left")
+            .select("vec_id", F.coalesce("new_lbl", F.col("vec_id")).alias("lbl"))
+            # O(N) 16-byte rows; cuts lineage so round i+1's plan does
+            # not re-run rounds 1..i, and lets AQE plan each round's
+            # joins on real sizes. The remaining per-round shuffles are
+            # keyed by vec_id / (dst,lbl) — vec_id is UNIQUE per node,
+            # so the advisor's skew-split-blocked warning on the
+            # Window-fed winner join has no skewed key to split.
+            .localCheckpoint(eager=True)
         )
     return lbl.select("vec_id", F.col("lbl").cast("long").alias("community"))

@@ -2616,5 +2616,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(1)
         )
-        selected = selected.unionByName(pick)
+        # 5-row frame, but WITHOUT this each round's plan embeds every
+        # prior round's argmax (the advisor flagged 40 exchanges in the
+        # unrolled plan); checkpointing keeps the per-round plan constant
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select("rank", "vec_id", "score").orderBy("rank")

@@ -868,7 +868,7 @@ _BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757
         "this is a map-side-combined single shuffle of 9 rows per "
         "partition, the cheapest audit in the suite."
     ),
-    tags=("extension", "dq"),
+    tags=("extension", "quality"),
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", assert_schema=False)
