@@ -1539,3 +1539,118 @@ def q_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(mfcc, schema=MFCC_SCHEMA)
+
+
+# --- scene-cut tier (round 11) ---------------------------------------------
+
+_SCENE_FRAMES = 6  # frames per video: 3 of scene A, 3 of scene B
+_SCENE_SPLIT = 3  # first frame of scene B
+_CUT_THRESHOLD = 100  # per-pixel total-channel diff above which a pair is a cut
+
+SCENECUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pair_idx", T.IntegerType()),
+        T.StructField("npix", T.LongType()),
+        T.StructField("diff_sum", T.LongType()),
+        T.StructField("is_cut", T.LongType()),
+    ]
+)
+
+
+def scene_rgb(doc_id: int, width: int, height: int, frame: int) -> bytes:
+    """Affine NON-WRAPPING frame generator (the jpeg_rgb principle —
+    no mod-256 sawtooth, so adjacent-frame pixel differences are exact
+    closed-form constants): within a scene every channel drifts by a
+    fixed per-frame step (5/4/3), and scene B (frame >= _SCENE_SPLIT)
+    adds a fixed offset (97/85/110) per channel. Max value
+    49 + 14 + 15 + 25 + 110 = 213 < 256: never clamps."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    jump = frame >= _SCENE_SPLIT
+    c0 = doc_id % 50 + 2 * x + 3 * y + 5 * frame + (97 if jump else 0)
+    c1 = doc_id % 40 + 3 * x + 2 * y + 4 * frame + (85 if jump else 0)
+    c2 = doc_id % 30 + x + y + 3 * frame + (110 if jump else 0)
+    rgb = np.stack(
+        [np.broadcast_to(c, (height, width)) for c in (c0, c1, c2)], axis=-1
+    )
+    return rgb.astype(np.uint8).tobytes()
+
+
+@register(
+    "q_video_scenecut",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(p.p AS INTEGER) AS pair_idx,
+               CAST(w * h AS BIGINT) AS npix,
+               -- within-scene adjacent frames differ by exactly the
+               -- per-frame steps (5+4+3 = 12 per pixel); the cut pair
+               -- adds the scene offsets: |5+97| + |4+85| + |3+110| = 304
+               CAST(w * h * (CASE WHEN p.p = {_SCENE_SPLIT - 1}
+                                  THEN 304 ELSE 12 END) AS BIGINT) AS diff_sum,
+               CAST(CASE WHEN p.p = {_SCENE_SPLIT - 1} THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_cut
+        FROM dims, unnest(range(0, {_SCENE_FRAMES - 1})) AS p(p)
+        ORDER BY doc_id, pair_idx
+    """,
+    doc=(
+        "VIDEO SCENE-CUT detection (round 11) — the keyframe-boundary "
+        "detector every video-training-data pipeline runs before "
+        "frame sampling (sampling within shots, not across them): "
+        "each fixture is a REAL 6-frame PPM-stream container whose "
+        "frames 0-2 and 3-5 come from two different affine scenes; "
+        "the worker parses the container, REALLY decodes every frame, "
+        "computes the per-adjacent-pair sum of absolute pixel "
+        "differences in numpy, and thresholds the per-pixel mean "
+        f"(> {_CUT_THRESHOLD}/pixel across channels = cut). The "
+        "generator is affine and non-wrapping, so the oracle replays "
+        "the diffs in CLOSED FORM: within-scene pairs differ by "
+        "exactly the per-frame drift (12/pixel), the cut pair by "
+        "exactly the scene offset (304/pixel) — one diverged decoded "
+        "byte anywhere breaks the hash. Scale: a pure per-video "
+        "Arrow-batched map (decode + one numpy pass per frame pair), "
+        "no shuffle at all — the embarrassingly parallel shape; at "
+        "100 TB the diff pass rides the same scan that samples "
+        "frames, and cut lists are O(frames) metadata."
+    ),
+    tags=("extension", "multimodal"),
+)
+def q_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "pair_idx": [], "npix": [],
+                "diff_sum": [], "is_cut": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = synth_dims(d)
+                payload = codecs.encode_ppm_video(
+                    [(w, h, scene_rgb(d, w, h, f)) for f in range(_SCENE_FRAMES)]
+                )
+                frames = [
+                    np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                    for _w, _h, rgb in codecs.decode_ppm_video(payload)
+                ]
+                for p in range(len(frames) - 1):
+                    diff = int(np.abs(frames[p + 1] - frames[p]).sum())
+                    rows["doc_id"].append(d)
+                    rows["pair_idx"].append(p)
+                    rows["npix"].append(w * h)
+                    rows["diff_sum"].append(diff)
+                    rows["is_cut"].append(int(diff > _CUT_THRESHOLD * w * h))
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=SCENECUT_SCHEMA).orderBy("doc_id", "pair_idx")

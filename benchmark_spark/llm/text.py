@@ -866,8 +866,15 @@ def _bloom_pos_sql(j: int) -> str:
         "guarantee verdict (a Bloom filter has false positives, never "
         "false negatives: bloom_hit >= exact_hit must hold on every "
         "row, and the n_bloom - n_exact gap IS the measured FP load at "
-        "this M/K/n operating point). The exact side rides the same "
-        "md5, keyed on the 60-bit prefix like q_decontaminate."
+        "this M/K/n operating point). The fixture filter is "
+        "DELIBERATELY small (65536 bits vs ~33K holdout grams at "
+        "sf0.1, ~87% fill) so the FP path is genuinely exercised; "
+        "tools/curve_bloom.py shows the measured FP rate tracks the "
+        "textbook fill^K prediction to 3 decimals across 10x holdout "
+        "growth, so sizing M for a target FP at 100 TB is a "
+        "calculation (m ~ -k*n / ln(1 - fp^(1/k))), not a rerun. The "
+        "exact side rides the same md5, keyed on the 60-bit prefix "
+        "like q_decontaminate."
     ),
     tags=("extension", "text", "dedup"),
 )

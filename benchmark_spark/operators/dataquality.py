@@ -880,6 +880,10 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        # 9 rows; materializing means the corpus is scanned ONCE even
+        # though obs feeds both the per-digit join and the grand total
+        # (without this the plan embedded the lineitem scan twice)
+        .localCheckpoint(eager=True)
     )
     bf = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)], "digit long, benford_ppm long"

@@ -678,3 +678,20 @@ def test_mmr_rerank_is_diverse_and_deterministic(spark):
     assert [r[0] for r in a] == [1, 2, 3, 4, 5]
     top1 = SPECS["q8_knn"].fn(spark, SF_SMOKE).collect()[0]["vec_id"]
     assert a[0][1] == top1
+
+
+def test_video_scenecut_flags_exactly_the_planted_cut(spark):
+    """Every fixture video has ONE scene change (frames 2 -> 3): the
+    pair table must flag pair_idx 2 and only pair_idx 2, with the
+    closed-form diff sums (12/pixel drift, 304/pixel at the cut)."""
+    rows = SPECS["q_video_scenecut"].fn(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, pairs in by_doc.items():
+        assert sorted(p["pair_idx"] for p in pairs) == [0, 1, 2, 3, 4]
+        for p in pairs:
+            want_cut = 1 if p["pair_idx"] == 2 else 0
+            assert p["is_cut"] == want_cut, (doc_id, p)
+            want_diff = p["npix"] * (304 if want_cut else 12)
+            assert p["diff_sum"] == want_diff, (doc_id, p)

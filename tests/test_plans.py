@@ -600,3 +600,43 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_decontaminate_broadcasts_filter_and_exact_set(spark):
+    """The Bloom bitmap (<= 65536 positions) and the exact fp set must
+    ride BROADCAST joins — the whole point of the sketch is that the
+    corpus side never shuffles for the probe."""
+    plan = formatted_plan(SPECS["q_bloom_decontaminate"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_is_one_scan_with_broadcast_dims(spark):
+    """The 9-row digit histogram materializes once (one real lineitem
+    scan), so the final plan joins three tiny frames — all broadcast,
+    never sort-merge, and no corpus scan embedded twice."""
+    df = SPECS["q_benford"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") == 0  # obs materialized: the one
+    # real scan ran at checkpoint time, not per consumer
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_rounds_do_not_grow_the_plan(spark):
+    """The greedy rounds run over localCheckpoint-ed 10-row frames, so
+    the final plan must NOT contain the corpus scan more than once per
+    branch nor compound round over round (the advisor's 40-exchange
+    finding, fixed): the materialized selection keeps the plan flat."""
+    df = SPECS["q_mmr_rerank"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # after per-round checkpoints the returned frame's plan is just the
+    # materialized rows + the final orderBy — no embedded corpus scans
+    assert plan.count("Scan parquet") == 0
+    assert count_exchanges(df) <= 1
+
+
+def test_scenecut_has_no_shuffle_before_sort(spark):
+    """Scene-cut is a pure per-video map stage: the only exchange is
+    the final presentation orderBy."""
+    df = SPECS["q_video_scenecut"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) <= 1
