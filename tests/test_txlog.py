@@ -837,3 +837,28 @@ def test_partition_delete_bounded_with_unattributed_file(spark, tmp_path):
     assert sorted(r["k"] for r in rest) == [1001, 1003, 1005, 1007, 1009]
     assert all(r["p"] == 1 for r in rest)
     assert t.read(spark).count() == 105  # the attributed base untouched
+
+
+def test_occ_commit_safe_across_processes():
+    """Scaled-down pin of tools/occ_stress.py (round 11): 3 spawn
+    worker PROCESSES x 6 commits against one table — the link+unlink
+    version-slot claim is a kernel guarantee, so it must hold without
+    any shared interpreter state. Zero lost updates, contiguous
+    single-writer log. The 200/400-commit runs live in SCALE.md."""
+    import multiprocessing as mp
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "/root/repo/tools")
+    from occ_stress import append_worker
+
+    from benchmark_spark.sources.txlog import TxLogTable
+
+    ctx = mp.get_context("spawn")
+    with tempfile.TemporaryDirectory() as d:
+        with ctx.Pool(3) as pool:
+            pool.map(append_worker, [(d, w, 6) for w in range(3)])
+        t = TxLogTable(d)
+        assert t.versions() == list(range(18))
+        adds = {a["add"] for a in t.snapshot_adds()}
+        assert adds == {f"w{w:02d}-{j:04d}.parquet" for w in range(3) for j in range(6)}
