@@ -695,3 +695,76 @@ def test_video_scenecut_flags_exactly_the_planted_cut(spark):
             assert p["is_cut"] == want_cut, (doc_id, p)
             want_diff = p["npix"] * (304 if want_cut else 12)
             assert p["diff_sum"] == want_diff, (doc_id, p)
+
+
+def test_gopher_keep_bit_is_conjunction_of_rules(spark):
+    """The composite keep bit must equal the AND of the four Gopher
+    rules recomputed from the emitted per-rule columns with the
+    registered thresholds. Rows whose 4dp-snapped display metrics sit
+    within 1e-3 of a float threshold are skipped (keep is computed
+    from RAW integer ratios; the snap can land on the other side)."""
+    from benchmark_spark.llm.text import (
+        _GOPHER_MAX_LEN1, _GOPHER_MAX_MWL, _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_MWL, _GOPHER_MIN_STOPS, _GOPHER_MIN_WORDS,
+    )
+
+    rows = SPECS["q_gopher_quality"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    checked = 0
+    for r in rows:
+        near = (
+            abs(r["mean_wlen"] - _GOPHER_MIN_MWL) < 1e-3
+            or abs(r["mean_wlen"] - _GOPHER_MAX_MWL) < 1e-3
+            or abs(r["frac_len1"] - _GOPHER_MAX_LEN1) < 1e-3
+        )
+        if near:
+            continue
+        want = int(
+            _GOPHER_MIN_WORDS <= r["n_words"] <= _GOPHER_MAX_WORDS
+            and _GOPHER_MIN_MWL <= r["mean_wlen"] <= _GOPHER_MAX_MWL
+            and r["frac_len1"] <= _GOPHER_MAX_LEN1
+            and r["stop_distinct"] >= _GOPHER_MIN_STOPS
+        )
+        assert r["keep"] == want, r
+        checked += 1
+    assert checked > len(rows) // 2  # the skip rule cannot eat the test
+
+
+def test_ngram_span_dedup_flags_planted_copies(spark):
+    """doc_id % 10 == 2 documents have a planted near-copy in the
+    fixture family; any doc whose frac_dup > 0 must actually share an
+    8-gram with another doc — cross-check n_dup <= n_grams and the
+    heavy bit's 0.5 threshold."""
+    rows = SPECS["q_ngram_span_dedup"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup"] <= r["n_grams"], r
+        assert r["heavy"] == int(r["frac_dup"] > 0.5), r
+    assert any(r["heavy"] == 1 for r in rows)  # planted copies exist
+
+
+def test_semdedup_keeps_lowest_id_per_cluster(spark):
+    """The survivor rule: within every cluster the LOWEST vec_id can
+    never be marked duplicate (dups need a lower-id >= 0.3 neighbor),
+    and dup flags only ever point within a cluster."""
+    rows = SPECS["q_semdedup"].fn(spark, SF_SMOKE).collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    for cid, members in by_cid.items():
+        lowest = min(m["vec_id"] for m in members)
+        for m in members:
+            if m["vec_id"] == lowest:
+                assert m["is_dup"] == 0, (cid, m)
+
+
+def test_audio_mel_and_mfcc_agree_on_dominant_bin(spark):
+    """The mel filterbank and the MFCC front end decode the same WAV
+    fixtures: their dominant-bin columns must agree row for row, and
+    the mel centroid must sit inside the filter index range."""
+    mel = {r["doc_id"]: r for r in SPECS["q_audio_mel"].fn(spark, SF_SMOKE).collect()}
+    mfcc = {r["doc_id"]: r for r in SPECS["q_mfcc"].fn(spark, SF_SMOKE).collect()}
+    assert mel.keys() == mfcc.keys()
+    for d in mel:
+        assert mel[d]["dom_bin"] == mfcc[d]["dom_bin"], d
+        assert 0.0 <= mel[d]["mel_centroid"] <= mel[d]["n_filters"] - 1, d
