@@ -84,15 +84,15 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-11 re-cut (VERDICT r10 #1): finish the staleness rotation.
-    # Tier A (19): rows with NO VALID driver evidence — q_approx_stats
+    # Tier A (20): rows with NO VALID driver evidence — q_approx_stats
     # (the only query never driver-window-proved in 10 rounds, lead
     # slot per the verdict), the five queries new in round 11
     # (mel/MFCC audio features, Gopher-rule quality filter, repeated
     # n-gram span dedup, SemDeDup, and — added after the cut, same
     # session — streaming watermark dedup, Bloom decontamination,
     # label-propagation communities, the Benford first-digit audit,
-    # MMR re-ranking, and video scene-cut detection), and the seven
-    # rows REWRITTEN in
+    # MMR re-ranking, video scene-cut detection, and the Python
+    # DataSource write path), and the seven rows REWRITTEN in
     # round 11, whose old driver evidence validated a different query:
     # q_bpe_train/q_bpe_encode (K raised 8->32, VERDICT r10 #3),
     # q_decode_jpeg_progressive (restart markers + rst_markers/
@@ -101,8 +101,8 @@ _PRIORITY = (
     # re-rank, same advice), and q_jaccard_chargram/q_jaccard_pairs
     # (fixtures capped to one doc_id residue class, VERDICT r10 #2).
     # Tier B (5): the documented r5-evidence deferrals of the r10 cut.
-    # Tier C (26 of 49): the r6-evidence tier, oldest remaining; the
-    # 23 deferred rows (window holds 19 + 5 + 49 > 50) are simple
+    # Tier C (25 of 49): the r6-evidence tier, oldest remaining; the
+    # 24 deferred rows (window holds 20 + 5 + 49 > 50) are simple
     # scalar/window/demo queries unchanged since r6 and gate-green
     # every round — listed in tests/test_registry.py DEFERRED_R6 and
     # first in line for the r12 cut. After CORRECTNESS_r11 the oldest
@@ -116,6 +116,7 @@ _PRIORITY = (
     "q_ngram_span_dedup", "q_semdedup",
     "q_stream_dedup_wm", "q_bloom_decontaminate", "q_label_propagation",
     "q_benford", "q_mmr_rerank", "q_video_scenecut",
+    "q_python_datasink",
     "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_progressive",
     "q_hybrid_search", "q_knn_sq8",
     "q_jaccard_chargram", "q_jaccard_pairs",
@@ -128,7 +129,7 @@ _PRIORITY = (
     "q_dq_checks", "q_equidepth_hist", "q_equidepth_twophase",
     "q_event_transitions", "q_fuzzy_join", "q_graph_reachability",
     "q_k_anonymity",
-    "q_latest_snapshot", "q_path_trigrams",
+    "q_latest_snapshot",
     "q_pit_join", "q_ppr_seed_expand", "q_pseudonymize",
     "q_python_datasource", "q_python_stream_source", "q_rfm_segments",
     "q_salted_hotcold",

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from benchmark_spark.registry import register
@@ -247,3 +249,135 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # growth otherwise — ADVICE.md r5)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink).orderBy("grp")
+
+
+# --- Python DataSource WRITE path (round 11) -------------------------------
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the file this task staged."""
+
+    def __init__(self, filename: str, rows: int) -> None:
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Each write task stages its partition as one JSON-lines file
+    under <path>/; commit() publishes the run ATOMICALLY by writing a
+    _MANIFEST listing exactly the staged files (readers resolve the
+    manifest, never the directory listing, so a failed/duplicate task
+    attempt can leave orphan files without corrupting the dataset —
+    the same commit discipline as the txlog tier, expressed through
+    the DataSource write protocol)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires a path option")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            try:
+                os.unlink(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # write-only source; schema from the frame
+        return "event_type string, value double"
+
+    def writer(self, schema, overwrite) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+@register(
+    "q_python_datasink",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               (CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100)
+                   AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Python DataSource WRITE path (round 11 — completes the SPIP "
+        "SPARK-44076 surface next to the batch and stream READERS): "
+        "events flow through df.write.format('jsonlsink') into a "
+        "user-defined sink whose write() runs once per task (staging "
+        "one JSON-lines file), returns a WriterCommitMessage, and "
+        "whose driver-side commit() publishes the run atomically via "
+        "a _MANIFEST naming exactly the staged files — the txlog "
+        "commit discipline expressed through the DataSource write "
+        "protocol (orphan files from failed attempts are invisible "
+        "to manifest readers; abort() deletes staged files). The "
+        "query then re-reads ONLY the manifest-listed files and "
+        "re-aggregates per event_type — matching the direct batch "
+        "aggregation over events, so a row dropped or doubled "
+        "anywhere in the task/commit protocol breaks the hash. At "
+        "100 TB this is how Spark writes to systems with no built-in "
+        "sink (metering APIs, bespoke stores): per-task streaming "
+        "writes, driver-side atomic publish, O(tasks) commit state."
+    ),
+    tags=("source", "extension"),
+)
+def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.operators.aggregates import dsum
+
+    try:
+        spark.dataSource.register(JsonlSinkSource)
+    except Exception:
+        pass  # already registered in this session
+    out = os.path.join("/root/repo/.scratch", f"pysink_{_uuid.uuid4().hex[:8]}")
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    events.select("event_type", "value").write.format("jsonlsink").option(
+        "path", out
+    ).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(out, n) for n in manifest["files"]]
+    back = spark.read.schema("event_type string, value double").json(files)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
+        .orderBy("event_type")
+    )

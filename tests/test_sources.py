@@ -94,3 +94,39 @@ def test_targeted_delete_erases_exactly_the_victims(spark):
     survivors = orders.filter(F.col("o_custkey") % 97 != 0).count()
     assert sum(r["n"] for r in rows) == survivors
     assert orders.count() > survivors  # the deletion list was non-empty
+
+
+def test_python_datasink_manifest_commit_is_atomic(spark, tmp_path):
+    """The write protocol's load-bearing property: readers resolve the
+    _MANIFEST, never the directory listing — an orphan file from a
+    failed/duplicate task attempt must be invisible, and abort() must
+    unstage. Also: manifest row count equals the frame row count."""
+    import json
+    import os
+
+    from benchmark_spark.sources.pysource import JsonlSinkSource, JsonlSinkWriter
+
+    try:
+        spark.dataSource.register(JsonlSinkSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "CAST(id % 3 AS STRING) AS event_type", "CAST(id AS DOUBLE) AS value"
+    )
+    df.write.format("jsonlsink").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["rows"] == 100
+    # plant an orphan (a failed attempt's leftover): manifest readers
+    # must not see its rows
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"event_type": "x", "value": 1.0}\n')
+    files = [os.path.join(out, n) for n in manifest["files"]]
+    back = spark.read.schema("event_type string, value double").json(files)
+    assert back.count() == 100
+    assert back.filter("event_type = 'x'").count() == 0
+    # abort() unstages exactly the staged files
+    w = JsonlSinkWriter({"path": out})
+    msgs = [type("M", (), {"filename": manifest["files"][0]})()]
+    w.abort(msgs)
+    assert not os.path.exists(files[0])
