@@ -897,10 +897,14 @@ _PROG_RST_INTERVAL = 2  # blocks per restart segment in every scan
     "q_decode_jpeg_progressive",
     oracle="""
         WITH dims AS (
+            -- one doc_id residue class (the q_jaccard cap precedent):
+            -- the progressive tier verifies three decode paths per
+            -- image, so the fixture is 1/5 of documents — still every
+            -- (width, height, pattern) combination (9*7 cycle < 100)
             SELECT doc_id,
                    CAST(16 + doc_id % 9 AS INTEGER) AS width,
                    CAST(16 + doc_id % 7 AS INTEGER) AS height
-            FROM documents
+            FROM documents WHERE doc_id % 5 = 0
         )
         SELECT doc_id, width, height,
                CAST(14 AS BIGINT) AS n_scans,
@@ -953,7 +957,11 @@ _PROG_RST_INTERVAL = 2  # blocks per restart segment in every scan
     tags=("extension", "multimodal"),
 )
 def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = (
+        load_table(spark, sf_dir, "documents", assert_schema=False)
+        .filter(F.col("doc_id") % 5 == 0)  # fixture cap, mirrored in oracle
+        .select("doc_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
