@@ -1013,3 +1013,71 @@ def q_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(term, 6).alias("kl_nats"))
         .select("doc_id", F.col("n").cast("long").alias("n_tokens"), "kl_nats")
     )
+
+
+_FH_DIMS = 32  # hashed feature space
+
+
+@register(
+    "q_feature_hash",
+    oracle=f"""
+        WITH feats AS (
+            SELECT user_id, 'ty=' || event_type AS f FROM events
+            UNION ALL
+            SELECT user_id,
+                   'vb=' || CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR)
+            FROM events
+        ),
+        hashed AS (
+            SELECT user_id,
+                   CAST('0x' || substring(md5(f), 1, 8) AS BIGINT)
+                       % {_FH_DIMS} AS dim,
+                   CAST('0x' || substring(md5(f), 9, 1) AS BIGINT) % 2 * 2 - 1
+                       AS sign
+            FROM feats
+        )
+        SELECT user_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+        FROM hashed
+        GROUP BY user_id, dim
+        ORDER BY user_id, dim
+    """,
+    doc=(
+        "HASHING-TRICK featurization (round 11; Weinberger et al. "
+        "2009 — the stateless featurizer tabular training pipelines "
+        "use when the category vocabulary is unbounded): every event "
+        "contributes two feature tokens (categorical 'ty=<event_type>' "
+        "and bucketed-numeric 'vb=<value//50>'), each hashed into a "
+        f"{_FH_DIMS}-dim space by md5 %% dims with a +-1 sign drawn "
+        "from an independent md5 nibble (the signed variant keeps "
+        "collision noise zero-mean — the property that makes the "
+        "trick statistically sound), then summed per (user, dim) into "
+        "the sparse feature vector. STATELESS is the 100 TB story: no "
+        "vocabulary build pass, no dictionary broadcast, no refit "
+        "when new categories appear — one scan, one shuffle keyed by "
+        "(user_id, dim), integer weights bit-identical on both "
+        "engines through the shared md5."
+    ),
+    tags=("extension", "text"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", assert_schema=False)
+    feats = ev.select(
+        "user_id", F.concat(F.lit("ty="), F.col("event_type")).alias("f")
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.concat(
+                F.lit("vb="),
+                F.floor(F.col("value") / 50).cast("long").cast("string"),
+            ).alias("f"),
+        )
+    )
+    h = F.md5("f")
+    dim = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _FH_DIMS
+    sign = F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 * 2 - 1
+    return (
+        feats.select("user_id", dim.alias("dim"), sign.alias("sign"))
+        .groupBy("user_id", "dim")
+        .agg(F.sum("sign").alias("weight"))
+        .orderBy("user_id", "dim")
+    )

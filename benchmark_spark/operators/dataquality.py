@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
-from benchmark_spark.operators.aggregates import dsum, dsum_sql
+from benchmark_spark.operators.aggregates import dsum, dsum_sql, rnd_sql
 from benchmark_spark.registry import register
 
 
@@ -906,4 +906,189 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
         .orderBy("digit")
+    )
+
+
+_DRIFT_BINS = 40  # fixed-width 25-unit bins over value in [0, 1000)
+_DRIFT_BINW = 25
+
+
+@register(
+    "q_psi",
+    oracle=f"""
+        WITH binned AS (
+            SELECT least(CAST(floor(value / {_DRIFT_BINW}) AS BIGINT),
+                         {_DRIFT_BINS - 1}) AS bin,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+            FROM events
+        ),
+        cnts AS (
+            SELECT b.bin,
+                   COALESCE(SUM(is_a), 0) AS cnt_a,
+                   COALESCE(SUM(1 - is_a), 0) AS cnt_b
+            FROM (SELECT unnest(range(0, {_DRIFT_BINS})) AS bin) b
+            LEFT JOIN binned USING (bin)
+            GROUP BY b.bin
+        ),
+        tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM cnts),
+        terms AS (
+            SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+                   CAST(cnt_b AS BIGINT) AS cnt_b,
+                   {rnd_sql(
+                       "((cnt_a + 1.0) / (na + " + str(_DRIFT_BINS) + ")"
+                       " - (cnt_b + 1.0) / (nb + " + str(_DRIFT_BINS) + "))"
+                       " * ln(((cnt_a + 1.0) / (na + " + str(_DRIFT_BINS) + "))"
+                       " / ((cnt_b + 1.0) / (nb + " + str(_DRIFT_BINS) + ")))",
+                       6,
+                   )} AS psi_term
+            FROM cnts CROSS JOIN tot
+        )
+        SELECT bin, cnt_a, cnt_b, psi_term,
+               (CAST(SUM(CAST(round(psi_term * 1000000, 0) AS BIGINT))
+                     OVER () AS DOUBLE) / 1000000) AS psi_total
+        FROM terms
+        ORDER BY bin
+    """,
+    doc=(
+        "POPULATION STABILITY INDEX (round 11) — the distribution-"
+        "drift monitor every production feature pipeline runs between "
+        "a reference cohort and a live cohort (here: even vs odd "
+        "user_id over events.value): fixed-width binning (40 x 25-unit "
+        "bins, clamped — binning FIRST is what makes drift detection "
+        "scale: the shuffle carries 40 rows per partition, never "
+        "values), Laplace +1 smoothing so empty bins stay finite, "
+        "per-bin PSI terms (pA - pB) * ln(pA / pB) snapped to 6dp "
+        "fixed point (the q_unigram_lm ln-parity precedent), and the "
+        "total as an order-independent fixed-point sum over the 40 "
+        "bins. PSI > 0.1 is the standard 'investigate' threshold; "
+        "> 0.25 'action' — the per-bin table shows WHERE the drift "
+        "lives, which is the part a monitoring dashboard actually "
+        "needs. One scan, one 40-group aggregate; the bin spine is a "
+        "broadcast range join so absent bins appear with zero counts "
+        "on both engines."
+    ),
+    tags=("extension", "quality"),
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", assert_schema=False)
+    from benchmark_spark.operators.aggregates import rnd
+
+    bin_col = F.least(
+        F.floor(F.col("value") / _DRIFT_BINW).cast("long"),
+        F.lit(_DRIFT_BINS - 1),
+    )
+    binned = ev.select(
+        bin_col.alias("bin"),
+        (F.col("user_id") % 2 == 0).cast("long").alias("is_a"),
+    )
+    spine = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
+    cnts = (
+        F.broadcast(spine)
+        .join(
+            binned.groupBy("bin").agg(
+                F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cb", F.lit(0)).alias("cnt_b"),
+        )
+        .localCheckpoint(eager=True)  # 40 rows; feeds totals + terms
+    )
+    tot = cnts.agg(F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"))
+    k = float(_DRIFT_BINS)
+    pa = (F.col("cnt_a") + 1.0) / (F.col("na") + k)
+    pb = (F.col("cnt_b") + 1.0) / (F.col("nb") + k)
+    terms = cnts.crossJoin(F.broadcast(tot)).select(
+        "bin", "cnt_a", "cnt_b", rnd((pa - pb) * F.log(pa / pb), 6).alias("psi_term")
+    )
+    w = Window.partitionBy()
+    total = (
+        F.sum(F.round(F.col("psi_term") * 1e6, 0).cast("long")).over(w) / 1e6
+    ).alias("psi_total")
+    return terms.select("bin", "cnt_a", "cnt_b", "psi_term", total).orderBy("bin")
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""
+        WITH binned AS (
+            SELECT least(CAST(floor(value / {_DRIFT_BINW}) AS BIGINT),
+                         {_DRIFT_BINS - 1}) AS bin,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+            FROM events
+        ),
+        cnts AS (
+            SELECT bin, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+            FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cnts),
+        cum AS (
+            SELECT bin,
+                   SUM(ca) OVER (ORDER BY bin) AS cum_a,
+                   SUM(cb) OVER (ORDER BY bin) AS cum_b
+            FROM cnts
+        )
+        SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+               CAST(MAX(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
+               CAST(MAX(abs(cum_a * t.nb - cum_b * t.na)) * 1000000
+                    // (t.na * t.nb) AS BIGINT) AS d_ppm
+        FROM cum CROSS JOIN tot t
+        GROUP BY t.na, t.nb
+    """,
+    doc=(
+        "Two-sample KOLMOGOROV-SMIRNOV drift statistic, binned form "
+        "(round 11): D = max |ECDF_A - ECDF_B| between the even- and "
+        "odd-user cohorts of events.value, computed over the SAME 40 "
+        "fixed-width bins as q_psi — binned KS is the scale form "
+        "(exact KS needs a global sort of every value; the binned "
+        "statistic lower-bounds it on the bin grid and is what drift "
+        "monitors actually evaluate). EXACT integer arithmetic "
+        "throughout: D's numerator is max |cumA * nB - cumB * nA| "
+        "over bins (no floats anywhere), reported with the ppm form "
+        "d_ppm = num * 1e6 // (na * nb). The cumulative sums run over "
+        "40 rows — the unbounded window is over the BIN table, never "
+        "the corpus; one scan + one 40-group aggregate feeds it."
+    ),
+    tags=("extension", "quality"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", assert_schema=False)
+    bin_col = F.least(
+        F.floor(F.col("value") / _DRIFT_BINW).cast("long"),
+        F.lit(_DRIFT_BINS - 1),
+    )
+    cnts = (
+        ev.select(
+            bin_col.alias("bin"),
+            (F.col("user_id") % 2 == 0).cast("long").alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb"))
+        .localCheckpoint(eager=True)  # <= 40 rows
+    )
+    tot = cnts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnts.select(
+        "bin", F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")).alias(
+                "dev"
+            ),
+        )
+        .groupBy("na", "nb")
+        .agg(
+            F.max("dev").alias("d_num"),
+            (F.max("dev") * 1_000_000 / (F.col("na") * F.col("nb")))
+            .cast("long")
+            .alias("d_ppm"),
+        )
     )
