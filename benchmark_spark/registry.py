@@ -84,7 +84,7 @@ def register(
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
     # Round-11 re-cut (VERDICT r10 #1): finish the staleness rotation.
-    # Tier A (23): rows with NO VALID driver evidence — q_approx_stats
+    # Tier A (24): rows with NO VALID driver evidence — q_approx_stats
     # (the only query never driver-window-proved in 10 rounds, lead
     # slot per the verdict), the five queries new in round 11
     # (mel/MFCC audio features, Gopher-rule quality filter, repeated
@@ -92,8 +92,9 @@ _PRIORITY = (
     # session — streaming watermark dedup, Bloom decontamination,
     # label-propagation communities, the Benford first-digit audit,
     # MMR re-ranking, video scene-cut detection, the Python
-    # DataSource write path, PSI and binned-KS drift monitors, and
-    # the hashing-trick featurizer), and the seven rows REWRITTEN in
+    # DataSource write path, PSI and binned-KS drift monitors, the
+    # hashing-trick featurizer, and the zero-copy txlog clone), and
+    # the seven rows REWRITTEN in
     # round 11, whose old driver evidence validated a different query:
     # q_bpe_train/q_bpe_encode (K raised 8->32, VERDICT r10 #3),
     # q_decode_jpeg_progressive (restart markers + rst_markers/
@@ -102,8 +103,8 @@ _PRIORITY = (
     # re-rank, same advice), and q_jaccard_chargram/q_jaccard_pairs
     # (fixtures capped to one doc_id residue class, VERDICT r10 #2).
     # Tier B (5): the documented r5-evidence deferrals of the r10 cut.
-    # Tier C (22 of 49): the r6-evidence tier, oldest remaining; the
-    # 27 deferred rows (window holds 23 + 5 + 49 > 50) are simple
+    # Tier C (21 of 49): the r6-evidence tier, oldest remaining; the
+    # 28 deferred rows (window holds 24 + 5 + 49 > 50) are simple
     # scalar/window/demo queries unchanged since r6 and gate-green
     # every round — listed in tests/test_registry.py DEFERRED_R6 and
     # first in line for the r12 cut. After CORRECTNESS_r11 the oldest
@@ -118,6 +119,7 @@ _PRIORITY = (
     "q_stream_dedup_wm", "q_bloom_decontaminate", "q_label_propagation",
     "q_benford", "q_mmr_rerank", "q_video_scenecut",
     "q_python_datasink", "q_psi", "q_ks_drift", "q_feature_hash",
+    "q_txlog_clone",
     "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_progressive",
     "q_hybrid_search", "q_knn_sq8",
     "q_jaccard_chargram", "q_jaccard_pairs",
@@ -126,7 +128,7 @@ _PRIORITY = (
     "q_shipmode", "q_waiting_suppliers",
     # --- tier C: r6-evidence tier (32 of 49) ---
     "q_attribution",
-    "q_conversion_lag", "q_corrupt_ingest", "q_cusum_changepoint",
+    "q_conversion_lag", "q_corrupt_ingest",
     "q_dq_checks", "q_equidepth_hist", "q_equidepth_twophase",
     "q_event_transitions", "q_fuzzy_join", "q_graph_reachability",
     "q_k_anonymity",

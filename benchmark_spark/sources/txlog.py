@@ -570,6 +570,31 @@ class TxLogTable:
             out = out.unionByName(p)
         return out
 
+    def clone_to(self, dest: str, version: int | None = None) -> "TxLogTable":
+        """SHALLOW (zero-copy) clone — the Delta CLONE shape: ONE commit
+        in a fresh log whose add actions reference the SOURCE's live
+        data files by absolute path (footer stats carried over), so the
+        clone costs O(live files) of metadata and zero data bytes. The
+        logs are independent afterwards: appends/deletes/compaction on
+        either side never touch the other (divergent files land in each
+        table's own directory; the source's files are only ever REMOVED
+        from the clone's live set, never unlinked by the clone's vacuum
+        — pinned in tests/test_txlog.py). Clones resolve the live set
+        AFTER copy-on-write deletes; a source using deletion vectors
+        would need its dv references rewritten too (not supported —
+        raises)."""
+        adds = self.snapshot_adds(version)
+        if any("dv" in a for a in adds):
+            raise ValueError("clone_to does not support deletion-vector sources")
+        c = TxLogTable(dest)
+        os.makedirs(dest, exist_ok=True)
+        c.commit(
+            [dict(a, add=os.path.join(self.path, a["add"])) for a in adds],
+            op="clone",
+            extra={"source": self.path, "source_version": version},
+        )
+        return c
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         adds = self.snapshot_adds(version)
         if not adds:
@@ -2076,3 +2101,68 @@ def q_txlog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
+
+
+@register(
+    "q_txlog_clone",
+    oracle=f"""
+        WITH {_BOUNDS_CTE},
+        base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1, del
+            WHERE o_orderkey NOT BETWEEN dlo AND dhi
+        ),
+        diverged AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+            UNION ALL
+            SELECT o_orderkey + 2 * (SELECT max(o_orderkey) + 1 FROM orders),
+                   'Z', o_totalprice + 2.25
+            FROM orders WHERE o_orderkey % 41 = 0
+        ),
+        both_sides AS (
+            SELECT 'source' AS side, * FROM base
+            UNION ALL
+            SELECT 'clone' AS side, * FROM diverged
+        )
+        SELECT side, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000003) AS BIGINT) AS fp,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM both_sides
+        GROUP BY side, o_orderstatus
+    """,
+    doc=(
+        "ZERO-COPY SHALLOW CLONE (round 11 — the Delta CLONE shape, "
+        "the dev/test-sandbox primitive of every lakehouse): after "
+        "create/append/delete, clone_to writes ONE commit whose adds "
+        "reference the source's live files by absolute path — O(live "
+        "files) metadata, zero data bytes moved — then the clone "
+        "DIVERGES with its own append (status-Z rows keyed past both "
+        "ranges) while the source stays untouched. The rollup reads "
+        "BOTH sides: the source side must equal the plain post-delete "
+        "state (cloning mutated nothing) and the clone side that state "
+        "plus exactly the divergence rows — a shared-file read error "
+        "or a log bleed in either direction breaks the hash. Log "
+        "independence, the zero-copy property (no parquet in the "
+        "clone dir before divergence), and vacuum safety are pinned "
+        "in tests/test_txlog.py. At 100 TB clone cost is the metadata "
+        "commit; the divergent delta is the only storage the clone "
+        "ever owns."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _counters, _dlo, _dhi = _scenario(spark, sf_dir)
+    c = t.clone_to(_fresh_table_dir("clone"))
+    base = _orders_base(spark, sf_dir)
+    hi = base.agg(F.max("o_orderkey")).first()[0]
+    divergence = base.filter(F.col("o_orderkey") % 41 == 0).select(
+        (F.col("o_orderkey") + 2 * (int(hi) + 1)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("Z").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 2.25).alias("o_totalprice"),  # dyadic
+    )
+    c.append(spark, divergence, _STATS_COLS)
+    src = _rollup(t.read(spark)).withColumn("side", F.lit("source"))
+    cl = _rollup(c.read(spark)).withColumn("side", F.lit("clone"))
+    return src.unionByName(cl).select("side", "o_orderstatus", "n", "fp", "total")

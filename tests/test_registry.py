@@ -21,9 +21,9 @@ from benchmark_spark.registry import _PRIORITY, all_specs
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
 ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 # The round-11 cut (VERDICT r10 #1) finishes the staleness rotation:
-# 23 rows with no valid driver evidence (q_approx_stats — never
-# checked in 10 rounds — plus 15 new r11 queries and 7 r11 rewrites),
-# the 5 documented r5-evidence deferrals, and 22 of the 49 r6-tier
+# 24 rows with no valid driver evidence (q_approx_stats — never
+# checked in 10 rounds — plus 16 new r11 queries and 7 r11 rewrites),
+# the 5 documented r5-evidence deferrals, and 21 of the 49 r6-tier
 # rows; no slot may hold evidence newer than this...
 WINDOW_MAX_LATEST_GREEN = 6
 # ...EXCEPT a row whose fixture/plan AND-or oracle were rewritten this
@@ -36,13 +36,13 @@ REWRITTEN_IN_WINDOW = {
     "q_hybrid_search", "q_knn_sq8",        # deterministic re-rank
     "q_jaccard_chargram", "q_jaccard_pairs",  # capped demo fixtures
 }
-# Twenty-seven r6-tier rows deferred to the r12 cut because 23 + 5
+# Twenty-eight r6-tier rows deferred to the r12 cut because 24 + 5
 # + 49 > 50: simple scalar/window/demo queries, unchanged since r6 and
 # gate-green every round. They are the ONLY rows allowed to sit
 # outside the window at the boundary evidence age.
 DEFERRED_R6 = {
     "q1_scan_mid", "q1_scan_tight", "q_ab_readout", "q_basket_lift",
-    "q_cluster_sample", "q_cross_join",
+    "q_cluster_sample", "q_cross_join", "q_cusum_changepoint",
     "q_frame", "q_full_outer", "q_grouping_id", "q_in_subquery",
     "q_kl_novelty", "q_lag", "q_lateral_topn", "q_limit_offset",
     "q_ltv_curve", "q_path_trigrams", "q_trend_fit",

@@ -862,3 +862,59 @@ def test_occ_commit_safe_across_processes():
         assert t.versions() == list(range(18))
         adds = {a["add"] for a in t.snapshot_adds()}
         assert adds == {f"w{w:02d}-{j:04d}.parquet" for w in range(3) for j in range(6)}
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Three clone contracts (round 11): (1) zero-copy — the clone dir
+    holds NO parquet before divergence, yet reads byte-identically to
+    the source; (2) log independence — a clone append never changes
+    the source's live set and vice versa; (3) vacuum safety — the
+    clone's vacuum sweeps only its OWN directory, so the source's
+    files survive even when the clone drops them from its live set."""
+    import os
+
+    from benchmark_spark.sources.txlog import TxLogTable
+
+    df = spark.range(100).selectExpr("id AS o_orderkey")
+    src = TxLogTable.create(
+        spark, str(tmp_path / "src"), df, "o_orderkey", 4, ("o_orderkey",)
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert not [f for f in os.listdir(clone.path) if f.endswith(".parquet")]
+    assert sorted(r["o_orderkey"] for r in clone.read(spark).collect()) == list(
+        range(100)
+    )
+    # divergence: clone-only append
+    clone.append(
+        spark, spark.range(100, 110).selectExpr("id AS o_orderkey"), ("o_orderkey",)
+    )
+    assert src.read(spark).count() == 100  # source untouched
+    assert clone.read(spark).count() == 110
+    # source-side append stays invisible to the clone
+    src.append(
+        spark, spark.range(200, 205).selectExpr("id AS o_orderkey"), ("o_orderkey",)
+    )
+    assert clone.read(spark).count() == 110
+    # vacuum on the clone (even with zero retention/grace) must not
+    # unlink the source files its log references
+    clone.compact(spark, ("o_orderkey",))  # clone now owns its own files
+    removed = clone.vacuum(retain_versions=0, grace_secs=0)
+    assert all(os.path.dirname(os.path.join(clone.path, r)) != src.path for r in removed)
+    assert src.read(spark).count() == 105  # source fully intact
+
+
+def test_clone_refuses_deletion_vector_sources(spark, tmp_path):
+    """DV actions reference file names the clone would have to
+    rewrite; clone_to must refuse rather than silently mis-resolve."""
+    import pytest as _pytest
+
+    from benchmark_spark.sources.txlog import TxLogTable
+
+    df = spark.range(50).selectExpr("id AS o_orderkey")
+    src = TxLogTable.create(
+        spark, str(tmp_path / "dvsrc"), df, "o_orderkey", 2, ("o_orderkey",)
+    )
+    adds = src.snapshot_adds()
+    src.commit([{"dv": adds[0]["add"], "positions": [1, 2]}], op="dv")
+    with _pytest.raises(ValueError, match="deletion-vector"):
+        src.clone_to(str(tmp_path / "dvclone"))
