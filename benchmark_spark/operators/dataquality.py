@@ -845,10 +845,13 @@ _BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757
             {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))}
         )
         SELECT b.digit, COALESCE(o.n, 0) AS n,
-               CAST(COALESCE(o.n, 0) * 1000000 // t.t AS BIGINT) AS share_ppm,
+               -- greatest(t, 1): an EMPTY table reads as all-zero
+               -- shares instead of a null-divide (empty-input contract)
+               CAST(COALESCE(o.n, 0) * 1000000 // greatest(COALESCE(t.t, 0), 1)
+                    AS BIGINT) AS share_ppm,
                CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
-               CAST(COALESCE(o.n, 0) * 1000000 // t.t - b.benford_ppm
-                    AS BIGINT) AS dev_ppm
+               CAST(COALESCE(o.n, 0) * 1000000 // greatest(COALESCE(t.t, 0), 1)
+                    - b.benford_ppm AS BIGINT) AS dev_ppm
         FROM bf b LEFT JOIN obs o USING (digit) CROSS JOIN tot t
         ORDER BY b.digit
     """,
@@ -896,12 +899,18 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.coalesce("n", F.lit(0)).alias("n"),
-            (F.coalesce("n", F.lit(0)) * 1_000_000 / F.col("t"))
+            (
+                F.coalesce("n", F.lit(0)) * 1_000_000
+                / F.greatest(F.coalesce("t", F.lit(0)), F.lit(1))
+            )
             .cast("long")
             .alias("share_ppm"),
             "benford_ppm",
             (
-                (F.coalesce("n", F.lit(0)) * 1_000_000 / F.col("t")).cast("long")
+                (
+                    F.coalesce("n", F.lit(0)) * 1_000_000
+                    / F.greatest(F.coalesce("t", F.lit(0)), F.lit(1))
+                ).cast("long")
                 - F.col("benford_ppm")
             ).alias("dev_ppm"),
         )

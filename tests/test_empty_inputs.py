@@ -43,7 +43,18 @@ EMPTY_SAFE = [
     "q_audio_filterbank",
     "q_decode_jpeg_420",
     "q_apply_in_pandas",
+    # round 11: drift monitors + featurizer (the PSI/Benford spines
+    # legally emit their full bin/digit table with zero counts)
+    "q_benford",
+    "q_psi",
+    "q_ks_drift",
+    "q_feature_hash",
 ]
+
+# spine queries: empty input yields the FULL dimension table with
+# zeroed counts (that IS the empty-input contract for a monitor —
+# a dashboard reads "all bins zero", not "no data rows")
+SPINE_ROWS = {"q_benford": 9, "q_psi": 40}
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +70,9 @@ def empty_sf(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", EMPTY_SAFE)
 def test_operator_survives_empty_tables(spark, empty_sf, name):
     rows = SPECS[name].fn(spark, empty_sf).collect()
-    # global aggregates may legally emit one all-null/zero row;
-    # everything else must be empty — but never raise
-    assert len(rows) <= 6
+    # global aggregates may legally emit one all-null/zero row and
+    # spine queries their full zeroed dimension table; everything
+    # else must be empty — but never raise
+    assert len(rows) <= SPINE_ROWS.get(name, 6)
+    if name in SPINE_ROWS:
+        assert len(rows) == SPINE_ROWS[name]
