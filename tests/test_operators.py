@@ -54,3 +54,70 @@ def test_feature_hash_weights_are_signed_counts(spark):
         spark, "/root/testdata/sf0.001", "events", assert_schema=False
     ).count()
     assert sum(abs(r["weight"]) for r in rows) <= 2 * n_events
+
+
+def test_hll_sketch_registers_and_estimate(spark):
+    """HLL invariants at sf0.001 (1,473 distinct orderkeys): the
+    histogram covers exactly 256 registers, sum_scaled equals the
+    fixed-point register sum recomputed from the histogram, and the
+    256-register estimate lands within 5 standard errors
+    (5 * 1.04/sqrt(256) = 32.5%) of the exact distinct count."""
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_hll_sketch"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_registers"] for r in rows) == 256
+    sum_scaled = rows[0]["sum_scaled"]
+    assert sum_scaled == sum(r["n_registers"] * (1 << (53 - r["rho"])) for r in rows)
+    exact = rows[0]["exact_distinct"]
+    assert exact == 1473
+    assert abs(rows[0]["est_hll"] - exact) / exact < 0.325
+    assert all(abs(r["rel_err_pct"] - rows[0]["rel_err_pct"]) < 1e-9 for r in rows)
+
+
+def test_kmv_theta_set_algebra(spark):
+    """KMV invariants: union exact >= each segment exact, the
+    inclusion-exclusion identity holds exactly on the EXACT side
+    (xa + xb - xu = xi), each segment estimate is within 5 standard
+    errors (5/sqrt(64) ~= 62%) of exact, and est columns are finite."""
+    from benchmark_spark.registry import all_specs
+
+    rows = {
+        r["measure"]: r
+        for r in all_specs()["q_kmv_theta"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"seg_a", "seg_b", "union", "intersect"}
+    xa, xb = rows["seg_a"]["exact_distinct"], rows["seg_b"]["exact_distinct"]
+    xu, xi = rows["union"]["exact_distinct"], rows["intersect"]["exact_distinct"]
+    assert xu >= max(xa, xb) and xa + xb - xu == xi
+    for m in ("seg_a", "seg_b", "union"):
+        r = rows[m]
+        assert abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"] < 0.625
+
+
+def test_bloom_join_is_exact_after_rerank(spark):
+    """The Bloom pre-filter never loses a true match (no false
+    negatives by construction) and the false-positive rate sits below
+    the analytic bound (1 - e^(-2n/m))^2 * 4 slack; revenue equals the
+    plain join's revenue computed independently."""
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    (row,) = all_specs()["q_bloom_join"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert row["bloom_pass"] >= row["true_match"]
+    assert row["false_pass"] == row["bloom_pass"] - row["true_match"]
+    import math
+
+    n = row["bits_set"] / 2  # ~keys; each key sets <= 2 bits
+    bound = (1 - math.exp(-2 * n * 2 / (1 << 17))) ** 2
+    assert row["fp_rate"] <= max(4 * bound, 0.01)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plain = (
+        li.join(orders.where(F.col("o_totalprice") > 489000.0), li.l_orderkey == orders.o_orderkey)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        .collect()[0]["rev"]
+    )
+    assert row["revenue"] == plain
+    assert row["true_match"] > 0

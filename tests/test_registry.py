@@ -49,6 +49,10 @@ DEFERRED_R6 = {
     "q_null_pred", "q_range_frame", "q_skyline", "q_skyline_grid",
     "q_sql_script", "q_stream_dq", "q_threshold_sweep", "q_udtf_poly",
     "q_variant", "q_weighted_sample",
+    # Displaced later in round 11 when the sketch tier (q_hll_sketch,
+    # q_kmv_theta, q_bloom_join) entered tier A — new rows must enter
+    # through the window, so three more r6-evidence rows defer to r12:
+    "q_snapshot_diff", "q_triangle_degree", "q_zorder_layout",
 }
 
 
