@@ -1220,3 +1220,98 @@ def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n_cells", F.col("dof").cast("long").alias("dof"), "chi2")
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS vu
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(2 * quantile_cont(vu, 0.5) AS BIGINT) AS med2
+            FROM v GROUP BY event_type
+        ),
+        dev AS (
+            SELECT v.event_type, v.vu, m.med2,
+                   abs(2 * v.vu - m.med2) AS dev2
+            FROM v JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, med2,
+                   CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type, med2
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (floor((CAST(m.med2 AS DOUBLE) / 2000000.0) * 1000000 + 0.5)
+                    / 1000000) AS median_value,
+               (floor((CAST(m.mad4 AS DOUBLE) / 4000000.0) * 1000000 + 0.5)
+                    / 1000000) AS mad_value,
+               CAST(SUM(CASE WHEN d.dev2 * 20000 > 44478 * m.mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               (floor((CAST(SUM(CASE WHEN d.dev2 * 20000 > 44478 * m.mad4
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*)) * 1000000 + 0.5) / 1000000) AS outlier_rate
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type, m.med2, m.mad4
+        ORDER BY d.event_type
+    """,
+    doc=(
+        "MAD ROBUST OUTLIERS (round 11) — the median-absolute-"
+        "deviation counterpart of q_zscore_outliers: mean/stddev "
+        "break down exactly when outliers are present (the outliers "
+        "inflate sigma and hide themselves), so production anomaly "
+        "gates use the 50% breakdown-point robust z = |x - median| / "
+        "(1.4826 * MAD) > 3. Everything that feeds a comparison is "
+        "integer-exact: values snap to micro units, medians are "
+        "carried DOUBLED (2x and 4x) so the interpolated midpoint of "
+        "an even-count group stays integral, and the outlier cut "
+        "dev2 * 20000 > 44478 * mad4 multiplies BIGINTs — the "
+        "1.4826 consistency constant and the 3-sigma threshold never "
+        "exist as floats. Exact medians need a per-group total order "
+        "(two percentile aggregations); the 100 TB swap is "
+        "percentile_approx for phase 1 with the identical comparison "
+        "plan, the same posture as q_equidepth_twophase. Broadcast "
+        "joins carry the 5-row per-type medians back; one corpus "
+        "shuffle per phase."
+    ),
+    tags=("extension", "agg", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    v = events.select(
+        "event_type", F.round(F.col("value") * 1000000, 0).cast("long").alias("vu")
+    )
+    med = v.groupBy("event_type").agg(
+        (F.lit(2) * F.percentile("vu", 0.5)).cast("long").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "vu", "med2", F.abs(2 * F.col("vu") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type", "med2").agg(
+        (F.lit(2) * F.percentile("dev2", 0.5)).cast("long").alias("mad4")
+    )
+    joined = dev.join(F.broadcast(mad.select("event_type", "mad4")), "event_type")
+    is_out = F.when(F.col("dev2") * 20000 > 44478 * F.col("mad4"), 1).otherwise(0)
+    return (
+        joined.groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(is_out).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            rnd(F.col("med2").cast("double") / 2000000.0, 6).alias("median_value"),
+            rnd(F.col("mad4").cast("double") / 4000000.0, 6).alias("mad_value"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            rnd(F.col("n_outliers").cast("double") / F.col("n"), 6).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )

@@ -1055,3 +1055,111 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lag_us").cast("long").alias("min_us"),
         F.max("lag_us").cast("long").alias("max_us"),
     )
+
+
+# --- EWMA anomaly detection (round 11) -------------------------------
+# alpha = 1/4 with a 12-lag truncated horizon makes every weight an
+# INTEGER: scaling the prediction by 4^12, weight_j = 3^(j-1) * 4^(12-j)
+# for lag j in 1..12, and the normalizer is the closed-form geometric
+# sum 4^12 - 3^12. The residual test D*y_t - P is then exact BIGINT
+# arithmetic — no float EWMA state ever exists, the same
+# no-float-mean trick as q_cusum_changepoint.
+_EWMA_LAGS = 12
+_EWMA_W = [3 ** (j - 1) * 4 ** (_EWMA_LAGS - j) for j in range(1, _EWMA_LAGS + 1)]
+_EWMA_D = 4**_EWMA_LAGS - 3**_EWMA_LAGS  # == sum(_EWMA_W)
+
+
+@register(
+    "q_ewma_anomaly",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+            FROM events
+            GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        ), lagged AS (
+            SELECT event_type, x, y,
+                   {" + ".join(
+                       f"{w} * lag(y, {j}) OVER w"
+                       for j, w in enumerate(_EWMA_W, start=1)
+                   )} AS p,
+                   lag(y, {_EWMA_LAGS}) OVER w AS oldest
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY x)
+        ), resid AS (
+            SELECT event_type, x, y, p,
+                   {_EWMA_D} * y - p AS r
+            FROM lagged WHERE oldest IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(x AS BIGINT) AS day,
+               CAST(y AS BIGINT) AS y_cents,
+               {{rnd}} AS ewma_pred_cents,
+               CAST(r AS BIGINT) AS resid_scaled,
+               CAST(CASE WHEN r >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+        FROM resid
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(r) DESC, x) <= 3
+        ORDER BY event_type, abs(resid_scaled) DESC, day
+    """.replace("{rnd}", "(floor((CAST(p AS DOUBLE) / " + str(_EWMA_D)
+                + ") * 100 + 0.5) / 100)"),
+    doc=(
+        "EWMA ANOMALY DETECTION (round 11) — the standard ops-"
+        "monitoring 'is today's value off-trend?' query: an "
+        "exponentially weighted moving average predicts each day's "
+        "revenue per event type from the prior 12 observed days, and "
+        "the 3 largest |actual - predicted| residuals per type are "
+        "flagged. alpha = 1/4 and the 12-lag truncation make every "
+        "weight an exact INTEGER (w_j = 3^(j-1) * 4^(12-j), "
+        "normalizer 4^12 - 3^12 in closed form), so the residual "
+        "D*y - P, its argmax ranking, and the shift direction are "
+        "integer-exact across engines — the q_cusum_changepoint "
+        "no-float-mean trick applied to exponential smoothing. "
+        "Two-phase: the corpus collapses to O(types x days) in one "
+        "rollup shuffle, then 12 lag() taps over one ordered window "
+        "per type; at 100 TB the streaming twin is a single "
+        "(running numerator) state value per type updated as "
+        "P' = 3*(P + w_1*y)/4 in integers. The prediction is emitted "
+        "in cents at 2dp through the tie-deterministic floor grid "
+        "(one exact-double division, identical operands both "
+        "engines)."
+    ),
+    tags=("extension", "window", "timeseries"),
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events", assert_schema=False)
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    pred = None
+    for j, wj in enumerate(_EWMA_W, start=1):
+        term = F.lit(wj) * F.lag("y", j).over(w)
+        pred = term if pred is None else pred + term
+    lagged = daily.select(
+        "event_type",
+        "x",
+        "y",
+        pred.alias("p"),
+        F.lag("y", _EWMA_LAGS).over(w).alias("oldest"),
+    ).where(F.col("oldest").isNotNull())
+    resid = lagged.withColumn("r", F.lit(_EWMA_D) * F.col("y") - F.col("p"))
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("r")).desc(), F.asc("x"))
+    return (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            F.col("x").cast("long").alias("day"),
+            F.col("y").alias("y_cents"),
+            (
+                F.floor((F.col("p").cast("double") / F.lit(float(_EWMA_D))) * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("ewma_pred_cents"),
+            F.col("r").cast("long").alias("resid_scaled"),
+            F.when(F.col("r") >= 0, 1).otherwise(-1).cast("long").alias("direction"),
+        )
+        .orderBy("event_type", F.abs(F.col("resid_scaled")).desc(), "day")
+    )

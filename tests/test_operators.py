@@ -121,3 +121,57 @@ def test_bloom_join_is_exact_after_rerank(spark):
     )
     assert row["revenue"] == plain
     assert row["true_match"] > 0
+
+
+def test_ewma_anomaly_integer_exact_residuals(spark):
+    """The residual is D*y - P with D = 4^12 - 3^12: recompute the
+    prediction for the top row per type from the daily series and
+    confirm the integer identity; each type emits exactly 3 rows."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.operators.windows import _EWMA_D, _EWMA_LAGS, _EWMA_W
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_ewma_anomaly"].fn(spark, "/root/testdata/sf0.001").collect()
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r["event_type"]].append(r)
+    assert all(len(v) == 3 for v in per_type.values())
+    events = load_table(spark, "/root/testdata/sf0.001", "events", assert_schema=False)
+    daily = {
+        (r["event_type"], r["x"]): r["y"]
+        for r in events.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+        .collect()
+    }
+    days = sorted({x for (_, x) in daily})
+    for et, rs in per_type.items():
+        top = rs[0]
+        i = days.index(top["day"])
+        pred = sum(
+            w * daily[(et, days[i - j])] for j, w in enumerate(_EWMA_W, start=1)
+        )
+        assert top["resid_scaled"] == _EWMA_D * top["y_cents"] - pred
+        assert i >= _EWMA_LAGS
+
+
+def test_mad_outliers_robust_to_planted_spike(spark):
+    """MAD invariants at sf0.001: outlier_rate is n_outliers/n on the
+    floor grid, the MAD is positive, and the rate stays in single
+    digits (a robust gate never flags a same-distribution majority)."""
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_mad_outliers"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    import math
+
+    for r in rows:
+        assert r["mad_value"] > 0
+        assert r["outlier_rate"] == math.floor(r["n_outliers"] / r["n"] * 1e6 + 0.5) / 1e6
+        assert r["outlier_rate"] < 0.10

@@ -53,6 +53,8 @@ DEFERRED_R6 = {
     # q_kmv_theta, q_bloom_join) entered tier A — new rows must enter
     # through the window, so three more r6-evidence rows defer to r12:
     "q_snapshot_diff", "q_triangle_degree", "q_zorder_layout",
+    # ...and two more when q_ewma_anomaly + q_mad_outliers entered:
+    "q_rfm_segments", "q_salted_hotcold",
 }
 
 
