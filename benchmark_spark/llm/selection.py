@@ -1,0 +1,156 @@
+"""Data-selection operators: diverse-subset (coreset) construction.
+
+Round 11. Training-data curation does not just FILTER (quality gates,
+dedup) — it also SELECTS: given a budget of n examples, pick the
+subset that covers the data distribution best. The classic primitive
+is the greedy k-center (farthest-point traversal): start from a seed,
+repeatedly add the point FARTHEST from the current set. It is a
+2-approximation of the optimal k-center cover (Gonzalez 1985, public)
+and the standard seed for coreset pipelines and k-means++ style
+initialization.
+
+Determinism contract: embeddings snap to exact int-micro vectors
+(floor(x*1e6 + 0.5), the llm/similarity.py convention), so every
+squared distance is an exact BIGINT (<= 64 * (2e6)^2 ~ 2.6e14, far
+inside both BIGINT and the double-exact integer range the DuckDB
+oracle computes in), every argmax has a vec_id tiebreak, and the
+whole greedy trajectory replays bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+
+_KCENTER_K = 8
+_KCENTER_SEED = 0  # vec_id of the deterministic starting point
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance of two long-array columns."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _kcenter_oracle(k: int) -> str:
+    lpd = "list_dot_product"
+
+    def d2(a: str, b: str) -> str:
+        return f"({lpd}({a},{a}) - 2*{lpd}({a},{b}) + {lpd}({b},{b}))"
+
+    parts = [
+        "vm AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> floor(x * 1000000 + 0.5)) AS v FROM embeddings)",
+        f"s1 AS MATERIALIZED (SELECT v FROM vm WHERE vec_id = {_KCENTER_SEED})",
+        f"m1 AS MATERIALIZED (SELECT a.vec_id, a.v, {d2('a.v', 'b.v')} AS mind "
+        "FROM vm a, s1 b)",
+    ]
+    selects = [f"SELECT 1 AS step, CAST({_KCENTER_SEED} AS BIGINT) AS vec_id, "
+               "CAST(0 AS BIGINT) AS sel_d2"]
+    for t in range(2, k + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT vec_id, v, mind FROM m{t - 1} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT a.vec_id, a.v, "
+            f"LEAST(a.mind, {d2('a.v', 'c.v')}) AS mind FROM m{t - 1} a, c{t} c)"
+        )
+        selects.append(
+            f"SELECT {t} AS step, CAST(vec_id AS BIGINT), CAST(mind AS BIGINT) "
+            f"FROM c{t}"
+        )
+    parts.append(f"fin AS (SELECT CAST(MAX(mind) AS BIGINT) AS final_r2 FROM m{k})")
+    union = " UNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT s.step, s.vec_id, s.sel_d2, f.final_r2 FROM ({union}) s "
+        "CROSS JOIN fin f ORDER BY s.step"
+    )
+
+
+@register(
+    "q_coreset_kcenter",
+    oracle=_kcenter_oracle(_KCENTER_K),
+    doc=(
+        "GREEDY K-CENTER CORESET (round 11) — farthest-point "
+        "traversal (Gonzalez 1985): seed at vec 0, then 7 rounds of "
+        "'add the point with the largest min-distance to the chosen "
+        "set'. The output trajectory (step, chosen vec_id, the "
+        "selection distance sel_d2 = the chosen point's distance to "
+        "the previous set == the previous set's covering radius, and "
+        "the final covering radius of all 8 centers) is the "
+        "2-approximate k-center cover — the diverse-subset selection "
+        "primitive under coreset sampling and k-means++ seeding. "
+        "FULLY DECLARATIVE iteration: each round is orderBy(mind "
+        "DESC).limit(1) (TakeOrderedAndProject — per-partition "
+        "partial top-1, only ONE row per partition crosses the wire) "
+        "cross-joined back as a broadcast 1-row frame to tighten the "
+        "running min-distance column; no driver-side collect "
+        "anywhere, and localCheckpoint per round caps lineage depth "
+        "at O(1) (the SCALE.md item-9 discipline). Distances are "
+        "exact BIGINTs on int-micro vectors with vec_id tiebreaks, "
+        "so the greedy trajectory — every argmax of it — replays "
+        "bit-identically in the DuckDB oracle's unrolled CTE chain. "
+        "Scale: k full scans of the corpus (k=8 here); at 100 TB one "
+        "runs the same traversal over a uniform pre-sample (k-center "
+        "is 2-approx on the sample with high probability) or batches "
+        "multiple additions per scan (the k-means|| oversampling "
+        "trick, q_ann_ivf)."
+    ),
+    tags=("extension", "similarity", "sample"),
+)
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    vm = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    seed = vm.where(F.col("vec_id") == _KCENTER_SEED).select(F.col("v").alias("cv"))
+    state = (
+        vm.crossJoin(F.broadcast(seed))
+        .select("vec_id", "v", _d2(F.col("v"), F.col("cv")).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = [
+        spark.range(1).select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(_KCENTER_SEED).cast("long").alias("vec_id"),
+            F.lit(0).cast("long").alias("sel_d2"),
+        )
+    ]
+    for t in range(2, _KCENTER_K + 1):
+        far = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by emit + update
+        )
+        chosen.append(
+            far.select(
+                F.lit(t).cast("long").alias("step"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("mind").cast("long").alias("sel_d2"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(far.select(F.col("v").alias("cv"))))
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("mind"), _d2(F.col("v"), F.col("cv"))).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    fin = state.agg(F.max("mind").cast("long").alias("final_r2"))
+    out = chosen[0]
+    for c in chosen[1:]:
+        out = out.unionByName(c)
+    return out.crossJoin(F.broadcast(fin)).orderBy("step")

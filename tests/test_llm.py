@@ -768,3 +768,38 @@ def test_audio_mel_and_mfcc_agree_on_dominant_bin(spark):
     for d in mel:
         assert mel[d]["dom_bin"] == mfcc[d]["dom_bin"], d
         assert 0.0 <= mel[d]["mel_centroid"] <= mel[d]["n_filters"] - 1, d
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    """The declarative farthest-point traversal reproduces the numpy
+    greedy reference exactly (same seed, same int-micro quantization,
+    same vec_id tiebreak), selection distances are non-increasing,
+    and the final covering radius is <= the last selection distance."""
+    import numpy as np
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_coreset_kcenter"].fn(spark, "/root/testdata/sf0.001").collect()
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings", assert_schema=False)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    vm = np.floor(
+        np.array([r["embedding"] for r in emb], dtype="float64") * 1e6 + 0.5
+    ).astype("int64")
+    chosen = [int(np.nonzero(ids == 0)[0][0])]
+    mind = ((vm - vm[chosen[0]]) ** 2).sum(axis=1)
+    expect = [(1, 0, 0)]
+    for t in range(2, 9):
+        best = np.lexsort((ids, -mind))[0]
+        expect.append((t, int(ids[best]), int(mind[best])))
+        mind = np.minimum(mind, ((vm - vm[best]) ** 2).sum(axis=1))
+    got = [(r["step"], r["vec_id"], r["sel_d2"]) for r in rows]
+    assert got == expect
+    d2s = [r["sel_d2"] for r in rows][1:]
+    assert d2s == sorted(d2s, reverse=True)
+    assert rows[0]["final_r2"] == int(mind.max())
+    assert all(r["final_r2"] == rows[0]["final_r2"] for r in rows)

@@ -55,6 +55,8 @@ DEFERRED_R6 = {
     "q_snapshot_diff", "q_triangle_degree", "q_zorder_layout",
     # ...and two more when q_ewma_anomaly + q_mad_outliers entered:
     "q_rfm_segments", "q_salted_hotcold",
+    # ...and one more for q_coreset_kcenter:
+    "q_python_stream_source",
 }
 
 
