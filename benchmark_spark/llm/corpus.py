@@ -1081,3 +1081,206 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").alias("weight"))
         .orderBy("user_id", "dim")
     )
+
+
+@register(
+    "q_perplexity_filter",
+    oracle=f"""
+        WITH train_tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        vocab AS (
+            SELECT token, COUNT(*) AS cnt FROM train_tok GROUP BY token
+        ),
+        tot AS (
+            SELECT SUM(cnt) AS n, COUNT(*) + 1 AS v FROM vocab
+        ),
+        surprisal AS (
+            SELECT token,
+                   {rnd_sql('-ln((cnt + 1.0) / (n + v))', 6)} AS s
+            FROM vocab, tot
+        ),
+        unk AS (
+            SELECT {rnd_sql('-ln(1.0 / (n + v))', 6)} AS s_unk FROM tot
+        ),
+        score_tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN sv.token IS NULL THEN 1 ELSE 0 END) AS oov_cnt,
+                   ({dsum_sql('COALESCE(sv.s, u.s_unk)', 6)} / COUNT(*)) AS avg_nll
+            FROM score_tok t
+            LEFT JOIN surprisal sv USING (token)
+            CROSS JOIN unk u
+            GROUP BY t.doc_id
+        ),
+        cut AS (
+            SELECT quantile_cont(avg_nll, 0.95) AS hi FROM scored
+        )
+        SELECT s.doc_id,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               CAST(s.oov_cnt AS BIGINT) AS oov_cnt,
+               s.avg_nll,
+               CAST(CASE WHEN s.avg_nll <= c.hi THEN 1 ELSE 0 END AS BIGINT)
+                   AS kept
+        FROM scored s CROSS JOIN cut c
+        ORDER BY s.doc_id
+    """,
+    doc=(
+        "PERPLEXITY FILTER (round 11) — the CCNet-shaped curation "
+        "gate: train a unigram LM with add-1 smoothing on the EVEN "
+        "half of the corpus, score the ODD half it has never seen, "
+        "and drop the top-5% highest mean-NLL documents (the "
+        "gibberish tail). The held-out split is what separates this "
+        "from q_unigram_lm's in-corpus diagnostic: a filter trained "
+        "on what it scores is leakage, so p(tok) = (cnt+1)/(N+V) "
+        "comes only from train docs and unseen tokens cost the "
+        "explicit UNK surprisal -ln(1/(N+V)) (emitted per doc as "
+        "oov_cnt). Per-token surprisals snap to 6dp fixed point and "
+        "sum through dsum, so avg_nll is engine-exact; the 95th-"
+        "percentile cutoff interpolates identical doubles on both "
+        "sides. Since perplexity = exp(avg_nll) is monotone, the "
+        "band cut happens on avg_nll directly — no engine exp() in "
+        "any compared value. Plan: vocab agg + one broadcast join "
+        "over score tokens + one percentile agg; vocab tables of "
+        "millions of rows still broadcast at 100 TB (the KenLM-"
+        "filter deployment shape)."
+    ),
+    tags=("extension", "text", "quality"),
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    train_tok = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("n"), (F.count(F.lit(1)) + 1).alias("v")
+    )
+    surprisal = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        rnd(-F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))), 6).alias("s"),
+    )
+    unk = tot.select(rnd(-F.log(1.0 / (F.col("n") + F.col("v"))), 6).alias("s_unk"))
+    score_tok = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    scored = (
+        score_tok.join(F.broadcast(surprisal), "token", "left")
+        .crossJoin(F.broadcast(unk))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("oov_cnt"),
+            (dsum(F.coalesce(F.col("s"), F.col("s_unk")), 6) / F.count(F.lit(1))).alias(
+                "avg_nll"
+            ),
+        )
+    ).localCheckpoint(eager=True)  # feeds the percentile cut + the verdict
+    cut = scored.agg(F.percentile("avg_nll", 0.95).alias("hi"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("oov_cnt").cast("long").alias("oov_cnt"),
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("hi"), 1).otherwise(0).cast("long").alias(
+                "kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+        WITH train_tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        top_vocab AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS cnt FROM train_tok GROUP BY token
+                ORDER BY cnt DESC, token LIMIT 16
+            )
+        ),
+        score_tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS covered
+            FROM score_tok t LEFT JOIN top_vocab v USING (token)
+            GROUP BY doc_id
+        )
+        SELECT CAST(floor((covered * 10) / n_tokens) AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(n_tokens - covered) AS BIGINT) AS oov_tokens,
+               {rnd_sql('SUM(covered) * 1.0 / SUM(n_tokens)', 6)} AS avg_coverage
+        FROM per_doc
+        GROUP BY floor((covered * 10) / n_tokens)
+        ORDER BY decile
+    """,
+    doc=(
+        "VOCABULARY COVERAGE / OOV-RATE AUDIT (round 11) — the "
+        "tokenizer-fit question every pretraining run asks before "
+        "committing a vocab: what fraction of held-out text does a "
+        "size-V vocabulary cover? Top-16 train-half tokens by "
+        "frequency (count-desc, token-asc deterministic cut) form "
+        "the vocab; each odd doc reports covered/n_tokens, rolled "
+        "into coverage deciles with token-weighted OOV totals. The "
+        "decile key floor(covered*10/n) is integer-exact; the only "
+        "float is the per-decile coverage ratio through the rnd "
+        "floor grid. Plan: one train-side agg with a "
+        "TakeOrderedAndProject vocab cut, then a broadcast LEFT "
+        "join over score tokens — the fact table never shuffles on "
+        "token; a million-entry production vocab still broadcasts."
+    ),
+    tags=("extension", "text", "quality"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    train_tok = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    top_vocab = (
+        train_tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(16)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    score_tok = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = (
+        score_tok.join(F.broadcast(top_vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("covered"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.floor((F.col("covered") * 10) / F.col("n_tokens")).cast("long").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(F.col("n_tokens") - F.col("covered")).cast("long").alias("oov_tokens"),
+            rnd(F.sum("covered") * 1.0 / F.sum("n_tokens"), 6).alias("avg_coverage"),
+        )
+        .orderBy("decile")
+    )

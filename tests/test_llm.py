@@ -803,3 +803,57 @@ def test_kcenter_matches_numpy_greedy(spark):
     assert d2s == sorted(d2s, reverse=True)
     assert rows[0]["final_r2"] == int(mind.max())
     assert all(r["final_r2"] == rows[0]["final_r2"] for r in rows)
+
+
+def test_perplexity_filter_holdout_semantics(spark):
+    """The LM never sees score docs: every scored doc_id is odd,
+    exactly 5% (ceil) are dropped, and oov tokens cost the UNK
+    surprisal (avg_nll of an all-OOV doc would be the max possible) —
+    spot-check one doc's avg_nll from a hand-built python LM."""
+    import math
+    from collections import Counter
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_perplexity_filter"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    dropped = [r for r in rows if r["kept"] == 0]
+    assert 0 < len(dropped) <= max(1, int(0.06 * len(rows)) + 1)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", assert_schema=False).collect()
+    cnt = Counter()
+    for d in docs:
+        if d["doc_id"] % 2 == 0:
+            cnt.update(d["text"].split(" "))
+    n, v = sum(cnt.values()), len(cnt) + 1
+    target = next(d for d in docs if d["doc_id"] == rows[0]["doc_id"])
+    toks = target["text"].split(" ")
+
+    def snap(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ssum = sum(
+        round(snap(-math.log((cnt[t] + 1.0) / (n + v)) if t in cnt else -math.log(1.0 / (n + v))) * 1e6)
+        for t in toks
+    )
+    assert abs(rows[0]["avg_nll"] - (ssum / 1e6) / len(toks)) < 1e-9
+    assert rows[0]["n_tokens"] == len(toks)
+    assert rows[0]["oov_cnt"] == sum(1 for t in toks if t not in cnt)
+
+
+def test_vocab_coverage_deciles_partition_docs(spark):
+    """Decile rows partition the odd-doc population; oov_tokens +
+    covered == tokens per row; coverage ratios sit in [0, 1] and are
+    monotone-consistent with the decile key."""
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_vocab_coverage"].fn(spark, "/root/testdata/sf0.001").collect()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", assert_schema=False)
+    n_odd = docs.where("doc_id % 2 = 1").count()
+    assert sum(r["n_docs"] for r in rows) == n_odd
+    for r in rows:
+        assert 0 <= r["decile"] <= 10
+        assert 0 <= r["oov_tokens"] <= r["tokens"]
+        assert 0.0 <= r["avg_coverage"] <= 1.0
+        assert r["decile"] / 10 - 0.11 <= r["avg_coverage"] <= r["decile"] / 10 + 0.11

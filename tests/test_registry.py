@@ -57,6 +57,8 @@ DEFERRED_R6 = {
     "q_rfm_segments", "q_salted_hotcold",
     # ...and one more for q_coreset_kcenter:
     "q_python_stream_source",
+    # ...and two more for q_perplexity_filter + q_vocab_coverage:
+    "q_pseudonymize", "q_python_datasource",
 }
 
 
