@@ -154,3 +154,148 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in chosen[1:]:
         out = out.unionByName(c)
     return out.crossJoin(F.broadcast(fin)).orderBy("step")
+
+
+# --- Grid-bucketed DBSCAN (round 11) ---------------------------------
+_DBSCAN_EPS_U = 20000  # eps = 0.02 in int-micro units
+_DBSCAN_MINPTS = 5  # includes the point itself (the DBSCAN convention)
+
+
+@register(
+    "q_dbscan_grid",
+    oracle=f"""
+        WITH p AS MATERIALIZED (
+            SELECT vec_id,
+                   floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS x,
+                   floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5) AS y
+            FROM embeddings
+        ),
+        cells AS MATERIALIZED (
+            SELECT vec_id, x, y,
+                   CAST(floor(x / {float(_DBSCAN_EPS_U)!r}) AS BIGINT) AS cx,
+                   CAST(floor(y / {float(_DBSCAN_EPS_U)!r}) AS BIGINT) AS cy
+            FROM p
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM cells a
+            JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox ON true
+            JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy ON true
+            JOIN cells b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                  <= {_DBSCAN_EPS_U * _DBSCAN_EPS_U}
+        ),
+        deg AS MATERIALIZED (
+            SELECT a_id AS vec_id, COUNT(*) AS n_neighbors FROM pairs GROUP BY a_id
+        ),
+        core AS MATERIALIZED (
+            SELECT vec_id FROM deg WHERE n_neighbors >= {_DBSCAN_MINPTS}
+        )
+        SELECT d.vec_id,
+               CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+               CASE WHEN d.n_neighbors >= {_DBSCAN_MINPTS} THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM pairs pr JOIN core c
+                                 ON pr.b_id = c.vec_id
+                                 WHERE pr.a_id = d.vec_id) THEN 'border'
+                    ELSE 'noise' END AS cls
+        FROM deg d
+        ORDER BY d.vec_id
+    """,
+    doc=(
+        "GRID-BUCKETED DBSCAN (round 11) — density classification "
+        "(Ester et al. 1996) over the first two embedding "
+        "dimensions: a point is CORE if its eps-ball holds >= "
+        "minPts points (self included), BORDER if it is within eps "
+        "of a core point, NOISE otherwise. The scale move is the "
+        "grid: cells of side eps mean every eps-neighbor lives in "
+        "the 3x3 adjacent cells, so candidate generation is an "
+        "EQUI-join on (cx+dx, cy+dy) after a 9-way offset explode — "
+        "never an all-pairs theta join; pair work is "
+        "density-bounded per cell (the same blocking argument as "
+        "q_dedup_minhash's bands). Coordinates are int-micro, so "
+        "the distance cut d2 <= eps2 compares BIGINTs and the "
+        "class verdicts replay exactly in the oracle. At 100 TB the "
+        "grid inherits DBSCAN's caveat: cell occupancy grows with "
+        "density, so eps shrinks (or the grid refines recursively) "
+        "with corpus growth, and the pair frame — built once, "
+        "reused for both the degree count and the border probe — is "
+        "the thing to checkpoint. The full-dimension variant swaps "
+        "the 2-D grid for LSH buckets (q_dedup_embed_lsh's planes)."
+    ),
+    tags=("extension", "similarity", "quality"),
+)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    p = emb.select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * 1000000.0 + F.lit(0.5)).alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1000000.0 + F.lit(0.5)).alias("y"),
+    )
+    eps = float(_DBSCAN_EPS_U)
+    cells = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).cast("long").alias("cx"),
+        F.floor(F.col("y") / eps).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)  # both join sides + the probe reuse it
+
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    a = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(b, ["jx", "jy"])
+        .where(d2 <= F.lit(_DBSCAN_EPS_U * _DBSCAN_EPS_U))
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)  # reused: degree count + border probe
+    )
+    deg = pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+    core = deg.where(F.col("n_neighbors") >= _DBSCAN_MINPTS).select(
+        F.col("vec_id").alias("core_id")
+    )
+    near_core = (
+        pairs.join(F.broadcast(core), pairs.b_id == F.col("core_id"), "left_semi")
+        .select(F.col("a_id"))
+        .distinct()
+        .withColumnRenamed("a_id", "vec_id")
+        .withColumn("has_core", F.lit(1))
+    )
+    return (
+        deg.join(near_core, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.when(F.col("n_neighbors") >= _DBSCAN_MINPTS, F.lit("core"))
+            .when(F.col("has_core") == 1, F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("cls"),
+        )
+        .orderBy("vec_id")
+    )

@@ -857,3 +857,42 @@ def test_vocab_coverage_deciles_partition_docs(spark):
         assert 0 <= r["oov_tokens"] <= r["tokens"]
         assert 0.0 <= r["avg_coverage"] <= 1.0
         assert r["decile"] / 10 - 0.11 <= r["avg_coverage"] <= r["decile"] / 10 + 0.11
+
+
+def test_dbscan_grid_matches_bruteforce(spark):
+    """The grid-bucketed classification equals brute-force DBSCAN
+    core/border/noise computed in python over the same int-micro
+    projection, and all three classes are populated at sf0.001."""
+    import numpy as np
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_dbscan_grid"].fn(spark, "/root/testdata/sf0.001").collect()
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings", assert_schema=False)
+        .orderBy("vec_id")
+        .collect()
+    )
+    pts = np.floor(
+        np.array([[r["embedding"][0], r["embedding"][1]] for r in emb], dtype="float64")
+        * 1e6
+        + 0.5
+    ).astype("int64")
+    ids = [r["vec_id"] for r in emb]
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    nbr = d2 <= 20000 * 20000
+    deg = nbr.sum(axis=1)
+    is_core = deg >= 5
+    has_core = (nbr & is_core[None, :]).any(axis=1)
+    expect = {
+        ids[i]: (
+            int(deg[i]),
+            "core" if is_core[i] else ("border" if has_core[i] else "noise"),
+        )
+        for i in range(len(ids))
+    }
+    got = {r["vec_id"]: (r["n_neighbors"], r["cls"]) for r in rows}
+    assert got == expect
+    classes = {r["cls"] for r in rows}
+    assert classes == {"core", "border", "noise"}

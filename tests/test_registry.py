@@ -59,6 +59,8 @@ DEFERRED_R6 = {
     "q_python_stream_source",
     # ...and two more for q_perplexity_filter + q_vocab_coverage:
     "q_pseudonymize", "q_python_datasource",
+    # ...and one more for q_dbscan_grid:
+    "q_ppr_seed_expand",
 }
 
 
