@@ -902,3 +902,123 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_done(q)
     return spark.table(sink)
+
+
+def _stream_ewma_oracle() -> str:
+    from benchmark_spark.operators.windows import _EWMA_D, _EWMA_LAGS, _EWMA_W
+
+    p_expr = " + ".join(
+        f"{w} * lag(y, {j}) OVER w" for j, w in enumerate(_EWMA_W, start=1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+            FROM events
+            GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        ), lagged AS (
+            SELECT event_type, x, y,
+                   {p_expr} AS p,
+                   lag(y, {_EWMA_LAGS}) OVER w AS oldest
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY x)
+        )
+        SELECT event_type,
+               CAST(x AS BIGINT) AS day,
+               CAST(y AS BIGINT) AS y_cents,
+               (floor((CAST(p AS DOUBLE) / {_EWMA_D}) * 100 + 0.5) / 100)
+                   AS ewma_pred_cents,
+               CAST({_EWMA_D} * y - p AS BIGINT) AS resid_scaled
+        FROM lagged WHERE oldest IS NOT NULL
+        ORDER BY event_type, day
+    """
+
+
+@register(
+    "q_stream_ewma",
+    oracle=_stream_ewma_oracle(),
+    doc=(
+        "STREAMING EWMA — the applyInPandasWithState twin the batch "
+        "q_ewma_anomaly docstring promises (round 11): per event "
+        "type, the group state carries the last 12 observed daily "
+        "sums (integers), each arriving micro-batch folds its "
+        "complete days into the buffer in event-time order, and "
+        "every day with a full 12-day history emits its integer "
+        "residual D*y - P exactly once (append mode). The 4-file "
+        "staged stream is split on day-of-month ranges, so a "
+        "calendar day NEVER straddles micro-batches — that alignment "
+        "is what makes the stateful fold deterministic and the "
+        "output hash-equal to the batch window-lag form (the oracle "
+        "is q_ewma_anomaly's lag pipeline without the top-3 cut). "
+        "State is bounded by construction: 12 longs + 12 day ids "
+        "per event type, the '(one integer state per type)' claim "
+        "made concrete — no watermark needed because the buffer, "
+        "not time, bounds it. At 100 TB the pre-aggregation to "
+        "(type, day) partial sums happens map-side per batch before "
+        "the single per-type state shuffle."
+    ),
+    tags=("extension", "streaming", "timeseries"),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from benchmark_spark.operators.windows import _EWMA_D, _EWMA_LAGS, _EWMA_W
+
+    stream = events_stream_chunks(spark, sf_dir)
+    prepped = stream.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    lags, weights, dnorm = _EWMA_LAGS, list(_EWMA_W), _EWMA_D
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        days, ys = state.get if state.exists else ((), ())
+        days, ys = list(days), list(ys)
+        batch = pd.concat(list(pdf_iter))
+        out = []
+        daily = batch.groupby("day")["cents"].sum().sort_index()
+        for day, y in daily.items():
+            y = int(y)
+            if len(ys) >= lags:
+                p = sum(w * yy for w, yy in zip(weights, reversed(ys[-lags:])))
+                pred = __import__("math").floor((float(p) / dnorm) * 100 + 0.5) / 100
+                out.append(
+                    (key[0], int(day), y, pred, dnorm * y - p)
+                )
+            days.append(int(day))
+            ys.append(y)
+        state.update((days[-lags:], ys[-lags:]))
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "day", "y_cents", "ewma_pred_cents", "resid_scaled"],
+        )
+
+    folded = prepped.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "event_type string, day long, y_cents long, "
+            "ewma_pred_cents double, resid_scaled long"
+        ),
+        stateStructType="days array<long>, ys array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"ewma_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        folded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return spark.table(sink).orderBy("event_type", "day")

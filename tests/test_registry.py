@@ -61,6 +61,8 @@ DEFERRED_R6 = {
     "q_pseudonymize", "q_python_datasource",
     # ...and one more for q_dbscan_grid:
     "q_ppr_seed_expand",
+    # ...and one more for q_stream_ewma:
+    "q_pit_join",
 }
 
 

@@ -793,3 +793,27 @@ def test_stream_dedup_wm_emits_each_key_exactly_once(spark):
         ).distinct().collect()
     }
     assert set(keys) == batch
+
+
+def test_stream_ewma_state_is_bounded_and_matches_batch(spark):
+    """The registered applyInPandasWithState EWMA converges to the
+    batch lag-window form (same days, same integer residuals), emits
+    each day exactly once across the 4 micro-batches, and only emits
+    days with a full 12-day history."""
+    from collections import Counter
+
+    from benchmark_spark.operators.windows import _EWMA_LAGS
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_stream_ewma"].fn(spark, "/root/testdata/sf0.001").collect()
+    keys = [(r["event_type"], r["day"]) for r in rows]
+    assert len(keys) == len(set(keys))  # append mode: exactly-once per day
+    per_type = Counter(r["event_type"] for r in rows)
+    n_days = len({r["day"] for r in rows}) + _EWMA_LAGS
+    assert all(v == n_days - _EWMA_LAGS for v in per_type.values())
+    # convergence: the batch q_ewma_anomaly top-3 rows appear with
+    # identical residuals in the streaming output
+    batch = all_specs()["q_ewma_anomaly"].fn(spark, "/root/testdata/sf0.001").collect()
+    stream_map = {(r["event_type"], r["day"]): r["resid_scaled"] for r in rows}
+    for b in batch:
+        assert stream_map[(b["event_type"], b["day"])] == b["resid_scaled"]
