@@ -126,8 +126,9 @@ def _hash60_sql(expr: str) -> str:
                CAST(f.sum_scaled AS BIGINT) AS sum_scaled,
                {rnd_sql("f.est", 2)} AS est_hll,
                ex.exact_distinct,
+               CASE WHEN ex.exact_distinct = 0 THEN NULL ELSE
                {rnd_sql("100.0 * (f.est - ex.exact_distinct)"
-                        " / ex.exact_distinct", 2)} AS rel_err_pct
+                        " / ex.exact_distinct", 2)} END AS rel_err_pct
         FROM regs r CROSS JOIN fin f CROSS JOIN ex
         GROUP BY r.m, f.n_zero, f.sum_scaled, f.est, ex.exact_distinct
         ORDER BY rho
@@ -202,11 +203,14 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_scaled").cast("long").alias("sum_scaled"),
             rnd(F.col("est"), 2).alias("est_hll"),
             "exact_distinct",
-            rnd(
-                F.lit(100.0)
-                * (F.col("est") - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
-                2,
+            F.when(  # empty-input contract: no exact count, no ratio
+                F.col("exact_distinct") > 0,
+                rnd(
+                    F.lit(100.0)
+                    * (F.col("est") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    2,
+                ),
             ).alias("rel_err_pct"),
         )
         .orderBy("rho")
@@ -417,10 +421,12 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM matched) AS true_match,
                (SELECT COUNT(*) FROM pass) -
                    (SELECT COUNT(*) FROM matched) AS false_pass,
+               CASE WHEN (SELECT COUNT(*) FROM probe)
+                         - (SELECT COUNT(*) FROM matched) = 0 THEN NULL ELSE
                {rnd_sql("CAST((SELECT COUNT(*) FROM pass)"
                         " - (SELECT COUNT(*) FROM matched) AS DOUBLE)"
                         " / ((SELECT COUNT(*) FROM probe)"
-                        " - (SELECT COUNT(*) FROM matched))", 6)} AS fp_rate,
+                        " - (SELECT COUNT(*) FROM matched))", 6)} END AS fp_rate,
                (SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2)
                 FROM matched) AS revenue
     """,
@@ -500,10 +506,13 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_pass",
             "true_match",
             (F.col("bloom_pass") - F.col("true_match")).alias("false_pass"),
-            rnd(
-                (F.col("bloom_pass") - F.col("true_match")).cast("double")
-                / (F.col("probe_rows") - F.col("true_match")),
-                6,
+            F.when(  # empty-input contract: zero probes, no rate
+                F.col("probe_rows") - F.col("true_match") > 0,
+                rnd(
+                    (F.col("bloom_pass") - F.col("true_match")).cast("double")
+                    / (F.col("probe_rows") - F.col("true_match")),
+                    6,
+                ),
             ).alias("fp_rate"),
             "revenue",
         )

@@ -49,12 +49,22 @@ EMPTY_SAFE = [
     "q_psi",
     "q_ks_drift",
     "q_feature_hash",
+    # round 11 sketch/timeseries tier: HLL collapses to one all-zero
+    # register bucket (linear-counting branch reads estimate 0), the
+    # KMV measure table keeps its 4 rows with NULL estimates (no kth
+    # hash exists), the Bloom join reports one row of zero counters,
+    # and the EWMA/MAD monitors are legally empty (no days, no groups)
+    "q_hll_sketch",
+    "q_kmv_theta",
+    "q_bloom_join",
+    "q_ewma_anomaly",
+    "q_mad_outliers",
 ]
 
 # spine queries: empty input yields the FULL dimension table with
 # zeroed counts (that IS the empty-input contract for a monitor —
 # a dashboard reads "all bins zero", not "no data rows")
-SPINE_ROWS = {"q_benford": 9, "q_psi": 40}
+SPINE_ROWS = {"q_benford": 9, "q_psi": 40, "q_kmv_theta": 4}
 
 
 @pytest.fixture(scope="module")
