@@ -455,17 +455,24 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "join", "sketch"),
 )
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_join_stats(spark, sf_dir, _BLOOM_M)
+
+
+def bloom_join_stats(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    """q_bloom_join's body with the filter size as a parameter —
+    tools/curve_bloomjoin.py sweeps m to chart the measured
+    false-positive operating curve committed in SCALE.md."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     dim = orders.where(F.col("o_totalprice") > _BLOOM_CUTOFF).select("o_orderkey")
     dmd = F.md5(F.col("o_orderkey").cast("string"))
     bits = (
         dim.select(
-            (F.conv(F.substring(dmd, 1, 8), 16, 10).cast("long") % _BLOOM_M).alias("bit")
+            (F.conv(F.substring(dmd, 1, 8), 16, 10).cast("long") % m).alias("bit")
         )
         .union(
             dim.select(
-                (F.conv(F.substring(dmd, 9, 8), 16, 10).cast("long") % _BLOOM_M).alias(
+                (F.conv(F.substring(dmd, 9, 8), 16, 10).cast("long") % m).alias(
                     "bit"
                 )
             )
@@ -478,8 +485,8 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_extendedprice",
         "l_discount",
-        (F.conv(F.substring(pmd, 1, 8), 16, 10).cast("long") % _BLOOM_M).alias("b1"),
-        (F.conv(F.substring(pmd, 9, 8), 16, 10).cast("long") % _BLOOM_M).alias("b2"),
+        (F.conv(F.substring(pmd, 1, 8), 16, 10).cast("long") % m).alias("b1"),
+        (F.conv(F.substring(pmd, 9, 8), 16, 10).cast("long") % m).alias("b2"),
     )
     passed = probe.join(
         F.broadcast(bits.withColumnRenamed("bit", "b1")), "b1", "left_semi"
