@@ -155,17 +155,36 @@ def _hash60_sql(expr: str) -> str:
     tags=("extension", "sketch", "agg"),
 )
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_sketch_stats(spark, sf_dir, bucket_chars=2)
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constants (Flajolet et al. 2007, Fig. 3)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_sketch_stats(
+    spark: SparkSession, sf_dir: str, bucket_chars: int
+) -> DataFrame:
+    """q_hll_sketch's body with the register count as a parameter
+    (m = 16^bucket_chars; the registered query is bucket_chars=2,
+    m=256) — tools/curve_sketch.py sweeps m for the measured
+    accuracy table in SCALE.md. The register word is always the 13
+    hex chars after the bucket prefix (52 bits)."""
+    m_regs = 16**bucket_chars
+    alpha = _hll_alpha(m_regs)
+    numer = alpha * float(m_regs * m_regs) * float(_HLL_SCALE)
     li = load_table(spark, sf_dir, "lineitem")
     md = F.md5(F.col("l_orderkey").cast("string"))
-    w = F.conv(F.substring(md, 3, 13), 16, 10).cast("long")
+    w = F.conv(F.substring(md, bucket_chars + 1, 13), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
     )
     hashed = li.select(
-        F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(md, 1, bucket_chars), 16, 10).cast("long").alias("bucket"),
         rho.alias("r"),
     )
-    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    spine = spark.range(m_regs).select(F.col("id").alias("bucket"))
     regs = (
         F.broadcast(spine)
         .join(hashed.groupBy("bucket").agg(F.max("r").alias("mx")), "bucket", "left")
@@ -178,13 +197,13 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("n_zero"),
     )
-    raw = F.lit(_HLL_NUMER) / F.col("sum_scaled").cast("double")
+    raw = F.lit(numer) / F.col("sum_scaled").cast("double")
     fin = summ.select(
         "sum_scaled",
         "n_zero",
         F.when(
-            (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
-            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+            (raw <= F.lit(2.5 * m_regs)) & (F.col("n_zero") > 0),
+            F.lit(float(m_regs)) * F.log(F.lit(float(m_regs)) / F.col("n_zero")),
         )
         .otherwise(raw)
         .alias("est"),
