@@ -640,3 +640,52 @@ def test_scenecut_has_no_shuffle_before_sort(spark):
     the final presentation orderBy."""
     df = SPECS["q_video_scenecut"].fn(spark, SF_SMOKE)
     assert count_exchanges(df) <= 1
+
+
+def test_bloom_join_probe_is_broadcast_only(spark):
+    """The whole point of q_bloom_join: the fact table reaches the
+    exact join through BROADCAST semi-joins (bit set) and a broadcast
+    dim join — no SortMergeJoin, no fact-side shuffle before the
+    pre-filter."""
+    plan = formatted_plan(SPECS["q_bloom_join"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # b1-semi, b2-semi, dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_sketch_is_one_corpus_shuffle(spark):
+    """HLL's scale contract: the corpus contributes ONE partial-agg
+    shuffle (the 256-register groupBy with map-side combine); the
+    register table work is constant-size. The exact COUNT(DISTINCT)
+    calibration side adds its own expand shuffle — everything else
+    must be broadcast."""
+    plan = formatted_plan(SPECS["q_hll_sketch"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final register agg
+
+
+def test_kmv_kth_is_take_ordered(spark):
+    """The k-smallest selection must plan as TakeOrderedAndProject
+    (per-partition partial top-k), never a global Sort of the hash
+    column."""
+    plan = formatted_plan(SPECS["q_kmv_theta"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_vocab_cut_is_take_ordered(spark):
+    """Top-V vocabulary selection is a TakeOrderedAndProject and the
+    score-side join is a broadcast — the token stream never shuffles
+    on token."""
+    plan = formatted_plan(SPECS["q_vocab_coverage"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_collapses_before_window(spark):
+    """The EWMA lag window runs over the O(types x days) daily rollup,
+    never the raw corpus: exactly one corpus-sized shuffle (the daily
+    groupBy), then the per-type window sort."""
+    df = SPECS["q_ewma_anomaly"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 1
+    assert count_exchanges(df) <= 4  # rollup, window partition, ranking, order
