@@ -328,14 +328,17 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds 3 top-k + 2 exact branches
     )
 
-    def kth(df: DataFrame) -> DataFrame:
-        return df.select("h").distinct().orderBy("h").limit(_KMV_K).agg(
-            F.max("h").alias("kth")
-        )
+    def kth(df: DataFrame, dedup: bool = False) -> DataFrame:
+        # keys is already distinct on (seg, h), so a single-segment
+        # slice is h-distinct for free; only the union re-dedups
+        # (the same key appears under both flags). Saves 2 exchanges
+        # (plan advisor, round 11).
+        h = df.select("h").distinct() if dedup else df.select("h")
+        return h.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("kth"))
 
     kth_a = kth(keys.where(F.col("seg") == "A"))
     kth_b = kth(keys.where(F.col("seg") == "R"))
-    kth_u = kth(keys)
+    kth_u = kth(keys, dedup=True)
     ex = keys.agg(
         F.countDistinct(F.when(F.col("seg") == "A", F.col("k"))).alias("xa"),
         F.countDistinct(F.when(F.col("seg") == "R", F.col("k"))).alias("xb"),
