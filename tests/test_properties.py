@@ -464,3 +464,32 @@ def test_samplers_invariant_to_shuffle_partitioning(spark):
             f"{q} sampled different rows under a different shuffle width"
         )
         assert results["32"][q], f"{q} returned no rows"
+
+
+@given(st.lists(st.text(alphabet="abcdef0123456789xyz_", min_size=1, max_size=24),
+                min_size=1, max_size=24, unique=True))
+@_SETTINGS
+def test_hll_rho_matches_hashlib_bit_scan(spark, keys):
+    """The engine's rho = 53 - length(bin(w)) string trick equals the
+    definitional first-set-bit scan over hashlib's md5, for arbitrary
+    key strings (including ones the fixtures never produce)."""
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in keys], ["s"])
+    md = F.md5(F.col("s"))
+    w = F.conv(F.substring(md, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    got = {
+        r["s"]: (r["bucket"], r["rho"])
+        for r in df.select(
+            "s",
+            F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        ).collect()
+    }
+    for k in keys:
+        hx = hashlib.md5(k.encode()).hexdigest()
+        bucket = int(hx[:2], 16)
+        w_py = int(hx[2:15], 16)
+        rho_py = 53 if w_py == 0 else 52 - w_py.bit_length() + 1
+        assert got[k] == (bucket, rho_py)
