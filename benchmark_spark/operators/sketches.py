@@ -79,11 +79,13 @@ def _hash60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
-@register(
-    "q_hll_sketch",
-    oracle=f"""
+def _hll_oracle(key_sql: str, table: str) -> str:
+    """The m=256 HLL oracle, parameterized by key expression and
+    table — shared by q_hll_sketch (lineitem orderkeys) and the
+    streaming register-merge twin q_stream_hll (events user_ids)."""
+    return f"""
         WITH h AS (
-            SELECT md5(CAST(l_orderkey AS VARCHAR)) AS md FROM lineitem
+            SELECT md5({key_sql}) AS md FROM {table}
         ),
         rho AS (
             SELECT CAST('0x' || substring(md, 1, 2) AS BIGINT) AS bucket,
@@ -119,7 +121,7 @@ def _hash60_sql(expr: str) -> str:
                         ELSE raw END AS est
             FROM est
         ),
-        ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+        ex AS (SELECT COUNT(DISTINCT {key_sql}) AS exact_distinct FROM {table})
         SELECT CAST(r.m AS BIGINT) AS rho,
                CAST(COUNT(*) AS BIGINT) AS n_registers,
                CAST(f.n_zero AS BIGINT) AS n_zero,
@@ -132,7 +134,12 @@ def _hash60_sql(expr: str) -> str:
         FROM regs r CROSS JOIN fin f CROSS JOIN ex
         GROUP BY r.m, f.n_zero, f.sum_scaled, f.est, ex.exact_distinct
         ORDER BY rho
-    """,
+    """
+
+
+@register(
+    "q_hll_sketch",
+    oracle=_hll_oracle("CAST(l_orderkey AS VARCHAR)", "lineitem"),
     doc=(
         "HYPERLOGLOG from scratch (round 11) — the mergeable distinct-"
         "count sketch, built entirely from the portable md5 base hash "
@@ -163,33 +170,35 @@ def _hll_alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def hll_sketch_stats(
-    spark: SparkSession, sf_dir: str, bucket_chars: int
-) -> DataFrame:
-    """q_hll_sketch's body with the register count as a parameter
-    (m = 16^bucket_chars; the registered query is bucket_chars=2,
-    m=256) — tools/curve_sketch.py sweeps m for the measured
-    accuracy table in SCALE.md. The register word is always the 13
-    hex chars after the bucket prefix (52 bits)."""
-    m_regs = 16**bucket_chars
-    alpha = _hll_alpha(m_regs)
-    numer = alpha * float(m_regs * m_regs) * float(_HLL_SCALE)
-    li = load_table(spark, sf_dir, "lineitem")
-    md = F.md5(F.col("l_orderkey").cast("string"))
+def hll_bucket_rho(col, bucket_chars: int = 2):
+    """(bucket, rho) expression pair of the portable HLL: bucket =
+    first `bucket_chars` md5 hex chars, rho = highest-set-bit
+    position of the next 13 hex chars via the exact length(bin(w))
+    string op. Shared by the batch query, the m-sweep tool, and the
+    streaming register-merge twin."""
+    md = F.md5(col)
     w = F.conv(F.substring(md, bucket_chars + 1, 13), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
     )
-    hashed = li.select(
-        F.conv(F.substring(md, 1, bucket_chars), 16, 10).cast("long").alias("bucket"),
-        rho.alias("r"),
-    )
+    bucket = F.conv(F.substring(md, 1, bucket_chars), 16, 10).cast("long")
+    return bucket, rho
+
+
+def hll_finalize(
+    spark: SparkSession, maxed: DataFrame, m_regs: int, ex: DataFrame
+) -> DataFrame:
+    """Turn a (bucket, mx) max-merged register table + a 1-row exact
+    count frame into the output shape: register histogram x estimate
+    columns. `maxed` may omit never-hit buckets — the spine join
+    zero-fills them."""
+    numer = _hll_alpha(m_regs) * float(m_regs * m_regs) * float(_HLL_SCALE)
     spine = spark.range(m_regs).select(F.col("id").alias("bucket"))
     regs = (
         F.broadcast(spine)
-        .join(hashed.groupBy("bucket").agg(F.max("r").alias("mx")), "bucket", "left")
+        .join(maxed, "bucket", "left")
         .select("bucket", F.coalesce("mx", F.lit(0)).alias("m"))
-        .localCheckpoint(eager=True)  # 256 rows; feeds summary + histogram
+        .localCheckpoint(eager=True)  # m_regs rows; feeds summary + histogram
     )
     summ = regs.agg(
         F.sum(F.pow(F.lit(2.0), F.lit(_HLL_W_BITS + 1) - F.col("m")).cast("long")).alias(
@@ -208,7 +217,6 @@ def hll_sketch_stats(
         .otherwise(raw)
         .alias("est"),
     )
-    ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
     hist = regs.groupBy(F.col("m").cast("long").alias("rho")).agg(
         F.count("*").alias("n_registers")
     )
@@ -234,6 +242,25 @@ def hll_sketch_stats(
         )
         .orderBy("rho")
     )
+
+
+def hll_sketch_stats(
+    spark: SparkSession, sf_dir: str, bucket_chars: int
+) -> DataFrame:
+    """q_hll_sketch's body with the register count as a parameter
+    (m = 16^bucket_chars; the registered query is bucket_chars=2,
+    m=256) — tools/curve_sketch.py sweeps m for the measured
+    accuracy table in SCALE.md. The register word is always the 13
+    hex chars after the bucket prefix (52 bits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket, rho = hll_bucket_rho(F.col("l_orderkey").cast("string"), bucket_chars)
+    maxed = (
+        li.select(bucket.alias("bucket"), rho.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mx"))
+    )
+    ex = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return hll_finalize(spark, maxed, 16**bucket_chars, ex)
 
 
 _KMV_KEY_SQL = "CAST(l_orderkey AS VARCHAR)"

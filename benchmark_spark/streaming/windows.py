@@ -1022,3 +1022,55 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_done(q)
     return spark.table(sink).orderBy("event_type", "day")
+
+
+from benchmark_spark.operators.sketches import _hll_oracle as _hll_oracle_sql
+
+
+@register(
+    "q_stream_hll",
+    oracle=_hll_oracle_sql("CAST(user_id AS VARCHAR)", "events"),
+    doc=(
+        "STREAMING HYPERLOGLOG (round 11) — the register-merge "
+        "property q_hll_sketch's docstring claims, demonstrated as a "
+        "real stream: each of the 4 micro-batches folds its events' "
+        "user_id (bucket, rho) pairs into a complete-mode "
+        "groupBy(bucket).max(rho) — 256 rows of state TOTAL, "
+        "regardless of stream length, because MAX is commutative, "
+        "associative, AND idempotent (replays cannot corrupt a "
+        "register; this is why HLL is the sketch streaming engines "
+        "actually ship). The sink's final register table feeds the "
+        "same finalize stage as the batch query, so the streaming "
+        "estimate hash-matches the batch oracle exactly — "
+        "streaming-to-batch convergence on the SKETCH itself, not "
+        "just on counts. At 100 TB the same 256-long state rides "
+        "update-mode into a dashboard: a distinct-count-so-far that "
+        "never shuffles distinct values."
+    ),
+    tags=("extension", "streaming", "sketch"),
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.operators.sketches import hll_bucket_rho, hll_finalize
+
+    stream = events_stream_chunks(spark, sf_dir)
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    regs = (
+        stream.select(bucket.alias("bucket"), rho.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mx"))
+    )
+    sink = f"hll_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    maxed = spark.table(sink)
+    ex = load_table(spark, sf_dir, "events", assert_schema=False).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return hll_finalize(spark, maxed, 256, ex)

@@ -63,6 +63,8 @@ DEFERRED_R6 = {
     "q_ppr_seed_expand",
     # ...and one more for q_stream_ewma:
     "q_pit_join",
+    # ...and one more for q_stream_hll:
+    "q_latest_snapshot",
 }
 
 

@@ -817,3 +817,34 @@ def test_stream_ewma_state_is_bounded_and_matches_batch(spark):
     stream_map = {(r["event_type"], r["day"]): r["resid_scaled"] for r in rows}
     for b in batch:
         assert stream_map[(b["event_type"], b["day"])] == b["resid_scaled"]
+
+
+def test_stream_hll_register_merge_equals_batch(spark):
+    """The streaming 4-micro-batch register merge yields the exact
+    register table (and hence estimate) a single batch pass computes:
+    MAX is order- and replay-insensitive, so chunked arrival cannot
+    change any register."""
+    from pyspark.sql import functions as F
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.operators.sketches import hll_bucket_rho
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_stream_hll"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_registers"] for r in rows) == 256
+    events = load_table(spark, "/root/testdata/sf0.001", "events", assert_schema=False)
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    batch_regs = (
+        events.select(bucket.alias("bucket"), rho.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mx"))
+        .collect()
+    )
+    batch_hist = {}
+    seen = set()
+    for r in batch_regs:
+        batch_hist[r["mx"]] = batch_hist.get(r["mx"], 0) + 1
+        seen.add(r["bucket"])
+    batch_hist[0] = batch_hist.get(0, 0) + 256 - len(seen)
+    assert {r["rho"]: r["n_registers"] for r in rows} == batch_hist
+    assert rows[0]["exact_distinct"] == events.select("user_id").distinct().count()
