@@ -95,7 +95,13 @@ _PRIORITY = (
     # label-propagation communities, the Benford first-digit audit,
     # MMR re-ranking, video scene-cut detection, the Python
     # DataSource write path, PSI and binned-KS drift monitors, the
-    # hashing-trick featurizer, and the zero-copy txlog clone), and
+    # hashing-trick featurizer, the zero-copy txlog clone, and — the
+    # second r11 session — the sketch/curation tier: from-scratch
+    # HyperLogLog + its streaming register-merge twin, the KMV/theta
+    # sketch, the Bloom semi-join reduction, EWMA anomaly detection +
+    # its applyInPandasWithState streaming twin, MAD robust outliers,
+    # the greedy k-center coreset, grid-bucketed DBSCAN, the held-out
+    # perplexity filter, and the vocabulary-coverage audit), and
     # the seven rows REWRITTEN in
     # round 11, whose old driver evidence validated a different query:
     # q_bpe_train/q_bpe_encode (K raised 8->32, VERDICT r10 #3),
