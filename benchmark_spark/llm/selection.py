@@ -299,3 +299,175 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- Random sign projection (round 11) --------------------------------
+_RP_OUT = 16  # projected dimensions (64 -> 16)
+_RP_PAIRS = 64  # anchor pairs measured: (0, k) for k in 1.._RP_PAIRS
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+        WITH signs AS MATERIALIZED (
+            SELECT j, i,
+                   1 - 2 * (CAST('0x' || substring(
+                       md5('rp' || CAST(j AS VARCHAR) || '_'
+                                 || CAST(i AS VARCHAR)), 1, 1) AS BIGINT) % 2)
+                       AS s
+            FROM (SELECT unnest(range(0, {_RP_OUT})) AS j),
+                 (SELECT unnest(range(0, 64)) AS i)
+        ),
+        xm AS MATERIALIZED (
+            SELECT vec_id, i.i AS i,
+                   CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS x
+            FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+            WHERE vec_id <= {_RP_PAIRS}
+        ),
+        proj AS MATERIALIZED (
+            SELECT xm.vec_id, sg.j, SUM(xm.x * sg.s) AS y
+            FROM xm JOIN signs sg USING (i)
+            GROUP BY xm.vec_id, sg.j
+        ),
+        d16 AS (
+            SELECT a.vec_id, SUM((a.y - b.y) * (a.y - b.y)) AS d16_sq
+            FROM proj a JOIN proj b ON a.j = b.j AND b.vec_id = 0
+            WHERE a.vec_id <> 0
+            GROUP BY a.vec_id
+        ),
+        d64 AS (
+            SELECT a.vec_id, SUM((a.x - b.x) * (a.x - b.x)) AS d64_sq
+            FROM xm a JOIN xm b ON a.i = b.i AND b.vec_id = 0
+            WHERE a.vec_id <> 0
+            GROUP BY a.vec_id
+        ),
+        pairs AS (
+            SELECT d64.vec_id, CAST(d64.d64_sq AS BIGINT) AS d64_sq,
+                   CAST(d16.d16_sq AS BIGINT) AS d16_sq,
+                   (floor(CAST(d16.d16_sq AS DOUBLE)
+                          / ({_RP_OUT} * CAST(d64.d64_sq AS DOUBLE))
+                          * 100 * 10000 + 0.5) / 10000) AS ratio_pct
+            FROM d64 JOIN d16 USING (vec_id)
+        )
+        SELECT vec_id, d64_sq, d16_sq, ratio_pct,
+               (CAST(SUM(CAST(round(ratio_pct * 10000, 0) AS BIGINT))
+                     OVER () AS DOUBLE) / (10000 * {_RP_PAIRS}))
+                   AS avg_ratio_pct
+        FROM pairs
+        ORDER BY vec_id
+    """,
+    doc=(
+        "RANDOM SIGN PROJECTION (round 11) — the Johnson-"
+        "Lindenstrauss / Achlioptas-2003 dimensionality reduction "
+        "that precedes ANN at scale: project 64-dim embeddings to "
+        "16 dims through a +/-1 sign matrix and MEASURE the distance "
+        "distortion on 64 anchor pairs (E[||Rx||^2] = 16 ||x||^2 for "
+        "a sign matrix, so ratio_pct = d16^2 / (16 * d64^2) * 100 "
+        "should straddle 100%). The sign matrix is DERIVED IN-ENGINE "
+        "on both sides — s(j,i) = 1 - 2*(first md5 hex nibble of "
+        "'rp{j}_{i}' mod 2) — so no literal matrix ships in either "
+        "plan and the projection replays bit-identically: projected "
+        "coordinates are exact BIGINT sums of micro-int products. "
+        "Plan: the 1024-entry sign table broadcasts onto the "
+        "posexploded coordinates (one groupBy(vec_id, j) shuffle of "
+        "16 rows per vector); per-pair distortion snaps to 4dp fixed "
+        "point and the cross-pair mean is an order-independent "
+        "fixed-point window sum. At 100 TB this is the standard "
+        "pre-ANN bandwidth cut: 4x fewer bytes per vector into "
+        "IVF/LSH while pairwise ordering survives within the "
+        "measured distortion band."
+    ),
+    tags=("extension", "similarity"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    signs = (
+        spark.range(_RP_OUT)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("i")))
+        .select(
+            "j",
+            "i",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("rp"),
+                                    F.col("j").cast("string"),
+                                    F.lit("_"),
+                                    F.col("i").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)  # 1024 rows, broadcast onto coordinates
+    )
+    xm = (
+        emb.where(F.col("vec_id") <= _RP_PAIRS)
+        .select("vec_id", F.posexplode("embedding").alias("i", "xe"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("xe").cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=True)  # reused: projection + exact d64
+    )
+    proj = (
+        xm.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("y"))
+        .localCheckpoint(eager=True)  # reused: both sides of the d16 join
+    )
+    p0 = proj.where(F.col("vec_id") == 0).select("j", F.col("y").alias("y0"))
+    d16 = (
+        proj.where(F.col("vec_id") != 0)
+        .join(F.broadcast(p0), "j")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("y") - F.col("y0")) * (F.col("y") - F.col("y0"))).alias("d16_sq"))
+    )
+    x0 = xm.where(F.col("vec_id") == 0).select("i", F.col("x").alias("x0"))
+    d64 = (
+        xm.where(F.col("vec_id") != 0)
+        .join(F.broadcast(x0), "i")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0"))).alias("d64_sq"))
+    )
+    ratio = F.floor(
+        F.col("d16_sq").cast("double")
+        / (F.lit(float(_RP_OUT)) * F.col("d64_sq").cast("double"))
+        * 100
+        * 10000
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    from pyspark.sql import Window as W
+
+    pairs = d64.join(d16, "vec_id").select(
+        "vec_id",
+        F.col("d64_sq").cast("long").alias("d64_sq"),
+        F.col("d16_sq").cast("long").alias("d16_sq"),
+        ratio.alias("ratio_pct"),
+    )
+    avg = (
+        F.sum(F.round(F.col("ratio_pct") * 10000, 0).cast("long")).over(
+            W.partitionBy()
+        )
+        / F.lit(float(10000 * _RP_PAIRS))
+    ).cast("double")
+    return pairs.select(
+        "vec_id", "d64_sq", "d16_sq", "ratio_pct", avg.alias("avg_ratio_pct")
+    ).orderBy("vec_id")

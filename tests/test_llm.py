@@ -919,3 +919,46 @@ def test_rrf_fusion_is_rank_consistent(spark):
     assert fps == sorted(fps, reverse=True)
     both = [r for r in rows if r["rank_lex"] > 0 and r["rank_vec"] > 0]
     assert both, "top-10 should contain at least one doc ranked by both lists"
+
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark):
+    """The in-engine md5-derived sign matrix and projected distances
+    equal a numpy/hashlib replay, and the mean distortion ratio sits
+    near 100% (JL: E[d16^2] = 16 * d64^2 for a sign matrix)."""
+    import hashlib
+
+    import numpy as np
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_random_projection"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings", assert_schema=False)
+        .where("vec_id <= 64")
+        .orderBy("vec_id")
+        .collect()
+    )
+    xm = np.floor(
+        np.array([r["embedding"] for r in emb], dtype="float64") * 1e6 + 0.5
+    ).astype("int64")
+    signs = np.array(
+        [
+            [
+                1 - 2 * (int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[0], 16) % 2)
+                for i in range(64)
+            ]
+            for j in range(16)
+        ],
+        dtype="int64",
+    )
+    proj = xm @ signs.T
+    d16 = ((proj[1:] - proj[0]) ** 2).sum(axis=1)
+    d64 = ((xm[1:] - xm[0]) ** 2).sum(axis=1)
+    got = {r["vec_id"]: (r["d64_sq"], r["d16_sq"]) for r in rows}
+    ids = [r["vec_id"] for r in emb][1:]
+    for n, v in enumerate(ids):
+        assert got[v] == (int(d64[n]), int(d16[n]))
+    assert 60 <= rows[0]["avg_ratio_pct"] <= 140  # JL band at 16 dims
+    assert all(abs(r["avg_ratio_pct"] - rows[0]["avg_ratio_pct"]) < 1e-9 for r in rows)

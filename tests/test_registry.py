@@ -67,6 +67,8 @@ DEFERRED_R6 = {
     "q_latest_snapshot",
     # ...and one more for q_rrf_fusion:
     "q_k_anonymity",
+    # ...and one more for q_random_projection:
+    "q_graph_reachability",
 }
 
 
