@@ -428,16 +428,37 @@ def _band_selects(bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> str
 # (measured: same query >540 s with the fan-out CTEs materialized vs
 # 206 s fully inlined at sf0.1, where the recomputed shingle
 # explosion costs only ~3 s per extra reader).
-def _lsh_ctes(
-    shingle_select: str, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
-) -> str:
-    return f"""corpus AS (
+_DOUBLED_CORPUS_SQL = """
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
                array_to_string(list_slice(string_split(text, ' '), 1,
                    greatest(len(string_split(text, ' ')) - 1, 1)), ' ') AS text
         FROM documents
+    """
+
+# Snippet corpus: each doc's FIRST HALF planted as a separate document
+# (doc_id + 1M) — containment(snippet, original) ~= 1.0 while Jaccard
+# sits near 0.5, the doc-in-doc case a Jaccard threshold misses.
+_SNIPPET_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                   greatest(CAST(ceil(len(string_split(text, ' ')) * 1.0 / 2)
+                                 AS BIGINT), 3)), ' ') AS text
+        FROM documents
+    """
+
+
+def _lsh_ctes(
+    shingle_select: str,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    corpus_sql: str = _DOUBLED_CORPUS_SQL,
+) -> str:
+    return f"""corpus AS (
+        {corpus_sql}
     ),
     sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
@@ -1201,4 +1222,99 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup").cast("long").alias("n_dup"),
         rnd(frac, 4).alias("frac_dup"),
         (frac > 0.5).cast("long").alias("heavy"),
+    )
+
+
+# --- Containment dedup (round 11) -------------------------------------
+_CONTAINMENT_TAU = 0.9  # max-direction containment cut
+_CONTAINMENT_ORACLE = f"""WITH {_lsh_ctes(_WORD_SHINGLE_SELECT,
+                                          corpus_sql=_SNIPPET_CORPUS_SQL)}
+    SELECT a_id, b_id,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(isect AS BIGINT) AS n_common,
+           {rnd_sql("isect * 1.0 / (na + nb - isect)", 4)} AS jaccard,
+           {rnd_sql("isect * 1.0 / least(na, nb)", 4)} AS containment,
+           CAST(CASE WHEN isect * 1.0 / (na + nb - isect) < 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS jaccard_missed
+    FROM inter
+    WHERE isect * 1.0 / least(na, nb) >= {_CONTAINMENT_TAU}
+"""
+
+
+def snippet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a FIRST-HALF snippet copy of each (id offset 1M):
+    a planted doc-in-doc corpus where the snippet's shingles are
+    (almost) all contained in its source, but Jaccard hovers near the
+    0.5 threshold — the asymmetric case containment dedup exists for."""
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.split("text", " ")
+    half = F.greatest(F.ceil(F.size(toks) * 1.0 / 2).cast("int"), F.lit(3))
+    snippets = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, half)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        snippets
+    )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    doc=(
+        "CONTAINMENT DEDUP (round 11) — the doc-in-doc detector: "
+        "Jaccard treats a snippet quoted inside a larger document as "
+        "DISSIMILAR (|A intersect B| / |A union B| shrinks with the "
+        "size gap), so symmetric near-dup passes keep exactly the "
+        "redundant fragments a containment cut C = |A intersect B| / "
+        "min(|A|, |B|) >= 0.9 catches. The planted corpus makes the "
+        "asymmetry measurable: each doc's first half rides along as "
+        "its own document, giving C ~= 1.0 at Jaccard ~= 0.5 — the "
+        "jaccard_missed output column counts the pairs a 0.5 Jaccard "
+        "threshold would have kept. Same scale shape as "
+        "q_dedup_minhash (one shingle pass, 16 affine signatures, "
+        "8x2 band bucket join, exact array-intersect verify on "
+        "candidates only) — candidate RECALL is still governed by "
+        "the Jaccard-tuned bands (P ~ 1-(1-J^2)^8 ~ 0.87 at J=0.47), "
+        "which is the documented production caveat: containment-"
+        "oriented LSH re-bands against the SMALLER set's signature "
+        "(or uses q_chargram_minhash's char grams) when snippets "
+        "shrink further. All comparisons are integer counts and "
+        "4dp floor-snapped ratios; the oracle replays the entire "
+        "pipeline including the planted-snippet corpus."
+    ),
+    tags=("extension", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = snippet_corpus(spark, sf_dir)
+    sh = shingles(corpus)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    lists = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shset"))
+    la, lb = lists.alias("la"), lists.alias("lb")
+    width = cand.sparkSession.sparkContext.defaultParallelism
+    isect = F.size(F.array_intersect(F.col("la.shset"), F.col("lb.shset")))
+    na, nb = F.size(F.col("la.shset")), F.size(F.col("lb.shset"))
+    return (
+        cand.repartition(width, "a_id", "b_id")  # CPU-bound verify fan-out
+        .join(la, F.col("la.doc_id") == F.col("a_id"))
+        .join(lb, F.col("lb.doc_id") == F.col("b_id"))
+        # filter on the RAW ratio exactly like the oracle's WHERE —
+        # cutting on the rounded column would flip pairs whose raw
+        # containment rounds up across the threshold
+        .where(isect * 1.0 / F.least(na, nb) >= _CONTAINMENT_TAU)
+        .select(
+            "a_id",
+            "b_id",
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            isect.cast("long").alias("n_common"),
+            rnd(isect * 1.0 / (na + nb - isect), 4).alias("jaccard"),
+            rnd(isect * 1.0 / F.least(na, nb), 4).alias("containment"),
+            (isect * 1.0 / (na + nb - isect) < 0.5).cast("long").alias("jaccard_missed"),
+        )
     )

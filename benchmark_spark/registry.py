@@ -111,8 +111,8 @@ _PRIORITY = (
     # re-rank, same advice), and q_jaccard_chargram/q_jaccard_pairs
     # (fixtures capped to one doc_id residue class, VERDICT r10 #2).
     # Tier B (5): the documented r5-evidence deferrals of the r10 cut.
-    # Tier C (8 of 49): the r6-evidence tier, oldest remaining; the
-    # 41 deferred rows (window holds 37 + 5 + 49 > 50) are simple
+    # Tier C (7 of 49): the r6-evidence tier, oldest remaining; the
+    # 42 deferred rows (window holds 38 + 5 + 49 > 50) are simple
     # scalar/window/demo queries unchanged since r6 and gate-green
     # every round — listed in tests/test_registry.py DEFERRED_R6 and
     # first in line for the r12 cut. After CORRECTNESS_r11 the oldest
@@ -132,6 +132,7 @@ _PRIORITY = (
     "q_ewma_anomaly", "q_mad_outliers", "q_coreset_kcenter",
     "q_perplexity_filter", "q_vocab_coverage", "q_dbscan_grid",
     "q_stream_ewma", "q_stream_hll", "q_rrf_fusion", "q_random_projection",
+    "q_dedup_containment",
     "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_progressive",
     "q_hybrid_search", "q_knn_sq8",
     "q_jaccard_chargram", "q_jaccard_pairs",
@@ -142,7 +143,7 @@ _PRIORITY = (
     "q_attribution",
     "q_conversion_lag", "q_corrupt_ingest",
     "q_dq_checks", "q_equidepth_hist", "q_equidepth_twophase",
-    "q_event_transitions", "q_fuzzy_join",
+    "q_event_transitions",
 )
 
 

@@ -962,3 +962,25 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
         assert got[v] == (int(d64[n]), int(d16[n]))
     assert 60 <= rows[0]["avg_ratio_pct"] <= 140  # JL band at 16 dims
     assert all(abs(r["avg_ratio_pct"] - rows[0]["avg_ratio_pct"]) < 1e-9 for r in rows)
+
+
+def test_containment_catches_planted_snippets_jaccard_misses(spark):
+    """Every emitted pair has containment >= 0.9; the planted
+    (snippet, source) pairs that surface carry containment ~1.0; and
+    at least some of them sit BELOW the 0.5 Jaccard cut (the whole
+    point: jaccard_missed = 1 rows exist and are consistent)."""
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_dedup_containment"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    planted = [r for r in rows if abs(r["a_id"] - r["b_id"]) == 1_000_000]
+    assert planted, "no planted snippet pair surfaced through the bands"
+    for r in rows:
+        assert r["containment"] >= 0.9
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard_missed"] == (1 if r["jaccard"] < 0.5 else 0)
+    assert any(r["jaccard_missed"] == 1 for r in planted), (
+        "planted snippets should include pairs a Jaccard threshold keeps"
+    )
+    for r in planted:
+        assert r["containment"] >= 0.97  # snippet shingles ~all contained

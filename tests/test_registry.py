@@ -69,6 +69,8 @@ DEFERRED_R6 = {
     "q_k_anonymity",
     # ...and one more for q_random_projection:
     "q_graph_reachability",
+    # ...and one more for q_dedup_containment:
+    "q_fuzzy_join",
 }
 
 
