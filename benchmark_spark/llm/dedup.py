@@ -368,11 +368,24 @@ def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
     verify ran in a single task (measured 627 s; 32-way it's ~20 s).
     Byte-based partition sizing is the wrong cost model whenever
     per-row CPU dominates; pin the fan-out by hand."""
+    scored = candidate_overlap(sh, cand)
+    jac = F.col("isect") / (F.col("na") + F.col("nb") - F.col("isect"))
+    return scored.filter(jac >= threshold).select(
+        "a_id", "b_id", rnd(jac, 4).alias("jaccard")
+    )
+
+
+def candidate_overlap(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact shingle-overlap counts (a_id, b_id, isect, na, nb) for a
+    candidate pair set — the shared verification scaffolding behind
+    verify_jaccard and q_dedup_containment; see verify_jaccard's
+    docstring for why the array-collapse and the explicit repartition
+    are both load-bearing."""
     lists = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shset"))
     la = lists.alias("la")
     lb = lists.alias("lb")
     width = cand.sparkSession.sparkContext.defaultParallelism
-    scored = (
+    return (
         cand.repartition(width, "a_id", "b_id")
         .join(la, F.col("la.doc_id") == F.col("a_id"))
         .join(lb, F.col("lb.doc_id") == F.col("b_id"))
@@ -383,10 +396,6 @@ def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
             F.size("la.shset").alias("na"),
             F.size("lb.shset").alias("nb"),
         )
-    )
-    jac = F.col("isect") / (F.col("na") + F.col("nb") - F.col("isect"))
-    return scored.filter(jac >= threshold).select(
-        "a_id", "b_id", rnd(jac, 4).alias("jaccard")
     )
 
 
@@ -1294,15 +1303,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(corpus)
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig)
-    lists = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shset"))
-    la, lb = lists.alias("la"), lists.alias("lb")
-    width = cand.sparkSession.sparkContext.defaultParallelism
-    isect = F.size(F.array_intersect(F.col("la.shset"), F.col("lb.shset")))
-    na, nb = F.size(F.col("la.shset")), F.size(F.col("lb.shset"))
+    scored = candidate_overlap(sh, cand)  # shared verify scaffolding
+    isect, na, nb = F.col("isect"), F.col("na"), F.col("nb")
     return (
-        cand.repartition(width, "a_id", "b_id")  # CPU-bound verify fan-out
-        .join(la, F.col("la.doc_id") == F.col("a_id"))
-        .join(lb, F.col("lb.doc_id") == F.col("b_id"))
+        scored
         # filter on the RAW ratio exactly like the oracle's WHERE —
         # cutting on the rounded column would flip pairs whose raw
         # containment rounds up across the threshold

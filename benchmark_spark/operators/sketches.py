@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
-from benchmark_spark.operators.aggregates import rnd, rnd_sql
+from benchmark_spark.operators.aggregates import dsum, dsum_sql, rnd, rnd_sql
 from benchmark_spark.registry import register
 
 # --- HLL parameters -------------------------------------------------
@@ -276,10 +276,10 @@ _KMV_KEY_SQL = "CAST(l_orderkey AS VARCHAR)"
             FROM lineitem WHERE l_returnflag IN ('A', 'R')
         ),
         kth_a AS (SELECT MAX(h) AS kth FROM (
-            SELECT h FROM (SELECT DISTINCT h FROM keys WHERE seg = 'A')
+            SELECT h FROM keys WHERE seg = 'A'
             ORDER BY h LIMIT {_KMV_K})),
         kth_b AS (SELECT MAX(h) AS kth FROM (
-            SELECT h FROM (SELECT DISTINCT h FROM keys WHERE seg = 'R')
+            SELECT h FROM keys WHERE seg = 'R'
             ORDER BY h LIMIT {_KMV_K})),
         kth_u AS (SELECT MAX(h) AS kth FROM (
             SELECT h FROM (SELECT DISTINCT h FROM keys)
@@ -356,10 +356,15 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kth(df: DataFrame, dedup: bool = False) -> DataFrame:
-        # keys is already distinct on (seg, h), so a single-segment
-        # slice is h-distinct for free; only the union re-dedups
-        # (the same key appears under both flags). Saves 2 exchanges
-        # (plan advisor, round 11).
+        # keys is distinct on (seg, h, k): within a segment, duplicate
+        # h values can exist only as 60-bit hash COLLISIONS of two
+        # keys (~2^-60 per pair). Both engines rank the identical
+        # multiset (the oracle's segment CTEs carry no inner
+        # DISTINCT), so a collision shifts kth identically on both
+        # sides — estimator parity by construction, and skipping the
+        # per-segment dedup saves 2 exchanges (plan advisor, round
+        # 11). Only the union re-dedups: the SAME key legitimately
+        # appears under both flags there.
         h = df.select("h").distinct() if dedup else df.select("h")
         return h.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("kth"))
 
@@ -476,7 +481,7 @@ def q_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         " - (SELECT COUNT(*) FROM matched) AS DOUBLE)"
                         " / ((SELECT COUNT(*) FROM probe)"
                         " - (SELECT COUNT(*) FROM matched))", 6)} END AS fp_rate,
-               (SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2)
+               (SELECT {dsum_sql("l_extendedprice * (1 - l_discount)", 2)}
                 FROM matched) AS revenue
     """,
     doc=(
@@ -548,9 +553,8 @@ def bloom_join_stats(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
     pass_n = passed.agg(F.count("*").alias("bloom_pass"))
     match_agg = matched.agg(
         F.count("*").alias("true_match"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        # dsum, not a double SUM: partial-agg order must not move cents
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
     )
     return (
         probe_n.crossJoin(F.broadcast(bits_n))

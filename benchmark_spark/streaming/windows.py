@@ -985,6 +985,18 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = pd.concat(list(pdf_iter))
         out = []
         daily = batch.groupby("day")["cents"].sum().sort_index()
+        # The fold is only correct if batches arrive in event-time
+        # order and no buffered day recurs. events_stream_chunks
+        # splits on day-of-MONTH, which orders batches by time only
+        # while the fixture spans a single month (it does: 30 days of
+        # 2024-01). Corrupting the buffer silently would be worse
+        # than failing the stream, so guard the assumption loudly.
+        if len(days) and len(daily) and daily.index[0] <= days[-1]:
+            raise ValueError(
+                f"out-of-order day {daily.index[0]} after {days[-1]}: "
+                "micro-batch split is not event-time-ordered "
+                "(multi-month fixture?) — EWMA state would corrupt"
+            )
         for day, y in daily.items():
             y = int(y)
             if len(ys) >= lags:

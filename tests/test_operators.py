@@ -112,11 +112,13 @@ def test_bloom_join_is_exact_after_rerank(spark):
     n = row["bits_set"] / 2  # ~keys; each key sets <= 2 bits
     bound = (1 - math.exp(-2 * n * 2 / (1 << 17))) ** 2
     assert row["fp_rate"] <= max(4 * bound, 0.01)
+    from benchmark_spark.operators.aggregates import dsum
+
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     plain = (
         li.join(orders.where(F.col("o_totalprice") > 489000.0), li.l_orderkey == orders.o_orderkey)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"))
         .collect()[0]["rev"]
     )
     assert row["revenue"] == plain

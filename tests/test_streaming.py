@@ -845,6 +845,7 @@ def test_stream_hll_register_merge_equals_batch(spark):
     for r in batch_regs:
         batch_hist[r["mx"]] = batch_hist.get(r["mx"], 0) + 1
         seen.add(r["bucket"])
-    batch_hist[0] = batch_hist.get(0, 0) + 256 - len(seen)
+    if len(seen) < 256:  # only unhit buckets produce rho=0 rows
+        batch_hist[0] = batch_hist.get(0, 0) + 256 - len(seen)
     assert {r["rho"]: r["n_registers"] for r in rows} == batch_hist
     assert rows[0]["exact_distinct"] == events.select("user_id").distinct().count()
