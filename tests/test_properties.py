@@ -493,3 +493,26 @@ def test_hll_rho_matches_hashlib_bit_scan(spark, keys):
         w_py = int(hx[2:15], 16)
         rho_py = 53 if w_py == 0 else 52 - w_py.bit_length() + 1
         assert got[k] == (bucket, rho_py)
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=8, max_size=40, unique=True))
+@_SETTINGS
+def test_kmv_kth_matches_hashlib_ranking(spark, keys):
+    """The engine's k-smallest-hash selection (orderBy + limit + max)
+    equals a hashlib recomputation of the same 60-bit portable hash
+    ranking, for arbitrary integer key sets."""
+    import hashlib
+
+    from benchmark_spark.operators.sketches import _hash60
+
+    k = 8
+    df = spark.createDataFrame([(x,) for x in keys], ["key"])
+    got = (
+        df.select(_hash60(F.col("key").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth"))
+        .first()["kth"]
+    )
+    ranks = sorted(int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) for x in keys)
+    assert got == ranks[min(k, len(keys)) - 1]
