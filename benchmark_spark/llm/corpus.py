@@ -28,6 +28,7 @@ from benchmark_spark.catalog import load_table
 from benchmark_spark.llm.dedup import (
     _MINHASH_CTES,
     _MINHASH_FINAL,
+    CC_LABELS_SQL,
     connected_components,
     doubled_corpus,
     q_dedup_minhash,
@@ -212,22 +213,14 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-doc cluster label over the planted-near-dup corpus: every doc of
 # the doubled corpus labeled with min reachable doc_id (singletons keep
-# their own id). Shares the recursive-closure CTEs with q_dedup_clusters.
+# their own id). Shares the UNROLLED min-label/pointer-jump CTEs with
+# q_dedup_clusters (dedup.CC_LABELS_SQL — round 12 replaced the
+# recursive transitive closure, which billed 73 + 61 s of oracle time
+# here and in q_leakage_split; same fixpoint, hash unchanged).
 _LABELS_CTES = f"""
-    WITH RECURSIVE {_MINHASH_CTES},
-    pairs AS ({_MINHASH_FINAL}),
-    nodes AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
-    sym AS (
-        SELECT a_id AS src, b_id AS dst FROM pairs
-        UNION SELECT b_id, a_id FROM pairs
-        UNION SELECT doc_id, doc_id FROM nodes
-    ),
-    reach(node, lab) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst
-    ),
-    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    WITH {_MINHASH_CTES},
+    pairs AS MATERIALIZED ({_MINHASH_FINAL}),
+    {CC_LABELS_SQL},
     members AS (
         SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS rep
         FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id

@@ -39,6 +39,38 @@ def test_cc_nonconvergence_raises_instead_of_returning(spark):
         connected_components(_chain_edges(spark, 15), max_iters=2)
 
 
+def _cc_oracle_labels(hops, unroll):
+    """Run the round-12 UNROLLED oracle CTE chain (dedup._cc_labels_sql,
+    the recursive-closure replacement) on a planted path graph."""
+    import duckdb
+
+    from benchmark_spark.llm.dedup import _cc_labels_sql
+
+    edges = ", ".join(f"({i}, {i + 1})" for i in range(hops))
+    sql = (
+        f"WITH pairs AS (SELECT * FROM (VALUES {edges}) AS t(a_id, b_id)),\n"
+        f"{_cc_labels_sql(unroll)}\n"
+        "SELECT node, cluster_id FROM labels ORDER BY node"
+    )
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_cc_oracle_unroll_resolves_chain_in_log_rounds():
+    # Same 15-hop worst case as the Spark twin: l0 + 4 prop/jump
+    # rounds suffice; the committed depth (6) has headroom.
+    assert _cc_oracle_labels(15, 4) == [(i, 0) for i in range(16)]
+
+
+def test_cc_oracle_unroll_guard_errors_instead_of_wrong_fixpoint():
+    # Under-unrolled (depth 1 covers diameter ~2-3, the chain needs
+    # 15): the convergence probe must raise via error(), never hash a
+    # non-fixpoint labeling.
+    import duckdb
+
+    with pytest.raises(duckdb.Error, match="did not reach the fixpoint"):
+        _cc_oracle_labels(15, 1)
+
+
 def test_approx_stats_bounds_hold(spark):
     rows = q_approx_stats_bounded(spark, SF_SMOKE).collect()
     assert rows
