@@ -1111,17 +1111,20 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             CROSS JOIN unk u
             GROUP BY t.doc_id
         ),
-        cut AS (
-            SELECT quantile_cont(avg_nll, 0.95) AS hi FROM scored
+        ranked AS (
+            SELECT doc_id, n_tokens, oov_cnt, avg_nll,
+                   row_number() OVER (ORDER BY avg_nll, doc_id) AS rk,
+                   COUNT(*) OVER () AS n_docs
+            FROM scored
         )
-        SELECT s.doc_id,
-               CAST(s.n_tokens AS BIGINT) AS n_tokens,
-               CAST(s.oov_cnt AS BIGINT) AS oov_cnt,
-               s.avg_nll,
-               CAST(CASE WHEN s.avg_nll <= c.hi THEN 1 ELSE 0 END AS BIGINT)
-                   AS kept
-        FROM scored s CROSS JOIN cut c
-        ORDER BY s.doc_id
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(oov_cnt AS BIGINT) AS oov_cnt,
+               avg_nll,
+               CAST(CASE WHEN 100 * rk <= 95 * n_docs THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM ranked
+        ORDER BY doc_id
     """,
     doc=(
         "PERPLEXITY FILTER (round 11) — the CCNet-shaped curation "
@@ -1134,14 +1137,20 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comes only from train docs and unseen tokens cost the "
         "explicit UNK surprisal -ln(1/(N+V)) (emitted per doc as "
         "oov_cnt). Per-token surprisals snap to 6dp fixed point and "
-        "sum through dsum, so avg_nll is engine-exact; the 95th-"
-        "percentile cutoff interpolates identical doubles on both "
-        "sides. Since perplexity = exp(avg_nll) is monotone, the "
-        "band cut happens on avg_nll directly — no engine exp() in "
-        "any compared value. Plan: vocab agg + one broadcast join "
-        "over score tokens + one percentile agg; vocab tables of "
-        "millions of rows still broadcast at 100 TB (the KenLM-"
-        "filter deployment shape)."
+        "sum through dsum, so avg_nll is engine-exact; the 95% cut "
+        "is a pure INTEGER rank verdict (ADVICE r11 #1 — Spark's "
+        "percentile() and DuckDB's quantile_cont use different "
+        "interpolation formulas, so a value-threshold cut was one "
+        "ulp from flipping on ties): kept = 100*rank <= 95*n over "
+        "(avg_nll, doc_id) order, integer-exact like q_mad_outliers. "
+        "Since perplexity = exp(avg_nll) is monotone, the rank cut "
+        "on avg_nll is the perplexity cut — no engine exp() in any "
+        "compared value. Plan: vocab agg + one broadcast join over "
+        "score tokens + one rank window over the per-doc aggregate "
+        "(tiny relative to the corpus; at true scale the same cut "
+        "ships as approx_percentile + a margin re-rank); vocab "
+        "tables of millions of rows still broadcast at 100 TB (the "
+        "KenLM-filter deployment shape)."
     ),
     tags=("extension", "text", "quality"),
 )
@@ -1173,18 +1182,23 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_nll"
             ),
         )
-    ).localCheckpoint(eager=True)  # feeds the percentile cut + the verdict
-    cut = scored.agg(F.percentile("avg_nll", 0.95).alias("hi"))
+    ).localCheckpoint(eager=True)  # feeds the rank cut + the verdict
+    w_rank = Window.orderBy("avg_nll", "doc_id")
+    w_all = Window.partitionBy()
     return (
-        scored.crossJoin(F.broadcast(cut))
-        .select(
+        scored.select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("oov_cnt").cast("long").alias("oov_cnt"),
             "avg_nll",
-            F.when(F.col("avg_nll") <= F.col("hi"), 1).otherwise(0).cast("long").alias(
-                "kept"
-            ),
+            F.when(
+                100 * F.row_number().over(w_rank)
+                <= 95 * F.count(F.lit(1)).over(w_all),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
         )
         .orderBy("doc_id")
     )

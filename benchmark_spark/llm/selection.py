@@ -352,7 +352,8 @@ _RP_PAIRS = 64  # anchor pairs measured: (0, k) for k in 1.._RP_PAIRS
         )
         SELECT vec_id, d64_sq, d16_sq, ratio_pct,
                (CAST(SUM(CAST(round(ratio_pct * 10000, 0) AS BIGINT))
-                     OVER () AS DOUBLE) / (10000 * {_RP_PAIRS}))
+                     OVER () AS DOUBLE)
+                / CAST(10000 * COUNT(*) OVER () AS DOUBLE))
                    AS avg_ratio_pct
         FROM pairs
         ORDER BY vec_id
@@ -462,11 +463,16 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d16_sq").cast("long").alias("d16_sq"),
         ratio.alias("ratio_pct"),
     )
+    # ADVICE r11 #2: divide by the ACTUAL number of emitted pairs, not
+    # the _RP_PAIRS constant — on a fixture missing some of vec_ids
+    # 1.._RP_PAIRS the constant silently understated the mean (both
+    # engines repeated the same mislabeled value, so the gate stayed
+    # green while the column lied). 10000 * count is exact in DOUBLE.
     avg = (
         F.sum(F.round(F.col("ratio_pct") * 10000, 0).cast("long")).over(
             W.partitionBy()
         )
-        / F.lit(float(10000 * _RP_PAIRS))
+        / (F.lit(10000.0) * F.count(F.lit(1)).over(W.partitionBy()).cast("double"))
     ).cast("double")
     return pairs.select(
         "vec_id", "d64_sq", "d16_sq", "ratio_pct", avg.alias("avg_ratio_pct")

@@ -818,8 +818,15 @@ def test_perplexity_filter_holdout_semantics(spark):
 
     rows = all_specs()["q_perplexity_filter"].fn(spark, "/root/testdata/sf0.001").collect()
     assert all(r["doc_id"] % 2 == 1 for r in rows)
-    dropped = [r for r in rows if r["kept"] == 0]
-    assert 0 < len(dropped) <= max(1, int(0.06 * len(rows)) + 1)
+    # round-12 rank cut (ADVICE r11 #1): the kept count is INTEGER-exact
+    # (100*rank <= 95*n), and the dropped set is exactly the rank tail
+    # under the (avg_nll, doc_id) order — no float-threshold tie risk.
+    kept = [r for r in rows if r["kept"] == 1]
+    assert len(kept) == (95 * len(rows)) // 100
+    order = sorted(rows, key=lambda r: (r["avg_nll"], r["doc_id"]))
+    assert {r["doc_id"] for r in kept} == {
+        r["doc_id"] for r in order[: (95 * len(rows)) // 100]
+    }
     docs = load_table(spark, "/root/testdata/sf0.001", "documents", assert_schema=False).collect()
     cnt = Counter()
     for d in docs:
@@ -962,6 +969,10 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
         assert got[v] == (int(d64[n]), int(d16[n]))
     assert 60 <= rows[0]["avg_ratio_pct"] <= 140  # JL band at 16 dims
     assert all(abs(r["avg_ratio_pct"] - rows[0]["avg_ratio_pct"]) < 1e-9 for r in rows)
+    # ADVICE r11 #2: the mean divides by the ACTUAL emitted pair count
+    # (self-consistent with the returned rows), not a constant.
+    mean = sum(round(r["ratio_pct"] * 10000) for r in rows) / (10000.0 * len(rows))
+    assert abs(rows[0]["avg_ratio_pct"] - mean) < 1e-12
 
 
 def test_containment_catches_planted_snippets_jaccard_misses(spark):
