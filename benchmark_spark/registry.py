@@ -85,66 +85,41 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-11 re-cut (VERDICT r10 #1): finish the staleness rotation.
-    # Tier A (24): rows with NO VALID driver evidence — q_approx_stats
-    # (the only query never driver-window-proved in 10 rounds, lead
-    # slot per the verdict), the five queries new in round 11
-    # (mel/MFCC audio features, Gopher-rule quality filter, repeated
-    # n-gram span dedup, SemDeDup, and — added after the cut, same
-    # session — streaming watermark dedup, Bloom decontamination,
-    # label-propagation communities, the Benford first-digit audit,
-    # MMR re-ranking, video scene-cut detection, the Python
-    # DataSource write path, PSI and binned-KS drift monitors, the
-    # hashing-trick featurizer, the zero-copy txlog clone, and — the
-    # second r11 session — the sketch/curation tier: from-scratch
-    # HyperLogLog + its streaming register-merge twin, the KMV/theta
-    # sketch, the Bloom semi-join reduction, EWMA anomaly detection +
-    # its applyInPandasWithState streaming twin, MAD robust outliers,
-    # the greedy k-center coreset, grid-bucketed DBSCAN, the held-out
-    # perplexity filter, and the vocabulary-coverage audit), and
-    # the seven rows REWRITTEN in
-    # round 11, whose old driver evidence validated a different query:
-    # q_bpe_train/q_bpe_encode (K raised 8->32, VERDICT r10 #3),
-    # q_decode_jpeg_progressive (restart markers + rst_markers/
-    # prog_split_eq columns, VERDICT r10 #5), q_hybrid_search
-    # (fixed-point re-rank, ADVICE r10 #4), q_knn_sq8 (sequential-dot
-    # re-rank, same advice), and q_jaccard_chargram/q_jaccard_pairs
-    # (fixtures capped to one doc_id residue class, VERDICT r10 #2).
-    # Tier B (5): the documented r5-evidence deferrals of the r10 cut.
-    # Tier C (7 of 49): the r6-evidence tier, oldest remaining; the
-    # 42 deferred rows (window holds 38 + 5 + 49 > 50) are simple
-    # scalar/window/demo queries unchanged since r6 and gate-green
-    # every round — listed in tests/test_registry.py DEFERRED_R6 and
-    # first in line for the r12 cut. After CORRECTNESS_r11 the oldest
-    # evidence anywhere is r6 (those 17); everything else is r7+.
-    # Everything displaced stays checked by the local full gate
-    # (tools/check_oracle.py at sf0.01 + GATE_sf01 at 10x driver
-    # scale, fresh oracles for every rewritten fixture).
-    # --- tier A: no valid driver evidence ---
-    "q_approx_stats",
-    "q_audio_mel", "q_mfcc", "q_gopher_quality",
-    "q_ngram_span_dedup", "q_semdedup",
-    "q_stream_dedup_wm", "q_bloom_decontaminate", "q_label_propagation",
-    "q_benford", "q_mmr_rerank", "q_video_scenecut",
-    "q_python_datasink", "q_psi", "q_ks_drift", "q_feature_hash",
-    "q_txlog_clone",
-    "q_hll_sketch", "q_kmv_theta", "q_bloom_join",
-    "q_ewma_anomaly", "q_mad_outliers", "q_coreset_kcenter",
-    "q_perplexity_filter", "q_vocab_coverage", "q_dbscan_grid",
-    "q_stream_ewma", "q_stream_hll", "q_rrf_fusion", "q_random_projection",
-    "q_dedup_containment",
-    "q_bpe_train", "q_bpe_encode", "q_decode_jpeg_progressive",
-    "q_hybrid_search", "q_knn_sq8",
-    "q_jaccard_chargram", "q_jaccard_pairs",
-    # --- tier B: r5-evidence deferrals from the r10 cut ---
-    "q_big_orders", "q_mkt_share", "q_nation_volume",
-    "q_shipmode", "q_waiting_suppliers",
-    # --- tier C: r6-evidence tier (32 of 49) ---
-    "q_attribution",
-    "q_conversion_lag", "q_corrupt_ingest",
-    "q_dq_checks", "q_equidepth_hist", "q_equidepth_twophase",
-    "q_event_transitions",
+    # Round-12 re-cut (VERDICT r11 #1): the staleness rotation's next
+    # step. Tier A (2): the two queries REWRITTEN this round on
+    # ADVICE r11 — q_perplexity_filter (percentile cut -> integer rank
+    # cut) and q_random_projection (constant divisor -> COUNT(*) OVER)
+    # — whose r11 driver evidence validated a different query.
+    # Tier B (42): the ENTIRE r6-evidence tier (the DEFERRED_R6 rows of
+    # the r10/r11 cuts, gate-green every round but last driver-proved
+    # in round 6) — after CORRECTNESS_r12 the oldest driver evidence
+    # anywhere rises to r7. Tier C (6): the oldest r7-evidence rows in
+    # registry order; new queries added later this round (MJPEG video,
+    # framed MFCC, planted-cluster selection) enter the window by
+    # displacing tier-C rows back to the r13 deferral list, exactly
+    # the r11 in-session precedent. Everything displaced stays checked
+    # by the local full gate (tools/check_oracle.py at sf0.01 +
+    # GATE_sf01 at 10x driver scale).
+    # --- tier A: rewritten this round (evidence void) ---
+    "q_perplexity_filter", "q_random_projection",
+    # --- tier B: the complete r6-evidence tier ---
+    "q1_scan_mid", "q1_scan_tight", "q_ab_readout", "q_basket_lift",
+    "q_cluster_sample", "q_cross_join", "q_cusum_changepoint",
+    "q_frame", "q_full_outer", "q_fuzzy_join", "q_graph_reachability",
+    "q_grouping_id", "q_in_subquery", "q_k_anonymity", "q_kl_novelty",
+    "q_lag", "q_lateral_topn", "q_latest_snapshot", "q_limit_offset",
+    "q_ltv_curve", "q_null_pred", "q_path_trigrams", "q_pit_join",
+    "q_ppr_seed_expand", "q_pseudonymize", "q_python_datasource",
+    "q_python_stream_source", "q_range_frame", "q_rfm_segments",
+    "q_salted_hotcold", "q_skyline", "q_skyline_grid",
+    "q_snapshot_diff", "q_sql_script", "q_stream_dq",
+    "q_threshold_sweep", "q_trend_fit", "q_triangle_degree",
+    "q_udtf_poly", "q_variant", "q_weighted_sample", "q_zorder_layout",
+    # --- tier C: oldest r7-evidence rows (registry order) ---
+    "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
+    "q_broadcast_join", "q_semi",
 )
+
 
 
 def _load() -> None:

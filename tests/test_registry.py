@@ -19,58 +19,37 @@ import json
 from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
-ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
-# The round-11 cut (VERDICT r10 #1) finishes the staleness rotation:
-# 24 rows with no valid driver evidence (q_approx_stats — never
-# checked in 10 rounds — plus 16 new r11 queries and 7 r11 rewrites),
-# the 5 documented r5-evidence deferrals, and 21 of the 49 r6-tier
-# rows; no slot may hold evidence newer than this...
-WINDOW_MAX_LATEST_GREEN = 6
+ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+# The round-12 cut (VERDICT r11 #1) continues the staleness rotation:
+# the COMPLETE 42-row r6-evidence tier (every row whose latest driver
+# proof is round 6), plus the oldest r7-evidence rows to fill the
+# window; after CORRECTNESS_r12 the oldest driver evidence anywhere
+# rises to r7. No slot may hold evidence newer than this...
+WINDOW_MAX_LATEST_GREEN = 7
 # ...EXCEPT a row whose fixture/plan AND-or oracle were rewritten this
 # round: its old driver evidence validated a different query, so the
 # rewrite re-enters the window regardless of evidence age (the
 # q_apply_in_pandas precedent from the r10 cut).
 REWRITTEN_IN_WINDOW = {
-    "q_bpe_train", "q_bpe_encode",        # K raised 8 -> 32
-    "q_decode_jpeg_progressive",           # restart markers + 2 columns
-    "q_hybrid_search", "q_knn_sq8",        # deterministic re-rank
-    "q_jaccard_chargram", "q_jaccard_pairs",  # capped demo fixtures
+    "q_perplexity_filter",   # percentile cut -> integer rank cut (ADVICE r11)
+    "q_random_projection",   # mean divisor: constant -> COUNT(*) OVER ()
 }
-# Twenty-eight r6-tier rows deferred to the r12 cut because 24 + 5
-# + 49 > 50: simple scalar/window/demo queries, unchanged since r6 and
-# gate-green every round. They are the ONLY rows allowed to sit
-# outside the window at the boundary evidence age.
-DEFERRED_R6 = {
-    "q1_scan_mid", "q1_scan_tight", "q_ab_readout", "q_basket_lift",
-    "q_cluster_sample", "q_cross_join", "q_cusum_changepoint",
-    "q_frame", "q_full_outer", "q_grouping_id", "q_in_subquery",
-    "q_kl_novelty", "q_lag", "q_lateral_topn", "q_limit_offset",
-    "q_ltv_curve", "q_path_trigrams", "q_trend_fit",
-    "q_null_pred", "q_range_frame", "q_skyline", "q_skyline_grid",
-    "q_sql_script", "q_stream_dq", "q_threshold_sweep", "q_udtf_poly",
-    "q_variant", "q_weighted_sample",
-    # Displaced later in round 11 when the sketch tier (q_hll_sketch,
-    # q_kmv_theta, q_bloom_join) entered tier A — new rows must enter
-    # through the window, so three more r6-evidence rows defer to r12:
-    "q_snapshot_diff", "q_triangle_degree", "q_zorder_layout",
-    # ...and two more when q_ewma_anomaly + q_mad_outliers entered:
-    "q_rfm_segments", "q_salted_hotcold",
-    # ...and one more for q_coreset_kcenter:
-    "q_python_stream_source",
-    # ...and two more for q_perplexity_filter + q_vocab_coverage:
-    "q_pseudonymize", "q_python_datasource",
-    # ...and one more for q_dbscan_grid:
-    "q_ppr_seed_expand",
-    # ...and one more for q_stream_ewma:
-    "q_pit_join",
-    # ...and one more for q_stream_hll:
-    "q_latest_snapshot",
-    # ...and one more for q_rrf_fusion:
-    "q_k_anonymity",
-    # ...and one more for q_random_projection:
-    "q_graph_reachability",
-    # ...and one more for q_dedup_containment:
-    "q_fuzzy_join",
+# r7-evidence rows deferred to the r13 cut because the window holds
+# only 50: gate-green every round, unchanged since their r7 proof.
+# They are the ONLY rows allowed to sit outside the window at the
+# boundary evidence age.
+DEFERRED_R7 = {
+    "q4_two_step", "q_ann_ivf", "q_ann_lsh", "q_array", "q_asof",
+    "q_binary_meta", "q_cast", "q_cond", "q_curation_pipeline",
+    "q_date", "q_dedup_clusters", "q_dedup_embed_lsh", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_minhash_capped", "q_dedup_simhash",
+    "q_except", "q_except_all", "q_grouped_agg_udf", "q_hash",
+    "q_intersect", "q_intersect_all", "q_json", "q_langid", "q_math",
+    "q_multimodal_features", "q_outer", "q_pandas_udf",
+    "q_pipe_wordcount", "q_range_join", "q_rank_funcs", "q_scalar_udf",
+    "q_sliding_frame", "q_sort_multi", "q_stream_dedup", "q_string",
+    "q_textstats", "q_topk", "q_udtf", "q_union", "q_union_all",
+    "q_value_funcs",
 }
 
 
@@ -172,8 +151,8 @@ def test_rows_only_in_window_are_all_by_design():
     assert {n for n in specs if specs[n].oracle is None} == set()
 
 
-def test_deferred_r6_rows_are_exactly_the_boundary_residue():
-    """The 17 deferred rows are precisely the r6-evidence rows NOT in
+def test_deferred_r7_rows_are_exactly_the_boundary_residue():
+    """The deferred rows are precisely the r7-evidence rows NOT in
     the window — no silent extra deferral, no stale row forgotten."""
     greens = _green_rounds()
     window = set(_PRIORITY)
@@ -181,4 +160,4 @@ def test_deferred_r6_rows_are_exactly_the_boundary_residue():
         n for n in all_specs()
         if n not in window and max(greens[n]) == WINDOW_MAX_LATEST_GREEN
     }
-    assert boundary_outside == DEFERRED_R6
+    assert boundary_outside == DEFERRED_R7
