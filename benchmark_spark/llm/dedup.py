@@ -1098,7 +1098,15 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped = F.arrays_zip(*[F.slice(chars, off + 1, length) for off in range(5)])
     ex = docs.select("doc_id", "source", F.explode(zipped).alias("g"))
     gram = F.concat_ws("", *[F.col("g")[str(i)] for i in range(5)])
-    grams = ex.select("doc_id", "source", gram.alias("g")).distinct()
+    # localCheckpoint: the gram table feeds THREE consumers (both legs
+    # of the pair self-join + the per-doc sizes); without it Spark
+    # re-runs the explode/distinct per consumer — measured 3.8 -> 2.1 s
+    # at sf0.1 (round 12, VERDICT r11 #6). Results unchanged.
+    grams = (
+        ex.select("doc_id", "source", gram.alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
