@@ -115,9 +115,13 @@ _PRIORITY = (
     "q_snapshot_diff", "q_sql_script", "q_stream_dq",
     "q_threshold_sweep", "q_trend_fit", "q_triangle_degree",
     "q_udtf_poly", "q_variant", "q_weighted_sample", "q_zorder_layout",
+    # --- tier A (cont.): new in round 12, added after the cut — the
+    # MJPEG-in-AVI video tier (VERDICT r11 #3); each new row enters
+    # through the window by displacing a tier-C r7 row (q_broadcast_join,
+    # q_semi -> the r13 deferral list) ---
+    "q_video_mjpeg", "q_video_mjpeg_scenecut",
     # --- tier C: oldest r7-evidence rows (registry order) ---
     "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
-    "q_broadcast_join", "q_semi",
 )
 
 

@@ -175,3 +175,73 @@ def test_decode_queries_smoke(spark):
     vf = specs["q_video_frames"].fn(spark, SF_SMOKE)
     assert vf.count() == 1000  # 2 sampled frames per doc
     assert vf.filter("sample_id NOT IN (0, 1)").count() == 0
+
+
+# --- AVI/MJPG container (round 12) -----------------------------------------
+
+
+def _mk_avi(n_frames=3, w=16, h=16):
+    import numpy as np
+
+    from benchmark_spark.llm import jpeg
+
+    frames = [
+        jpeg.encode_jpeg(w, h, bytes(np.full((h, w, 3), 40 + 10 * f, np.uint8)), quality=90)
+        for f in range(n_frames)
+    ]
+    return frames, codecs.encode_avi_mjpeg(w, h, frames)
+
+
+def test_avi_mjpeg_roundtrip_bit_exact():
+    frames, avi = _mk_avi()
+    w, h, got = codecs.decode_avi_mjpeg(avi)
+    assert (w, h) == (16, 16)
+    assert got == frames  # byte-identical JPEG payloads back out
+
+
+def test_avi_mjpeg_frame_boundaries_word_aligned():
+    """RIFF chunks are word-aligned: an odd-length frame payload gets a
+    pad byte that must NOT leak into the returned frame bytes."""
+    import numpy as np
+
+    from benchmark_spark.llm import jpeg
+
+    f0 = jpeg.encode_jpeg(16, 16, bytes(np.full((16, 16, 3), 50, np.uint8)), quality=90)
+    odd = f0 if len(f0) % 2 == 1 else f0 + b"\xd9"  # force odd length
+    avi = codecs.encode_avi_mjpeg(16, 16, [odd, f0])
+    _w, _h, got = codecs.decode_avi_mjpeg(avi)
+    assert got[0] == odd and got[1] == f0
+    assert len(avi) % 2 == 0  # container itself stays aligned
+
+
+def test_avi_mjpeg_corrupt_index_raises():
+    import struct
+
+    _frames, avi = _mk_avi()
+    bad = bytearray(avi)
+    i = avi.index(b"idx1") + 8 + 8  # first entry's dwOffset
+    struct.pack_into("<I", bad, i, struct.unpack_from("<I", bad, i)[0] + 2)
+    with pytest.raises(ValueError, match="idx1 entry 0"):
+        codecs.decode_avi_mjpeg(bytes(bad))
+
+
+def test_avi_mjpeg_frame_count_mismatch_raises():
+    import struct
+
+    _frames, avi = _mk_avi()
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, avi.index(b"avih") + 8 + 16, 99)  # dwTotalFrames
+    with pytest.raises(ValueError, match="dwTotalFrames"):
+        codecs.decode_avi_mjpeg(bytes(bad))
+
+
+def test_avi_mjpeg_rejects_non_mjpg_stream():
+    _frames, avi = _mk_avi()
+    bad = avi.replace(b"vidsMJPG", b"vidsRAW ")
+    with pytest.raises(ValueError, match="vids/MJPG"):
+        codecs.decode_avi_mjpeg(bad)
+
+
+def test_avi_mjpeg_rejects_garbage():
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        codecs.decode_avi_mjpeg(b"\x00" * 64)
