@@ -120,8 +120,11 @@ _PRIORITY = (
     # through the window by displacing a tier-C r7 row (q_broadcast_join,
     # q_semi -> the r13 deferral list) ---
     "q_video_mjpeg", "q_video_mjpeg_scenecut",
+    # ...and the framed-MFCC audio front end (VERDICT r11 #5),
+    # displacing q_join_multi:
+    "q_mfcc_frames",
     # --- tier C: oldest r7-evidence rows (registry order) ---
-    "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
+    "q_pred_mix", "q_agg_funcs", "q_incremental_agg",
 )
 
 

@@ -770,6 +770,44 @@ def test_audio_mel_and_mfcc_agree_on_dominant_bin(spark):
         assert 0.0 <= mel[d]["mel_centroid"] <= mel[d]["n_filters"] - 1, d
 
 
+def test_mfcc_frames_framing_and_per_frame_cepstra(spark):
+    """The framed front end emits exactly n_frames rows per doc; frame
+    0's cepstrum equals the single-clip q_mfcc construction replayed at
+    the frame's tone bin, and frames with different bins get different
+    dominant bins (the framing is real, not a broadcast of one value)."""
+    import math
+
+    from benchmark_spark.llm.multimodal import (
+        _MEL_N,
+        _MFCC_FRAME_N,
+        _mel_weight,
+    )
+
+    rows = SPECS["q_mfcc_frames"].fn(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, frames in by_doc.items():
+        assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == list(
+            range(_MFCC_FRAME_N)
+        )
+        for r in frames:
+            k = 1 + (d + 7 * r["frame_idx"]) % 31
+            assert r["dom_bin"] == k, (d, r["frame_idx"])
+            # analytic replay: e_f = w_f(k) exactly (single-line frame)
+            for n in (1, 2, 3):
+                c = 0.0
+                for f in range(_MEL_N):
+                    c += math.cos(math.pi * n * (f + 0.5) / _MEL_N) * math.log(
+                        1.0 + _mel_weight(f, k)
+                    )
+                assert abs(r[f"mfcc{n}"] - math.floor(c * 1e4 + 0.5) / 1e4) <= 1e-4
+    # at least one doc must have non-constant dominant bins across frames
+    assert any(
+        len({r["dom_bin"] for r in frames}) > 1 for frames in by_doc.values()
+    )
+
+
 def test_kcenter_matches_numpy_greedy(spark):
     """The declarative farthest-point traversal reproduces the numpy
     greedy reference exactly (same seed, same int-micro quantization,
