@@ -123,8 +123,11 @@ _PRIORITY = (
     # ...and the framed-MFCC audio front end (VERDICT r11 #5),
     # displacing q_join_multi:
     "q_mfcc_frames",
+    # ...and k-center over the derived planted-cluster mixture
+    # (VERDICT r11 #4), displacing q_incremental_agg:
+    "q_kcenter_planted",
     # --- tier C: oldest r7-evidence rows (registry order) ---
-    "q_pred_mix", "q_agg_funcs", "q_incremental_agg",
+    "q_pred_mix", "q_agg_funcs",
 )
 
 

@@ -843,6 +843,51 @@ def test_kcenter_matches_numpy_greedy(spark):
     assert all(r["final_r2"] == rows[0]["final_r2"] for r in rows)
 
 
+def test_kcenter_planted_recovers_cluster_structure(spark):
+    """On the derived planted mixture the greedy traversal matches a
+    numpy replay OF THE SAME DERIVATION (fixture synthesis included),
+    and the trajectory exhibits recovery: chosen labels are distinct
+    planted clusters and every selection distance sits on the
+    cross-cluster plateau, far above the raw table's radii."""
+    import numpy as np
+
+    from benchmark_spark.catalog import load_table
+    from benchmark_spark.registry import all_specs
+
+    rows = all_specs()["q_kcenter_planted"].fn(spark, "/root/testdata/sf0.001").collect()
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings", assert_schema=False)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    raw = np.array([r["embedding"] for r in emb], dtype="float64")
+    center = np.where(
+        (ids[:, None] % 10 != 9) & (np.arange(64)[None, :] % 8 == ids[:, None] % 8),
+        1.0,
+        0.0,
+    )
+    scale = np.where(ids % 10 == 9, 1.5, 0.5)[:, None]
+    vm = np.floor((center + scale * raw) * 1e6 + 0.5).astype("int64")
+    chosen = [int(np.nonzero(ids == 0)[0][0])]
+    mind = ((vm - vm[chosen[0]]) ** 2).sum(axis=1)
+    expect = [(1, 0, 0)]
+    for t in range(2, 9):
+        best = np.lexsort((ids, -mind))[0]
+        expect.append((t, int(ids[best]), int(mind[best])))
+        mind = np.minimum(mind, ((vm - vm[best]) ** 2).sum(axis=1))
+    assert [(r["step"], r["vec_id"], r["sel_d2"]) for r in rows] == expect
+    assert rows[0]["final_r2"] == int(mind.max())
+    # recovery: labels distinct (one pick per planted cluster) and the
+    # emitted label column equals the derivation's label
+    labels = [r["label"] for r in rows]
+    assert labels == [(-1 if v % 10 == 9 else v % 8) for v in (r["vec_id"] for r in rows)]
+    assert len(set(labels)) == len(labels)
+    # every selection hop crosses clusters: d >= center separation
+    # (4.0) minus the within-cluster diameter (1.0), in micro^2 units
+    assert all(r["sel_d2"] >= int((3.0e6) ** 2) for r in rows[1:])
+
+
 def test_perplexity_filter_holdout_semantics(spark):
     """The LM never sees score docs: every scored doc_id is odd,
     exactly 5% (ceil) are dropped, and oov tokens cost the UNK
