@@ -147,6 +147,25 @@ def main() -> None:
         # 0.111 s — this is the round-over-round comparable number;
         # `value` includes host scheduling noise x len(HEADLINE).
         payload["work_sec"] = round(total - len(per_query) * floor, 4)
+    if mode in ("both", "mem"):
+        # Scale-path kNN sidecar (VERDICT r11 #7): q8_knn stays the
+        # headline correctness baseline, but its brute-force crossJoin
+        # is the one row that cannot survive 100x; the registered
+        # scale path is q_knn_ivfpq, so its number rides along here
+        # against its own BASELINE.md Tier-1 row (DuckDB full-replay
+        # median 4.21 s at sf0.1). Each trial rebuilds the WHOLE
+        # pipeline (fn() re-invoked: driver-side Lloyd training
+        # included) — the oracle replays training too, so anything
+        # less would not be the same work. Multi-second query: the
+        # scheduling floor is irrelevant, 3 trials suffice.
+        specs = all_specs()
+        specs["q_knn_ivfpq"].fn(spark, sf_dir).toPandas()  # warm-up
+        ivf_ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs["q_knn_ivfpq"].fn(spark, sf_dir).toPandas()
+            ivf_ts.append(time.perf_counter() - t0)
+        payload["ivfpq_sec"] = round(statistics.median(ivf_ts), 4)
     if disk_queries is not None:
         payload["disk_queries"] = disk_queries
         payload["disk_total"] = round(sum(disk_queries.values()), 4)
