@@ -123,11 +123,11 @@ _PRIORITY = (
     # ...and the framed-MFCC audio front end (VERDICT r11 #5),
     # displacing q_join_multi:
     "q_mfcc_frames",
-    # ...and k-center over the derived planted-cluster mixture
-    # (VERDICT r11 #4), displacing q_incremental_agg:
-    "q_kcenter_planted",
+    # ...and the planted-cluster recovery pair (VERDICT r11 #4),
+    # displacing q_incremental_agg and q_agg_funcs:
+    "q_kcenter_planted", "q_dbscan_planted",
     # --- tier C: oldest r7-evidence rows (registry order) ---
-    "q_pred_mix", "q_agg_funcs",
+    "q_pred_mix",
 )
 
 

@@ -888,6 +888,21 @@ def test_kcenter_planted_recovers_cluster_structure(spark):
     assert all(r["sel_d2"] >= int((3.0e6) ** 2) for r in rows[1:])
 
 
+def test_dbscan_planted_recovery_is_clean(spark):
+    """On the planted 2-D star layout, EVERY clustered row classifies
+    core (blob noise 0.01x is far inside eps) and every border/noise
+    row comes from the unclustered shell — the hash-checked recovery
+    claim in the q_dbscan_planted docstring."""
+    rows = SPECS["q_dbscan_planted"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == (-1 if r["vec_id"] % 10 == 9 else r["vec_id"] % 8)
+        if r["label"] >= 0:
+            assert r["cls"] == "core", r
+    shell = [r for r in rows if r["label"] == -1]
+    assert shell and any(r["cls"] == "noise" for r in shell)
+
+
 def test_perplexity_filter_holdout_semantics(spark):
     """The LM never sees score docs: every scored doc_id is odd,
     exactly 5% (ceil) are dropped, and oov tokens cost the UNK
