@@ -203,6 +203,36 @@ _PLANTED_LABEL_SQL = (
 )
 
 
+PLANTED_EMB_SQL = (
+    "SELECT vec_id, list_transform(range(0, 64), i -> "
+    "(CASE WHEN vec_id % 10 <> 9 AND i % 8 = vec_id % 8 "
+    f"THEN {_PLANTED_C} ELSE 0.0 END) + "
+    f"(CASE WHEN vec_id % 10 = 9 THEN {_PLANTED_FAR} ELSE {_PLANTED_NOISE} END) "
+    "* CAST(embedding[i + 1] AS DOUBLE)) AS v FROM embeddings"
+)
+
+PLANTED_LABEL_COL_SQL = (
+    "CAST(CASE WHEN l.vec_id % 10 = 9 THEN -1 ELSE l.vec_id % 8 END AS BIGINT)"
+)
+
+
+def planted_embedding(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>) planted mixture PRE-snap —
+    for consumers that work on raw doubles (SemDeDup's cosine tier);
+    the int-micro twin below snaps the same values."""
+    is_far = F.col("vec_id") % 10 == 9
+
+    def coord(x: Column, i: Column) -> Column:
+        center = (
+            F.when((~is_far) & (i % 8 == F.col("vec_id") % 8), F.lit(_PLANTED_C))
+            .otherwise(F.lit(0.0))
+        )
+        scale = F.when(is_far, F.lit(_PLANTED_FAR)).otherwise(F.lit(_PLANTED_NOISE))
+        return center + scale * x.cast("double")
+
+    return emb.select("vec_id", F.transform("embedding", coord).alias("embedding"))
+
+
 def planted_vm(emb: DataFrame) -> DataFrame:
     """Int-micro planted-mixture vectors derived from the embeddings
     table — the Spark twin of PLANTED_VM_SQL."""

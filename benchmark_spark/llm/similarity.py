@@ -603,8 +603,13 @@ def topk_per_anchor(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+_RAW_VECS_SQL = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+)
+
+
 def _ivf_prefix_parts(k: int = 10, rounds: int = 2, oversample: int = 20,
-                      iters: int = 2) -> list[str]:
+                      iters: int = 2, vecs_sql: str = _RAW_VECS_SQL) -> list[str]:
     """Unrolled DuckDB replay of the q_ann_ivf index BUILD (everything
     through the final `lists` (vec_id, cid) assignment) — shared by
     the IVF probe oracle and the cluster-balanced sampler oracle —
@@ -625,7 +630,7 @@ def _ivf_prefix_parts(k: int = 10, rounds: int = 2, oversample: int = 20,
     Python loop's break."""
     two60 = float(1 << 60)
     parts = [
-        "vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"vecs AS MATERIALIZED ({vecs_sql})",
         "cand0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cvec FROM vecs "
         "WHERE vec_id = (SELECT min(vec_id) FROM vecs))",
     ]
@@ -2383,8 +2388,9 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.3  # same radius as the q_dedup_embed tier
 
 
-def _semdedup_oracle() -> str:
-    parts = _ivf_prefix_parts()
+def _semdedup_oracle(vecs_sql: str = _RAW_VECS_SQL,
+                     label_sql: str | None = None) -> str:
+    parts = _ivf_prefix_parts(vecs_sql=vecs_sql)
     parts.append(
         "mem AS MATERIALIZED (SELECT l.vec_id, l.cid, v.v "
         "FROM lists l JOIN vecs v USING (vec_id))"
@@ -2394,11 +2400,12 @@ def _semdedup_oracle() -> str:
         "FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id "
         f"WHERE list_dot_product(a.v, b.v) >= {_SEMDEDUP_TAU})"
     )
+    label = f", {label_sql} AS label" if label_sql else ""
     return (
-        "WITH " + ",\n".join(parts) + """
+        "WITH " + ",\n".join(parts) + f"""
         SELECT l.vec_id, CAST(l.cid AS BIGINT) AS cid,
                CAST(CASE WHEN l.vec_id IN (SELECT b_id FROM sem_dups)
-                         THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_dup{label}
         FROM lists l
         """
     )
@@ -2429,6 +2436,13 @@ def _semdedup_oracle() -> str:
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    return _semdedup_body(spark, emb)
+
+
+def _semdedup_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """k-means partition + within-cluster cosine dup verdicts over an
+    (vec_id, embedding array<double>) frame — shared by the raw-corpus
+    query and the planted-mixture recovery variant."""
     centroids = kmeans_lite(emb, k=10, iters=2)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     lists = _assign(vecs, centroids, keep_vec=True)
@@ -2455,6 +2469,56 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("is_dup"),
         )
     )
+
+
+@register(
+    "q_semdedup_planted",
+    oracle=_semdedup_oracle(
+        vecs_sql=(
+            "SELECT vec_id, list_transform(range(0, 64), i -> "
+            "(CASE WHEN vec_id % 10 <> 9 AND i % 8 = vec_id % 8 "
+            "THEN 1.0 ELSE 0.0 END) + "
+            "(CASE WHEN vec_id % 10 = 9 THEN 1.5 ELSE 0.5 END) "
+            "* CAST(embedding[i + 1] AS DOUBLE)) AS v FROM embeddings"
+        ),
+        label_sql=(
+            "CAST(CASE WHEN l.vec_id % 10 = 9 THEN -1 ELSE l.vec_id % 8 END "
+            "AS BIGINT)"
+        ),
+    ),
+    doc=(
+        "SEMDEDUP ON THE PLANTED MIXTURE (round 12) — the third leg "
+        "of the planted recovery trio (with q_kcenter_planted and "
+        "q_dbscan_planted): the same k-means-lite partition + within-"
+        "cluster cosine pipeline as q_semdedup, run over the derived "
+        "well-separated mixture (llm/selection.planted_embedding — "
+        "one map expression, identical doubles both engines, plugged "
+        "into the SAME unrolled oracle via the round-12 vecs_sql "
+        "parameter). On clustered data the dup verdict flips from "
+        "the raw table's radius-crossing baseline (0.39 at sf0.01) "
+        "to near-total (~0.97: every cluster keeps its lowest-id "
+        "survivor) — and the verdict table, planted label included, "
+        "is driver-hash-checked rather than tool-measured "
+        "(tools/curve_planted.py + SCALE.md r12 record the measured "
+        "rates). Same scale posture as the parent: one cid shuffle, "
+        "cluster-bounded pair work."
+    ),
+    tags=("extension", "similarity", "dedup"),
+)
+def q_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.llm.selection import planted_embedding
+
+    emb = planted_embedding(
+        load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    )
+    out = _semdedup_body(spark, emb)
+    label = (
+        F.when(F.col("vec_id") % 10 == 9, -1)
+        .otherwise(F.col("vec_id") % 8)
+        .cast("long")
+        .alias("label")
+    )
+    return out.select("vec_id", "cid", "is_dup", label)
 
 
 _MMR_SCALE = 10_000_000  # the rfix fixed-point scale (graph.py precedent)

@@ -123,11 +123,11 @@ _PRIORITY = (
     # ...and the framed-MFCC audio front end (VERDICT r11 #5),
     # displacing q_join_multi:
     "q_mfcc_frames",
-    # ...and the planted-cluster recovery pair (VERDICT r11 #4),
-    # displacing q_incremental_agg and q_agg_funcs:
-    "q_kcenter_planted", "q_dbscan_planted",
-    # --- tier C: oldest r7-evidence rows (registry order) ---
-    "q_pred_mix",
+    # ...and the planted-cluster recovery trio (VERDICT r11 #4),
+    # displacing q_incremental_agg, q_agg_funcs and q_pred_mix (tier C
+    # empties: the 8 new/rewritten r12 rows outgrew the verdict's
+    # planned 8 r7 refreshes; the r7 tier is first in line for r13):
+    "q_kcenter_planted", "q_dbscan_planted", "q_semdedup_planted",
 )
 
 

@@ -903,6 +903,23 @@ def test_dbscan_planted_recovery_is_clean(spark):
     assert shell and any(r["cls"] == "noise" for r in shell)
 
 
+def test_semdedup_planted_dup_rate_near_total(spark):
+    """On the planted mixture SemDeDup's verdict flips to near-total:
+    same-cluster pairs are semantic dups by construction, so almost
+    every vector is flagged (each cluster keeps ~one survivor), the
+    per-cluster minimum vec_id is never a dup of itself, and the label
+    column equals the derivation."""
+    rows = SPECS["q_semdedup_planted"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == (-1 if r["vec_id"] % 10 == 9 else r["vec_id"] % 8)
+    rate = sum(r["is_dup"] for r in rows) / len(rows)
+    assert rate >= 0.9
+    # keep-lowest survivor: the global minimum vec_id can never be a dup
+    lowest = min(rows, key=lambda r: r["vec_id"])
+    assert lowest["is_dup"] == 0
+
+
 def test_perplexity_filter_holdout_semantics(spark):
     """The LM never sees score docs: every scored doc_id is odd,
     exactly 5% (ceil) are dropped, and oov tokens cost the UNK

@@ -43,7 +43,7 @@ DEFERRED_R7 = {
     # MFCC front end entered the window (new rows must enter through
     # the window; the r11 precedent):
     "q_broadcast_join", "q_semi", "q_join_multi", "q_incremental_agg",
-    "q_agg_funcs",
+    "q_agg_funcs", "q_pred_mix",
     "q4_two_step", "q_ann_ivf", "q_ann_lsh", "q_array", "q_asof",
     "q_binary_meta", "q_cast", "q_cond", "q_curation_pipeline",
     "q_date", "q_dedup_clusters", "q_dedup_embed_lsh", "q_dedup_exact",
