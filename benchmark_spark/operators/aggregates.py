@@ -305,6 +305,27 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_distinct_agg(orders: DataFrame, *aggs, cd_alias: str) -> DataFrame:
+    """COUNT(DISTINCT) kept OUT of the object-aggregate plan (round 12):
+    mixing a distinct aggregate with percentile/HLL object buffers makes
+    Spark carry the heavy buffers through the distinct rewrite — the
+    partial aggregate keys on (group, custkey) and builds a percentile
+    buffer PER DISTINCT PAIR. Cold cost at sf0.1 measured 19.4 s for
+    the combined plan vs 7.0 s for this shape: object aggs in one pass,
+    the exact distinct count as distinct()->count joined back on the
+    3-row group key. The isNotNull guard preserves COUNT(DISTINCT x)'s
+    null semantics exactly, so results (and hashes) are unchanged."""
+    a = orders.groupBy("o_orderstatus").agg(*aggs)
+    b = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .select("o_orderstatus", "o_custkey")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias(cd_alias))
+    )
+    return a.join(b, "o_orderstatus")
+
+
 @register(
     "q_approx_stats",
     oracle="""
@@ -336,11 +357,12 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
     qs = [0.25, 0.75, 0.95]
-    agg = orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("_exact_cd"),
+    agg = _split_distinct_agg(
+        orders,
         F.approx_count_distinct("o_custkey", 0.05).alias("_acd"),
         F.percentile("o_totalprice", qs).alias("_p"),
         F.percentile_approx("o_totalprice", qs, 10000).alias("_ap"),
+        cd_alias="_exact_cd",
     )
     within = F.zip_with(
         "_p", "_ap", lambda p, ap: (F.abs(ap - p) <= F.abs(p) * 0.01).cast("long")
@@ -388,11 +410,12 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_stats_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", assert_schema=False)
-    agg = orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_custs"),
+    agg = _split_distinct_agg(
+        orders,
         F.approx_count_distinct("o_custkey", 0.02).alias("_acd"),
         F.percentile("o_totalprice", 0.5).alias("_p50"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("_ap50"),
+        cd_alias="exact_custs",
     )
     # verdicts cast to BIGINT 0/1: bare BOOLEAN result columns hash
     # engine-specifically in the external driver (q_bool_agg precedent)
