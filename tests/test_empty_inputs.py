@@ -59,6 +59,15 @@ EMPTY_SAFE = [
     "q_bloom_join",
     "q_ewma_anomaly",
     "q_mad_outliers",
+    # round 12: empty documents -> zero media payloads -> empty frame/
+    # feature tables; the planted 2-D layout classifies nothing; the
+    # planted k-center emits only its literal step-1 seed row (mind
+    # table empty -> null final radius, never a raise)
+    "q_video_mjpeg",
+    "q_video_mjpeg_scenecut",
+    "q_mfcc_frames",
+    "q_dbscan_planted",
+    "q_kcenter_planted",
 ]
 
 # spine queries: empty input yields the FULL dimension table with
