@@ -245,3 +245,21 @@ def test_avi_mjpeg_rejects_non_mjpg_stream():
 def test_avi_mjpeg_rejects_garbage():
     with pytest.raises(ValueError, match="RIFF/AVI"):
         codecs.decode_avi_mjpeg(b"\x00" * 64)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=1, max_size=200), min_size=1, max_size=6),
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+)
+def test_avi_mjpeg_container_roundtrip_property(payloads, w, h):
+    """Container-level property (the codec does not inspect frame
+    bytes): ANY byte payloads round-trip exactly through mux ->
+    parse+index-verify, whatever their lengths' parities — the framing
+    math (word alignment, idx1 offsets, dwTotalFrames) holds on
+    arbitrary content, not just well-formed JPEGs."""
+    avi = codecs.encode_avi_mjpeg(w, h, payloads)
+    gw, gh, got = codecs.decode_avi_mjpeg(avi)
+    assert (gw, gh) == (w, h)
+    assert got == payloads
