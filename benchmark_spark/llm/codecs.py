@@ -484,13 +484,22 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
     count equals avih.dwTotalFrames."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
+    # validate the declared size against the actual bytes FIRST: a file
+    # truncated after its headers would otherwise slice silently-short
+    # frame bytes out of chunks whose declared lengths extend past EOF
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_len > len(payload):
+        raise ValueError(
+            f"truncated RIFF: declares {8 + riff_len} bytes, file has {len(payload)}"
+        )
     width = height = total = -1
     handler_ok = False
     frames: list[bytes] = []
-    offsets: list[tuple[int, int]] = []  # (movi-relative chunk offset, size)
-    idx_entries: list[tuple[int, int]] = []
+    # per movi frame: (movi-relative chunk offset, size, chunk fourcc)
+    offsets: list[tuple[int, int, bytes]] = []
+    idx_entries: list[tuple[bytes, int, int]] = []
     movi_fourcc_pos = -1
-    for tag, start, length in _riff_chunks(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0]):
+    for tag, start, length in _riff_chunks(payload, 12, 8 + riff_len):
         if tag == b"LIST" and payload[start : start + 4] == b"hdrl":
             for t2, s2, l2 in _riff_chunks(payload, start + 4, start + length):
                 if t2 == b"avih":
@@ -510,12 +519,12 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
             for t2, s2, l2 in _riff_chunks(payload, start + 4, start + length):
                 if t2[2:4] == b"dc":
                     frames.append(payload[s2 : s2 + l2])
-                    offsets.append((s2 - 8 - start, l2))
+                    offsets.append((s2 - 8 - start, l2, t2))
         elif tag == b"idx1":
             for off in range(0, length, 16):
-                _fcc = payload[start + off : start + off + 4]
+                fcc = payload[start + off : start + off + 4]
                 _flags, pos_, size = struct.unpack_from("<III", payload, start + off + 4)
-                idx_entries.append((pos_, size))
+                idx_entries.append((fcc, pos_, size))
     if not handler_ok:
         raise ValueError("no vids/MJPG stream header")
     if width <= 0 or height <= 0:
@@ -524,8 +533,13 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"avih.dwTotalFrames={total} but movi holds {len(frames)}")
     if len(idx_entries) != len(frames):
         raise ValueError(f"idx1 holds {len(idx_entries)} entries for {len(frames)} frames")
-    for n, ((ipos, isize), (cpos, csize)) in enumerate(zip(idx_entries, offsets)):
-        # accept both index conventions: movi-relative or file-absolute
-        if isize != csize or ipos not in (cpos, cpos + movi_fourcc_pos):
+    for n, ((ifcc, ipos, isize), (cpos, csize, cfcc)) in enumerate(
+        zip(idx_entries, offsets)
+    ):
+        # every idx1 byte is cross-checked: the fourcc must name the
+        # actual movi chunk, the size must match, and the offset must
+        # match in EITHER index convention (movi-relative or
+        # file-absolute, both in the wild)
+        if ifcc != cfcc or isize != csize or ipos not in (cpos, cpos + movi_fourcc_pos):
             raise ValueError(f"idx1 entry {n} disagrees with movi chunk layout")
     return width, height, frames

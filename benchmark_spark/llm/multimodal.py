@@ -1735,8 +1735,10 @@ def mjpeg_rgb(doc_id: int, width: int, height: int, frame: int) -> bytes:
         "JPEG codec. The worker parses the chunk tree positionally, "
         "verifies idx1 offsets/sizes against the movi layout and the "
         "avih frame count (container_ok is a REAL verdict — "
-        "decode_avi_mjpeg raises on one flipped index byte, pinned in "
-        "tests/test_codecs.py), then entropy-decodes every frame and "
+        "decode_avi_mjpeg raises on a flipped byte in any idx1 "
+        "fourcc/offset/size field or on truncation; dwFlags is "
+        "advisory per the AVI spec; pinned in tests/test_codecs.py), "
+        "then entropy-decodes every frame and "
         "emits per-frame tolerance verdicts against the closed-form "
         f"affine pattern (max |err| <= {_MJPEG_MAX_ERR}, mean <= "
         f"{_MJPEG_MEAN_CENTI / 100}) — the q_decode_jpeg shape, per "

@@ -2471,20 +2471,21 @@ def _semdedup_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
+from benchmark_spark.llm.selection import (  # noqa: E402 (after kmeans defs)
+    PLANTED_EMB_SQL,
+    PLANTED_LABEL_COL_SQL,
+    planted_embedding,
+)
+
+
 @register(
     "q_semdedup_planted",
+    # the SAME constants/SQL as every other planted consumer — tuning a
+    # _PLANTED_* constant updates Spark and oracle together (round-12
+    # review finding: a re-inlined literal here would drift silently)
     oracle=_semdedup_oracle(
-        vecs_sql=(
-            "SELECT vec_id, list_transform(range(0, 64), i -> "
-            "(CASE WHEN vec_id % 10 <> 9 AND i % 8 = vec_id % 8 "
-            "THEN 1.0 ELSE 0.0 END) + "
-            "(CASE WHEN vec_id % 10 = 9 THEN 1.5 ELSE 0.5 END) "
-            "* CAST(embedding[i + 1] AS DOUBLE)) AS v FROM embeddings"
-        ),
-        label_sql=(
-            "CAST(CASE WHEN l.vec_id % 10 = 9 THEN -1 ELSE l.vec_id % 8 END "
-            "AS BIGINT)"
-        ),
+        vecs_sql=PLANTED_EMB_SQL,
+        label_sql=PLANTED_LABEL_COL_SQL,
     ),
     doc=(
         "SEMDEDUP ON THE PLANTED MIXTURE (round 12) — the third leg "
@@ -2506,8 +2507,6 @@ def _semdedup_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
     tags=("extension", "similarity", "dedup"),
 )
 def q_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from benchmark_spark.llm.selection import planted_embedding
-
     emb = planted_embedding(
         load_table(spark, sf_dir, "embeddings", assert_schema=False)
     )

@@ -323,7 +323,12 @@ def _split_distinct_agg(orders: DataFrame, *aggs, cd_alias: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias(cd_alias))
     )
-    return a.join(b, "o_orderstatus")
+    # LEFT join + 0-fill, not inner: a group whose custkeys are all
+    # NULL has no row in b, but COUNT(DISTINCT) over it is 0, not a
+    # dropped group (round-12 review finding)
+    return a.join(b, "o_orderstatus", "left").withColumn(
+        cd_alias, F.coalesce(F.col(cd_alias), F.lit(0).cast("long"))
+    )
 
 
 @register(

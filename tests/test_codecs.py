@@ -263,3 +263,21 @@ def test_avi_mjpeg_container_roundtrip_property(payloads, w, h):
     gw, gh, got = codecs.decode_avi_mjpeg(avi)
     assert (gw, gh) == (w, h)
     assert got == payloads
+
+
+def test_avi_mjpeg_corrupt_index_fourcc_raises():
+    """Round-12 review: the idx1 fourcc bytes are cross-checked against
+    the actual movi chunk tags, not discarded."""
+    _frames, avi = _mk_avi()
+    i = avi.index(b"idx1") + 8  # first entry's fourcc
+    bad = avi[:i] + b"01dc" + avi[i + 4 :]
+    with pytest.raises(ValueError, match="idx1 entry 0"):
+        codecs.decode_avi_mjpeg(bad)
+
+
+def test_avi_mjpeg_truncation_raises_not_short_frames():
+    """Round-12 review: a payload cut short while its RIFF size still
+    declares the full length must raise, never return short frames."""
+    _frames, avi = _mk_avi()
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        codecs.decode_avi_mjpeg(avi[: len(avi) - 10])

@@ -95,7 +95,9 @@ def materialize(src: str, vecs: np.ndarray, ids: np.ndarray, labels: np.ndarray,
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # abspath: symlink targets resolve against the LINK's directory, so
+    # a relative src would create broken links (round-12 review finding)
+    src = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
     ids, planted, labels = planted_arrays(src)
     by_id = dict(zip(ids.tolist(), labels.tolist()))
     planted_dir = materialize(src, planted, ids, labels, "x1")
