@@ -1101,7 +1101,11 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the gram table feeds THREE consumers (both legs
     # of the pair self-join + the per-doc sizes); without it Spark
     # re-runs the explode/distinct per consumer — measured 3.8 -> 2.1 s
-    # at sf0.1 (round 12, VERDICT r11 #6). Results unchanged.
+    # at sf0.1 (round 12, VERDICT r11 #6). A lazy cache() was ALSO
+    # measured (the q_graph_reachability r7 pattern): end-to-end it is
+    # ~0.6 s SLOWER than the checkpoint here (in-memory columnar encode
+    # overhead on a 1M-row table read back only twice), so the eager
+    # checkpoint stays. Results identical either way.
     grams = (
         ex.select("doc_id", "source", gram.alias("g"))
         .distinct()
