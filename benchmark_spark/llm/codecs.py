@@ -521,6 +521,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
                     frames.append(payload[s2 : s2 + l2])
                     offsets.append((s2 - 8 - start, l2, t2))
         elif tag == b"idx1":
+            # ADVICE r12: a trailing partial entry would read up to 12
+            # bytes past the chunk's declared end (fabricating a phantom
+            # entry or raising struct.error) — malformed index is loud.
+            if length % 16:
+                raise ValueError("idx1 length not a multiple of 16")
             for off in range(0, length, 16):
                 fcc = payload[start + off : start + off + 4]
                 _flags, pos_, size = struct.unpack_from("<III", payload, start + off + 4)

@@ -322,12 +322,18 @@ def _split_distinct_agg(orders: DataFrame, *aggs, cd_alias: str) -> DataFrame:
         .distinct()
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias(cd_alias))
+        .withColumnRenamed("o_orderstatus", "_cd_key")
     )
     # LEFT join + 0-fill, not inner: a group whose custkeys are all
     # NULL has no row in b, but COUNT(DISTINCT) over it is 0, not a
-    # dropped group (round-12 review finding)
-    return a.join(b, "o_orderstatus", "left").withColumn(
-        cd_alias, F.coalesce(F.col(cd_alias), F.lit(0).cast("long"))
+    # dropped group (round-12 review finding). Null-SAFE join key
+    # (ADVICE r12): a NULL o_orderstatus group is a real SQL group —
+    # a plain equi-join would never match it and zero out its exact
+    # distinct count even when the group holds non-NULL custkeys.
+    return (
+        a.join(b, F.col("o_orderstatus").eqNullSafe(F.col("_cd_key")), "left")
+        .drop("_cd_key")
+        .withColumn(cd_alias, F.coalesce(F.col(cd_alias), F.lit(0).cast("long")))
     )
 
 

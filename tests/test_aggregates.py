@@ -231,3 +231,21 @@ def test_crosstab_chi2_matches_numpy(spark):
     assert row["n_cells"] == len(langs) * len(srcs)
     assert row["dof"] == (len(langs) - 1) * (len(srcs) - 1)
     assert abs(row["chi2"] - chi2) < 1e-2
+
+
+def test_split_distinct_agg_null_group_key(spark):
+    """ADVICE r12: a NULL group key is a real SQL group — the
+    distinct-count side must join back null-safely, so a NULL-status
+    group with non-NULL custkeys keeps its exact COUNT(DISTINCT)
+    instead of being zero-filled by a never-matching equi-join."""
+    from benchmark_spark.operators.aggregates import _split_distinct_agg
+
+    df = spark.createDataFrame(
+        [("O", 1), ("O", 1), ("O", 2), (None, 7), (None, 7), (None, 8), (None, None)],
+        "o_orderstatus string, o_custkey int",
+    )
+    out = _split_distinct_agg(
+        df, F.count(F.lit(1)).alias("n"), cd_alias="exact_cd"
+    ).collect()
+    got = {r["o_orderstatus"]: r["exact_cd"] for r in out}
+    assert got == {"O": 2, None: 2}

@@ -281,3 +281,20 @@ def test_avi_mjpeg_truncation_raises_not_short_frames():
     _frames, avi = _mk_avi()
     with pytest.raises(ValueError, match="truncated RIFF"):
         codecs.decode_avi_mjpeg(avi[: len(avi) - 10])
+
+
+def test_avi_mjpeg_partial_idx1_entry_raises():
+    """ADVICE r12: an idx1 chunk whose declared length is not a
+    multiple of 16 holds a trailing partial entry; the decoder must
+    report the malformed index loudly instead of reading past the
+    chunk end and fabricating a phantom entry."""
+    import struct
+
+    _frames, avi = _mk_avi()
+    i = avi.index(b"idx1") + 4  # chunk length field
+    (length,) = struct.unpack_from("<I", avi, i)
+    assert length % 16 == 0 and length >= 16
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, i, length - 8)  # leave a half entry
+    with pytest.raises(ValueError, match="idx1 length"):
+        codecs.decode_avi_mjpeg(bytes(bad))
