@@ -85,49 +85,35 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-12 re-cut (VERDICT r11 #1): the staleness rotation's next
-    # step. Tier A (2): the two queries REWRITTEN this round on
-    # ADVICE r11 — q_perplexity_filter (percentile cut -> integer rank
-    # cut) and q_random_projection (constant divisor -> COUNT(*) OVER)
-    # — whose r11 driver evidence validated a different query.
-    # Tier B (42): the ENTIRE r6-evidence tier (the DEFERRED_R6 rows of
-    # the r10/r11 cuts, gate-green every round but last driver-proved
-    # in round 6) — after CORRECTNESS_r12 the oldest driver evidence
-    # anywhere rises to r7. Tier C (6): the oldest r7-evidence rows in
-    # registry order; new queries added later this round (MJPEG video,
-    # framed MFCC, planted-cluster selection) enter the window by
-    # displacing tier-C rows back to the r13 deferral list, exactly
-    # the r11 in-session precedent. Everything displaced stays checked
-    # by the local full gate (tools/check_oracle.py at sf0.01 +
+    # Round-13 re-cut (VERDICT r12 #1): rotation lap 2 finishes. The
+    # window = the COMPLETE 48-row r7-evidence tier (the DEFERRED_R7
+    # rows of the r12 cut, gate-green every round but last
+    # driver-proved in round 7) + the 2 oldest r8-evidence rows in
+    # registry order (q1_scan, q2_agg) to fill the 50. New queries
+    # added later this round (the persisted-ANN-index tier, STFT
+    # MFCC, txlog column mapping, scheduled-eps DBSCAN — VERDICT r12
+    # #2/#4/#5/#8) enter through the window by displacing rows,
+    # freshest evidence first: the 2 r8 rows go back to the pool,
+    # then r7 rows move to the r14 deferral list (the r11/r12
+    # in-session precedent). Everything displaced stays checked by
+    # the local full gate (tools/check_oracle.py at sf0.01 +
     # GATE_sf01 at 10x driver scale).
-    # --- tier A: rewritten this round (evidence void) ---
-    "q_perplexity_filter", "q_random_projection",
-    # --- tier B: the complete r6-evidence tier ---
-    "q1_scan_mid", "q1_scan_tight", "q_ab_readout", "q_basket_lift",
-    "q_cluster_sample", "q_cross_join", "q_cusum_changepoint",
-    "q_frame", "q_full_outer", "q_fuzzy_join", "q_graph_reachability",
-    "q_grouping_id", "q_in_subquery", "q_k_anonymity", "q_kl_novelty",
-    "q_lag", "q_lateral_topn", "q_latest_snapshot", "q_limit_offset",
-    "q_ltv_curve", "q_null_pred", "q_path_trigrams", "q_pit_join",
-    "q_ppr_seed_expand", "q_pseudonymize", "q_python_datasource",
-    "q_python_stream_source", "q_range_frame", "q_rfm_segments",
-    "q_salted_hotcold", "q_skyline", "q_skyline_grid",
-    "q_snapshot_diff", "q_sql_script", "q_stream_dq",
-    "q_threshold_sweep", "q_trend_fit", "q_triangle_degree",
-    "q_udtf_poly", "q_variant", "q_weighted_sample", "q_zorder_layout",
-    # --- tier A (cont.): new in round 12, added after the cut — the
-    # MJPEG-in-AVI video tier (VERDICT r11 #3); each new row enters
-    # through the window by displacing a tier-C r7 row (q_broadcast_join,
-    # q_semi -> the r13 deferral list) ---
-    "q_video_mjpeg", "q_video_mjpeg_scenecut",
-    # ...and the framed-MFCC audio front end (VERDICT r11 #5),
-    # displacing q_join_multi:
-    "q_mfcc_frames",
-    # ...and the planted-cluster recovery trio (VERDICT r11 #4),
-    # displacing q_incremental_agg, q_agg_funcs and q_pred_mix (tier C
-    # empties: the 8 new/rewritten r12 rows outgrew the verdict's
-    # planned 8 r7 refreshes; the r7 tier is first in line for r13):
-    "q_kcenter_planted", "q_dbscan_planted", "q_semdedup_planted",
+    # --- the complete r7-evidence tier, registry order ---
+    "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
+    "q_broadcast_join", "q_semi", "q_outer", "q_range_join",
+    "q_asof", "q_rank_funcs", "q_sliding_frame", "q_topk",
+    "q_sort_multi", "q_value_funcs", "q_union_all", "q_union",
+    "q_intersect", "q_except", "q_intersect_all", "q_except_all",
+    "q4_two_step", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
+    "q_textstats", "q_langid", "q_curation_pipeline", "q_string",
+    "q_date", "q_math", "q_cond", "q_array",
+    "q_json", "q_cast", "q_hash", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_minhash_capped", "q_dedup_simhash",
+    "q_dedup_clusters", "q_binary_meta", "q_multimodal_features",
+    "q_stream_dedup", "q_scalar_udf", "q_pandas_udf",
+    "q_grouped_agg_udf", "q_udtf", "q_pipe_wordcount",
+    # --- the 2 oldest r8-evidence rows (registry order) ---
+    "q1_scan", "q2_agg",
 )
 
 

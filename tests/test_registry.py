@@ -19,43 +19,25 @@ import json
 from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
-ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
-# The round-12 cut (VERDICT r11 #1) continues the staleness rotation:
-# the COMPLETE 42-row r6-evidence tier (every row whose latest driver
-# proof is round 6), plus the oldest r7-evidence rows to fill the
-# window; after CORRECTNESS_r12 the oldest driver evidence anywhere
-# rises to r7. No slot may hold evidence newer than this...
-WINDOW_MAX_LATEST_GREEN = 7
+ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+# The round-13 cut (VERDICT r12 #1) finishes rotation lap 2: the
+# COMPLETE 48-row r7-evidence tier (the r12 cut's DEFERRED_R7 set,
+# every row whose latest driver proof is round 7), plus the 2 oldest
+# r8-evidence rows in registry order to fill the window; after
+# CORRECTNESS_r13 the oldest driver evidence anywhere rises to r8
+# (save rows displaced mid-round, below). No slot may hold evidence
+# newer than this...
+WINDOW_MAX_LATEST_GREEN = 8
 # ...EXCEPT a row whose fixture/plan AND-or oracle were rewritten this
 # round: its old driver evidence validated a different query, so the
 # rewrite re-enters the window regardless of evidence age (the
-# q_apply_in_pandas precedent from the r10 cut).
-REWRITTEN_IN_WINDOW = {
-    "q_perplexity_filter",   # percentile cut -> integer rank cut (ADVICE r11)
-    "q_random_projection",   # mean divisor: constant -> COUNT(*) OVER ()
-}
-# r7-evidence rows deferred to the r13 cut because the window holds
-# only 50: gate-green every round, unchanged since their r7 proof.
-# They are the ONLY rows allowed to sit outside the window at the
-# boundary evidence age.
-DEFERRED_R7 = {
-    # displaced mid-round when the MJPEG video tier and the framed
-    # MFCC front end entered the window (new rows must enter through
-    # the window; the r11 precedent):
-    "q_broadcast_join", "q_semi", "q_join_multi", "q_incremental_agg",
-    "q_agg_funcs", "q_pred_mix",
-    "q4_two_step", "q_ann_ivf", "q_ann_lsh", "q_array", "q_asof",
-    "q_binary_meta", "q_cast", "q_cond", "q_curation_pipeline",
-    "q_date", "q_dedup_clusters", "q_dedup_embed_lsh", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_minhash_capped", "q_dedup_simhash",
-    "q_except", "q_except_all", "q_grouped_agg_udf", "q_hash",
-    "q_intersect", "q_intersect_all", "q_json", "q_langid", "q_math",
-    "q_multimodal_features", "q_outer", "q_pandas_udf",
-    "q_pipe_wordcount", "q_range_join", "q_rank_funcs", "q_scalar_udf",
-    "q_sliding_frame", "q_sort_multi", "q_stream_dedup", "q_string",
-    "q_textstats", "q_topk", "q_udtf", "q_union", "q_union_all",
-    "q_value_funcs",
-}
+# q_apply_in_pandas precedent from the r10 cut). None yet in r13.
+REWRITTEN_IN_WINDOW = set()
+# Rows displaced mid-round when new r13 queries enter the window (new
+# rows must enter through the window; the r11/r12 precedent). Only
+# these rows may sit outside the window with evidence STALER than the
+# boundary; they are first in line for the r14 cut.
+DEFERRED_TO_R14 = set()
 
 
 def _green(res):
@@ -132,12 +114,13 @@ def test_window_slots_go_to_stalest_evidence():
 
 def test_no_staler_row_left_outside_window():
     """Completeness of the staleness cut: any row whose evidence is
-    STRICTLY staler than some window row must itself be in the window
-    (i.e. the window contains ALL rows last green before the r3 tier)."""
+    STRICTLY staler than the boundary must itself be in the window —
+    unless it was displaced mid-round by a new query entering the
+    window (then it must be on the explicit r14 deferral list)."""
     greens = _green_rounds()
     window = set(_PRIORITY)
     for name in all_specs():
-        if name in window:
+        if name in window or name in DEFERRED_TO_R14:
             continue
         latest = max(greens[name])
         assert latest >= WINDOW_MAX_LATEST_GREEN, (
@@ -156,13 +139,14 @@ def test_rows_only_in_window_are_all_by_design():
     assert {n for n in specs if specs[n].oracle is None} == set()
 
 
-def test_deferred_r7_rows_are_exactly_the_boundary_residue():
-    """The deferred rows are precisely the r7-evidence rows NOT in
-    the window — no silent extra deferral, no stale row forgotten."""
+def test_deferred_rows_are_exactly_the_displaced_residue():
+    """The r14 deferral list is precisely the set of rows outside the
+    window whose evidence is staler than the boundary — no silent
+    extra deferral, no stale row forgotten."""
     greens = _green_rounds()
     window = set(_PRIORITY)
-    boundary_outside = {
+    staler_outside = {
         n for n in all_specs()
-        if n not in window and max(greens[n]) == WINDOW_MAX_LATEST_GREEN
+        if n not in window and max(greens[n]) < WINDOW_MAX_LATEST_GREEN
     }
-    assert boundary_outside == DEFERRED_R7
+    assert staler_outside == DEFERRED_TO_R14
