@@ -1,0 +1,707 @@
+"""Persisted ANN index: build-once / probe-many IVFPQ (VERDICT r12 #2).
+
+Every ANN query in llm/similarity.py re-trains its quantizers in-query
+on a bounded sample — correct, hash-checkable, but the one thing a
+100 TB vector corpus cannot do per query. This module gives the IVFPQ
+composition (coarse inverted lists + residual product quantization,
+the FAISS shape) a production lifecycle:
+
+  * ``q_ann_index_build``  — train the quantizers ONCE (same bounded
+    Lloyd sample and exact integer-micro arithmetic as q_knn_ivfpq),
+    assign + encode the corpus distributed (no collect), and PERSIST
+    the index as a parquet artifact: tiny broadcastable codebooks plus
+    postings partitioned BY LIST ID, so a probe's nprobe/nlist scan
+    bound is realized physically as partition pruning on disk. The
+    query output is a per-list rollup (member count, md5 id
+    fingerprint, code checksum, centroid checksum) computed by READING
+    THE ARTIFACT BACK — the DuckDB hash proves the persisted bytes,
+    not just the in-memory plan.
+  * ``q_ann_index_probe``  — serve top-k from the persisted artifact:
+    no training, no corpus-wide codebook pass; anchors score probed
+    lists' 48-bit codes by ADC and re-rank a corpus-proportional
+    shortlist exactly. Result-identical to q_knn_ivfpq (it shares that
+    oracle), so the build/probe split is hash-proved equivalent to the
+    monolithic query.
+  * ``q_ann_index_append`` — the incremental path: an index built on
+    the first 7/8 of the corpus ingests the remaining vectors by
+    encoding them against the EXISTING codebooks (no retrain, no
+    re-shuffle of the base postings — a new postings segment), then
+    probes the merged index. in_exact10 / from_append flags make the
+    drift-vs-retrain trade measurable in-plan; tools/curve_append_
+    recall.py records the recall curve into SCALE.md.
+
+At 100 TB: codebooks stay O(nlist*dim + M*K*D) — kilobytes, broadcast;
+postings are the corpus at ~48 bits/vector, hash-partitioned by list
+id; build is one shuffle-per-stage pipeline (assign, encode) over the
+corpus; append touches only the new segment; probes read nprobe/nlist
+of the postings partitions and shuffle anchor-sized data only.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from benchmark_spark.catalog import load_table
+from benchmark_spark.registry import register
+from benchmark_spark.llm.similarity import (
+    _IVFPQ_ITERS,
+    _IVFPQ_NLIST_MIN,
+    _IVFPQ_NPROBE_MIN,
+    _IVFPQ_ORACLE,
+    _IVFPQ_TRAIN_CAP,
+    _IVFPQ_TRAIN_MIN,
+    _PQT_D,
+    _PQT_K,
+    _PQT_M,
+    _PQT_SL_DIV,
+    _PQT_SL_MIN,
+    _coarse_iteration_sql,
+    _ivfpq_params,
+    _ivfpq_train,
+    _resid_iteration_sql,
+    dot,
+)
+
+_ROOT = "/root/repo/.scratch/ann_index"
+_VERSION = 1
+# Append split: the base index covers the first (7*N)//8 vectors; the
+# final eighth arrives later and is encoded against the frozen
+# codebooks. Integer arithmetic so the DuckDB oracle replays it.
+_BASE_NUM, _BASE_DEN = 7, 8
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def _vm(vecs: DataFrame) -> DataFrame:
+    """Exploded exact integer-micro rows (vec_id, p, xm)."""
+    return vecs.select("vec_id", F.posexplode(F.col("v")).alias("p", "x")).select(
+        "vec_id",
+        F.col("p").cast("long").alias("p"),
+        F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xm"),
+    )
+
+
+def _codebook_frames(spark: SparkSession, coarse, cents):
+    """Numpy codebooks -> tiny broadcastable DataFrames (same rows the
+    monolithic q_knn_ivfpq builds in-query)."""
+    cdf = spark.createDataFrame(
+        [(int(cid), p, int(coarse[cid, p]))
+         for cid in range(len(coarse)) for p in range(64)],
+        "cid long, i long, cm long",
+    )
+    pdf = spark.createDataFrame(
+        [(s, int(cid), i, int(cents[s][cid, i]))
+         for s in range(_PQT_M) for cid in range(len(cents[s])) for i in range(_PQT_D)],
+        "s long, cid long, i long, cm long",
+    )
+    return cdf, pdf
+
+
+def _assign_lists(vm: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Coarse assignment (vec_id -> lid): exploded int join, argmin of
+    |x - c|^2 = csq - 2*x.c (xm^2 constant per vec, dropped)."""
+    ccsq = cdf.groupBy("cid").agg(F.sum(F.col("cm") * F.col("cm")).alias("csq"))
+    dall = (
+        vm.join(F.broadcast(cdf), vm.p == cdf.i)
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("xm") * F.col("cm")).alias("dp"))
+        .join(F.broadcast(ccsq), "cid")
+        .select("vec_id", "cid", (F.col("csq") - 2 * F.col("dp")).alias("cost"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("cost"), F.asc("cid"))
+    return (
+        dall.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("lid"))
+    )
+
+
+def _encode_codes(vm: DataFrame, lists: DataFrame, cdf: DataFrame,
+                  pdf: DataFrame) -> DataFrame:
+    """Residual PQ encoding (vec_id, s, cid) against FROZEN codebooks —
+    the only per-vector work; no training state, so it serves both the
+    initial build and the incremental append identically."""
+    pcsq = pdf.groupBy("s", "cid").agg(F.sum(F.col("cm") * F.col("cm")).alias("csq"))
+    rr = (
+        vm.join(lists, "vec_id")
+        .join(
+            F.broadcast(cdf.select(F.col("cid").alias("lid"),
+                                   F.col("i").alias("p"),
+                                   F.col("cm").alias("ccm"))),
+            ["lid", "p"],
+        )
+        .select(
+            "vec_id",
+            F.floor(F.col("p") / _PQT_D).cast("long").alias("s"),
+            (F.col("p") % _PQT_D).cast("long").alias("i"),
+            (F.col("xm") - F.col("ccm")).alias("rm"),
+        )
+    )
+    enc = (
+        rr.join(F.broadcast(pdf), ["s", "i"])
+        .groupBy("vec_id", "s", "cid")
+        .agg(F.sum(F.col("rm") * F.col("cm")).alias("dp"))
+        .join(F.broadcast(pcsq), ["s", "cid"])
+        .select("vec_id", "s", "cid", (F.col("csq") - 2 * F.col("dp")).alias("cost"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("cost"), F.asc("cid"))
+    return (
+        enc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+
+def _postings(lists: DataFrame, codes: DataFrame) -> DataFrame:
+    """Wide posting rows (vec_id, lid, codes[8]) — the production
+    48-bit-code layout, one row per vector."""
+    return (
+        lists.join(codes, "vec_id")
+        .groupBy("vec_id", "lid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cid"))),
+                lambda x: x["cid"],
+            ).alias("codes")
+        )
+    )
+
+
+def _index_key(sf_dir: str, n: int, base_n: int | None) -> str:
+    tag = f"{os.path.realpath(sf_dir)}:n={n}:base={base_n}:v={_VERSION}"
+    import hashlib
+
+    return hashlib.md5(tag.encode()).hexdigest()[:16]
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def load_manifest(path: str) -> dict | None:
+    try:
+        with open(_manifest_path(path)) as f:
+            m = json.load(f)
+        return m if m.get("version") == _VERSION else None
+    except (OSError, ValueError):
+        return None
+
+
+def build_index(spark: SparkSession, sf_dir: str, *, base_n: int | None = None,
+                force: bool = False) -> tuple[str, dict]:
+    """Build (or reuse) the persisted IVFPQ index for sf_dir's
+    embeddings. base_n limits the INDEXED corpus to vec_id < base_n
+    (the append scenario's starting state); params/training always
+    derive from the indexed subset. Atomic publish: build under a tmp
+    dir, rename into place — a reader never sees a half-written index."""
+    import numpy as np
+
+    vecs = _vecs(spark, sf_dir)
+    n_all = vecs.count()
+    n = n_all if base_n is None else int(base_n)
+    key = _index_key(sf_dir, n_all, base_n)
+    path = os.path.join(_ROOT, key)
+    if not force:
+        m = load_manifest(path)
+        if m is not None:
+            return path, m
+
+    base = vecs if base_n is None else vecs.filter(F.col("vec_id") < base_n)
+    nlist, nprobe, n_train = _ivfpq_params(n)
+    train_rows = base.filter(F.col("vec_id") < n_train).orderBy("vec_id").collect()
+    train = np.floor(
+        np.array([r.v for r in train_rows], dtype="float64") * 1e6 + 0.5
+    ).astype("int64")
+    coarse, cents = _ivfpq_train(train, nlist)
+    cdf, pdf = _codebook_frames(spark, coarse, cents)
+
+    vm = _vm(base)
+    lists = _assign_lists(vm, cdf)
+    codes = _encode_codes(vm, lists, cdf, pdf)
+
+    os.makedirs(_ROOT, exist_ok=True)
+    tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
+    try:
+        cdf.coalesce(1).write.parquet(os.path.join(tmp, "coarse"))
+        pdf.coalesce(1).write.parquet(os.path.join(tmp, "pq"))
+        # postings partitioned BY LIST ID: a probe's nprobe/nlist scan
+        # bound becomes partition pruning on the file layout. The
+        # repartition co-locates each list in one task so every lid dir
+        # holds ONE file (default layout writes nlist x shuffle-
+        # partitions tiny files); at 100 TB bump the partition count so
+        # each stays executor-sized — the lid->file mapping still prunes.
+        _postings(lists, codes).repartition(8, "lid").write.partitionBy(
+            "lid"
+        ).parquet(os.path.join(tmp, "postings"))
+        meta = {
+            "version": _VERSION,
+            "n": n,
+            "n_all": n_all,
+            "base_n": base_n,
+            "nlist": nlist,
+            "nprobe": nprobe,
+            "train": n_train,
+            "dim": 64,
+        }
+        with open(_manifest_path(tmp), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path, meta
+
+
+def append_to_index(spark: SparkSession, sf_dir: str, path: str,
+                    meta: dict) -> tuple[str, dict]:
+    """Incremental append: encode vec_id >= base_n against the
+    PERSISTED codebooks (read back from parquet — the append path
+    consumes the artifact, not driver state) and publish them as a new
+    postings segment. Base postings are never rewritten; codebooks are
+    frozen (the drift-vs-retrain trade: recall on appended data is
+    measured, not assumed — tools/curve_append_recall.py)."""
+    base_n = meta["base_n"]
+    if base_n is None:
+        raise ValueError("append requires an index built with base_n")
+    seg = os.path.join(path, "postings_delta")
+    done = load_manifest(path)
+    if done and done.get("appended") and os.path.exists(seg):
+        return path, done
+
+    cdf = spark.read.parquet(os.path.join(path, "coarse"))
+    pdf = spark.read.parquet(os.path.join(path, "pq"))
+    new = _vecs(spark, sf_dir).filter(F.col("vec_id") >= base_n)
+    vm = _vm(new)
+    lists = _assign_lists(vm, cdf)
+    codes = _encode_codes(vm, lists, cdf, pdf)
+    _postings(lists, codes).repartition(8, "lid").write.mode("overwrite").partitionBy(
+        "lid"
+    ).parquet(seg)
+    meta = dict(meta, appended=True)
+    with open(_manifest_path(path), "w") as f:
+        json.dump(meta, f)
+    return path, meta
+
+
+def read_postings(spark: SparkSession, path: str, *,
+                  with_delta: bool = False) -> DataFrame:
+    segs = [os.path.join(path, "postings")]
+    if with_delta:
+        segs.append(os.path.join(path, "postings_delta"))
+    # one read per segment (partition discovery is per-root), unioned:
+    # the merged-index view a segmented production index serves from
+    dfs = [
+        spark.read.parquet(s).select(
+            "vec_id", F.col("lid").cast("long").alias("lid"), "codes"
+        )
+        for s in segs
+    ]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    return df
+
+
+def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
+                with_delta: bool = False, flag_append: bool = False) -> DataFrame:
+    """Serve top-10 for anchors vec_id<5 from the persisted artifact:
+    coarse-rank lists per anchor, ADC-score the probed lists' codes,
+    exact-rerank a corpus-proportional shortlist; in_exact10 compares
+    against the brute-force top-10 in-plan (recall is data, not a
+    claim). No training happens here — the plan's only inputs are the
+    artifact and the anchor vectors."""
+    cdf = spark.read.parquet(os.path.join(path, "coarse"))
+    pdf = spark.read.parquet(os.path.join(path, "pq"))
+    post = read_postings(spark, path, with_delta=with_delta)
+    lists = post.select("vec_id", "lid")
+    codes = post.select(
+        "vec_id", F.posexplode("codes").alias("s", "cid")
+    ).select("vec_id", F.col("s").cast("long").alias("s"), "cid")
+
+    vecs = _vecs(spark, sf_dir)
+    avm = _vm(vecs.filter(F.col("vec_id") < 5)).withColumnRenamed("vec_id", "a_id")
+    acd = (
+        avm.join(F.broadcast(cdf), avm.p == cdf.i)
+        .groupBy("a_id", F.col("cid").alias("lid"))
+        .agg(F.sum(F.col("xm") * F.col("cm")).alias("cd"))
+    )
+    w_probe = Window.partitionBy("a_id").orderBy(F.desc("cd"), F.asc("lid"))
+    probe = (
+        acd.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= meta["nprobe"])
+        .select("a_id", "lid", "cd")
+    )
+    adc_table = (
+        avm.join(F.broadcast(pdf), avm.p == pdf.s * _PQT_D + pdf.i)
+        .groupBy("a_id", "s", "cid")
+        .agg(F.sum(F.col("xm") * F.col("cm")).alias("t"))
+    )
+    adc = (
+        lists.join(F.broadcast(probe), "lid")
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc_table), ["a_id", "s", "cid"])
+        .groupBy("a_id", "vec_id", "cd")
+        .agg((F.col("cd") + F.sum("t")).alias("score"))
+        .select("a_id", "vec_id", "score")
+    )
+    sl_n = vecs.agg(
+        F.greatest(
+            F.lit(_PQT_SL_MIN),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_PQT_SL_DIV))).cast("long"),
+        ).alias("sl")
+    )
+    w_rank = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(sl_n))
+        .filter(F.col("rk") <= F.col("sl"))
+        .select("a_id", "vec_id")
+    )
+    anchors = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    rerank = (
+        shortlist.join(vecs, "vec_id")
+        .join(F.broadcast(anchors), "a_id")
+        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+    )
+    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    reranked = (
+        rerank.withColumn("rank", F.row_number().over(w_rr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("a_id", "vec_id", "rank", F.round("raw", 4).alias("score"))
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+    )
+    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 10)
+        .select("a_id", F.col("vec_id").alias("x_vec"))
+    )
+    out = reranked.join(
+        exact, (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
+    ).select(
+        reranked.a_id,
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        "score",
+        F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact10"),
+    )
+    if flag_append:
+        out = out.withColumn(
+            "from_append",
+            (F.col("neighbor_id") >= meta["base_n"]).cast("long"),
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle: the build prefix generalizes similarity._IVFPQ_ORACLE
+# with a base filter (params + training restricted to the indexed
+# subset; assignment/encode over every vector, since encoding against
+# frozen codebooks is per-vector math independent of corpus membership).
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_prefix_sql(base_cond: str = "TRUE") -> str:
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    basevecs AS (SELECT * FROM vecs WHERE {base_cond}),
+    params AS MATERIALIZED (  -- corpus-derived sizing over the INDEXED subset
+        SELECT nlist,
+               GREATEST({_IVFPQ_NPROBE_MIN},
+                        CAST(CEIL(2.5 * SQRT(CAST(nlist AS DOUBLE))) AS BIGINT))
+                   AS nprobe,
+               LEAST(n, GREATEST(nlist,
+                                 LEAST({_IVFPQ_TRAIN_CAP},
+                                       GREATEST({_IVFPQ_TRAIN_MIN}, 16 * nlist))))
+                   AS train
+        FROM (
+            SELECT GREATEST({_IVFPQ_NLIST_MIN},
+                            CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM basevecs
+        )
+    ),
+    vm AS MATERIALIZED (
+        SELECT vec_id, p.p AS p,
+               CAST(floor(v[p.p + 1] * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM vecs, unnest(range(0, 64)) AS p(p)
+    ),
+    bvm AS MATERIALIZED (SELECT * FROM vm WHERE {base_cond}),
+    trc AS MATERIALIZED (SELECT * FROM bvm WHERE vec_id < (SELECT train FROM params)),
+    cc0 AS (SELECT vec_id AS cid, p AS i, xm AS cm FROM bvm
+            WHERE vec_id < (SELECT nlist FROM params)),
+    {",".join(_coarse_iteration_sql(str(i), str(i + 1)) for i in range(_IVFPQ_ITERS))},
+    ccf AS MATERIALIZED (SELECT * FROM cc{_IVFPQ_ITERS}),
+    qcf AS (SELECT cid, SUM(cm * cm) AS csq FROM ccf GROUP BY cid),
+    dall AS (
+        SELECT v.vec_id, c.cid, SUM(v.xm * c.cm) AS dp
+        FROM vm v JOIN ccf c ON c.i = v.p
+        GROUP BY v.vec_id, c.cid
+    ),
+    lists AS MATERIALIZED (
+        SELECT vec_id, cid AS lid FROM (
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY q.csq - 2 * d.dp ASC, d.cid ASC) AS rn
+            FROM dall d JOIN qcf q USING (cid)
+        ) WHERE rn = 1
+    ),
+    rr AS MATERIALIZED (
+        SELECT v.vec_id, v.p // {_PQT_D} AS s, v.p % {_PQT_D} AS i,
+               v.xm - c.cm AS rm
+        FROM vm v
+        JOIN lists l USING (vec_id)
+        JOIN ccf c ON c.cid = l.lid AND c.i = v.p
+    ),
+    trr AS MATERIALIZED (SELECT r.* FROM rr r
+                         WHERE r.vec_id < (SELECT train FROM params)),
+    rc0 AS (SELECT s, vec_id AS cid, i, rm AS cm FROM rr WHERE vec_id < {_PQT_K}),
+    {",".join(_resid_iteration_sql(str(i), str(i + 1)) for i in range(_IVFPQ_ITERS))},
+    rcf AS MATERIALIZED (SELECT * FROM rc{_IVFPQ_ITERS}),
+    qrf AS (SELECT s, cid, SUM(cm * cm) AS csq FROM rcf GROUP BY s, cid),
+    enc AS (
+        SELECT r.vec_id, r.s, c.cid, SUM(r.rm * c.cm) AS dp
+        FROM rr r JOIN rcf c ON c.s = r.s AND c.i = r.i
+        GROUP BY r.vec_id, r.s, c.cid
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, s, cid FROM (
+            SELECT e.vec_id, e.s, e.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.s
+                       ORDER BY q.csq - 2 * e.dp ASC, e.cid ASC) AS rn
+            FROM enc e JOIN qrf q ON q.s = e.s AND q.cid = e.cid
+        ) WHERE rn = 1
+    )"""
+
+
+def _probe_select_sql(*, lists_cond: str = "TRUE", flag_append: bool = False,
+                      base_n_sql: str | None = None) -> str:
+    extra = ""
+    if flag_append:
+        extra = (
+            f", CAST(CASE WHEN r.vec_id >= ({base_n_sql}) THEN 1 ELSE 0 END "
+            "AS BIGINT) AS from_append"
+        )
+    return f"""
+    , acd AS (
+        SELECT a.vec_id AS a_id, c.cid AS lid, SUM(a.xm * c.cm) AS cd
+        FROM vm a JOIN ccf c ON c.i = a.p
+        WHERE a.vec_id < 5
+        GROUP BY a.vec_id, c.cid
+    ),
+    probe AS (
+        SELECT a_id, lid, cd FROM (
+            SELECT a_id, lid, cd,
+                   row_number() OVER (
+                       PARTITION BY a_id ORDER BY cd DESC, lid ASC) AS rn
+            FROM acd
+        ) WHERE rn <= (SELECT nprobe FROM params)
+    ),
+    adc_table AS (
+        SELECT a.vec_id AS a_id, c.s, c.cid, SUM(a.xm * c.cm) AS t
+        FROM vm a JOIN rcf c ON c.s * {_PQT_D} + c.i = a.p
+        WHERE a.vec_id < 5
+        GROUP BY a.vec_id, c.s, c.cid
+    ),
+    adc AS (
+        SELECT p.a_id, l.vec_id, p.cd + SUM(at.t) AS score
+        FROM lists l
+        JOIN probe p ON p.lid = l.lid
+        JOIN codes c ON c.vec_id = l.vec_id
+        JOIN adc_table at ON at.a_id = p.a_id AND at.s = c.s AND at.cid = c.cid
+        WHERE l.vec_id <> p.a_id AND ({lists_cond})
+        GROUP BY p.a_id, l.vec_id, p.cd
+    ),
+    sl_n AS (
+        SELECT GREATEST({_PQT_SL_MIN},
+                        CAST(ceil(COUNT(*) / {_PQT_SL_DIV}.0) AS BIGINT)) AS sl
+        FROM vecs
+    ),
+    shortlist AS (
+        SELECT a_id, vec_id FROM (
+            SELECT a_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY a_id ORDER BY score DESC, vec_id) AS rk
+            FROM adc
+        ), sl_n WHERE rk <= sl_n.sl
+    ),
+    rerank AS (
+        SELECT s.a_id, s.vec_id,
+               round(list_dot_product(e.v, a.v), 4) AS score,
+               row_number() OVER (
+                   PARTITION BY s.a_id
+                   ORDER BY list_dot_product(e.v, a.v) DESC, s.vec_id
+               ) AS rk
+        FROM shortlist s
+        JOIN vecs e ON e.vec_id = s.vec_id
+        JOIN vecs a ON a.vec_id = s.a_id
+    ),
+    exact AS (
+        SELECT a_id, vec_id FROM (
+            SELECT a.vec_id AS a_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(e.v, a.v) DESC, e.vec_id
+                   ) AS rn
+            FROM vecs e JOIN vecs a ON a.vec_id < 5 AND e.vec_id <> a.vec_id
+        ) WHERE rn <= 10
+    )
+    SELECT r.a_id, r.vec_id AS neighbor_id,
+           CAST(r.rk AS BIGINT) AS rank,
+           r.score,
+           CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_exact10{extra}
+    FROM rerank r
+    LEFT JOIN exact x ON x.a_id = r.a_id AND x.vec_id = r.vec_id
+    WHERE r.rk <= 10
+    """
+
+
+_BUILD_ROLLUP_SQL = """
+    , csum AS (SELECT vec_id, SUM(cid) AS code_sum FROM codes GROUP BY vec_id),
+    ccm AS (SELECT cid AS lid, SUM(cm) AS ccm_sum FROM ccf GROUP BY cid)
+    SELECT CAST(l.lid AS BIGINT) AS lid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST('0x' || substring(md5(CAST(l.vec_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 1000003) AS BIGINT) AS id_fp,
+           CAST(SUM(c.code_sum) AS BIGINT) AS code_sum,
+           CAST(MIN(cc.ccm_sum) AS BIGINT) AS ccm_sum
+    FROM lists l
+    JOIN csum c USING (vec_id)
+    JOIN ccm cc ON cc.lid = l.lid
+    GROUP BY l.lid
+"""
+
+_BASE_N_SQL = f"SELECT ({_BASE_NUM} * COUNT(*)) // {_BASE_DEN} FROM vecs"
+
+
+@register(
+    "q_ann_index_build",
+    oracle=_ivfpq_prefix_sql() + _BUILD_ROLLUP_SQL,
+    doc=(
+        "Persisted-ANN-index BUILD (VERDICT r12 #2 — the lifecycle the "
+        "in-query ANN tier lacked): train the IVFPQ quantizers once on "
+        "the bounded Lloyd sample (exact integer-micro, identical to "
+        "q_knn_ivfpq), assign + residual-encode the corpus fully "
+        "distributed, and persist the index as a parquet artifact under "
+        ".scratch/ann_index/<corpus-key>/ — kilobyte codebooks "
+        "(coarse/, pq/), wide 48-bit-code postings PARTITIONED BY LIST "
+        "ID (a probe's nprobe/nlist bound becomes partition pruning on "
+        "disk), and a manifest freezing nlist/nprobe/train. Atomic "
+        "publish via tmp-dir rename. The output rollup (per-list member "
+        "count, md5 id fingerprint, code checksum, centroid checksum) "
+        "is computed by READING THE ARTIFACT BACK, so the DuckDB hash "
+        "proves the persisted bytes match an independent replay of the "
+        "whole construction. At 100 TB the build is one "
+        "assign+encode pipeline over the corpus (two corpus-keyed "
+        "exchanges), run once and amortized over every probe."
+    ),
+    tags=("extension", "similarity", "ann", "index"),
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, _meta = build_index(spark, sf_dir, force=True)
+    post = read_postings(spark, path)
+    coarse = spark.read.parquet(os.path.join(path, "coarse"))
+    fp = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    ccm = coarse.groupBy(F.col("cid").alias("lid")).agg(
+        F.sum("cm").alias("ccm_sum")
+    )
+    return (
+        post.select(
+            "lid",
+            fp.alias("fp"),
+            F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "code_sum"
+            ),
+        )
+        .groupBy("lid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("fp").alias("id_fp"),
+            F.sum("code_sum").alias("code_sum"),
+        )
+        .join(ccm, "lid")
+        .select("lid", "n_members", "id_fp", "code_sum", "ccm_sum")
+    )
+
+
+@register(
+    "q_ann_index_probe",
+    oracle=_IVFPQ_ORACLE,
+    doc=(
+        "Persisted-ANN-index PROBE (VERDICT r12 #2): serve anchors' "
+        "top-10 from the artifact q_ann_index_build persisted — read "
+        "the kilobyte codebooks (broadcast), partition-prune the "
+        "postings to the probed lists, ADC-score the 48-bit codes, "
+        "exact-rerank the corpus-proportional shortlist. NO training "
+        "runs in this query: the Lloyd pass is amortized into the "
+        "build (reused if the artifact exists, built once if not). "
+        "Shares q_knn_ivfpq's oracle verbatim — the hash proves the "
+        "build/probe split returns bit-identical results to the "
+        "monolithic in-query index, and in_exact10 carries recall "
+        "in-plan. This is the 100 TB serving shape: probes touch "
+        "nprobe/nlist of the postings and shuffle anchor-sized data."
+    ),
+    tags=("extension", "similarity", "ann", "index"),
+)
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, meta = build_index(spark, sf_dir)  # reuse if persisted
+    return _probe_plan(spark, sf_dir, path, meta)
+
+
+@register(
+    "q_ann_index_append",
+    oracle=_ivfpq_prefix_sql(
+        base_cond=f"vec_id < ({_BASE_N_SQL})"
+    ) + _probe_select_sql(flag_append=True, base_n_sql=_BASE_N_SQL),
+    doc=(
+        "Persisted-ANN-index INCREMENTAL APPEND (VERDICT r12 #2): an "
+        "index built over the first 7/8 of the corpus (params + Lloyd "
+        "training frozen at build time) ingests the final eighth by "
+        "encoding the new vectors against the PERSISTED codebooks — "
+        "read back from parquet, no retrain, no rewrite of the base "
+        "postings; the new codes land as a separate postings segment. "
+        "The probe then serves the merged index; from_append flags "
+        "retrieved appended vectors and in_exact10 carries recall, so "
+        "the drift-vs-retrain trade is measured data (curve: "
+        "tools/curve_append_recall.py -> SCALE.md). The oracle replays "
+        "base-restricted training + full-corpus encode + probe; "
+        "encoding against frozen codebooks is per-vector math, so the "
+        "replay is exact. At 100 TB this is the only affordable "
+        "ingest: append cost ~ new-segment size, probes pay one extra "
+        "segment scan until compaction."
+    ),
+    tags=("extension", "similarity", "ann", "index"),
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_all = _vecs(spark, sf_dir).count()
+    base_n = (_BASE_NUM * n_all) // _BASE_DEN
+    path, meta = build_index(spark, sf_dir, base_n=base_n)
+    path, meta = append_to_index(spark, sf_dir, path, meta)
+    return _probe_plan(spark, sf_dir, path, meta, with_delta=True, flag_append=True)

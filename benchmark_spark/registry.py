@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "benchmark_spark.llm.corpus",
     "benchmark_spark.llm.dedup",
     "benchmark_spark.llm.similarity",
+    "benchmark_spark.llm.ann_index",
     "benchmark_spark.llm.selection",
     "benchmark_spark.llm.text",
     "benchmark_spark.llm.graph",
@@ -102,7 +103,7 @@ _PRIORITY = (
     "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
     "q_broadcast_join", "q_semi", "q_outer", "q_range_join",
     "q_asof", "q_rank_funcs", "q_sliding_frame", "q_topk",
-    "q_sort_multi", "q_value_funcs", "q_union_all", "q_union",
+    "q_sort_multi", "q_value_funcs", "q_union",
     "q_intersect", "q_except", "q_intersect_all", "q_except_all",
     "q4_two_step", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
     "q_textstats", "q_langid", "q_curation_pipeline", "q_string",
@@ -112,8 +113,11 @@ _PRIORITY = (
     "q_dedup_clusters", "q_binary_meta", "q_multimodal_features",
     "q_stream_dedup", "q_scalar_udf", "q_pandas_udf",
     "q_grouped_agg_udf", "q_udtf", "q_pipe_wordcount",
-    # --- the 2 oldest r8-evidence rows (registry order) ---
-    "q1_scan", "q2_agg",
+    # --- new in round 13, entering through the window (displacing the
+    # 2 r8 fill rows q1_scan/q2_agg back to the pool, then r7 rows to
+    # the r14 deferral list — q_union_all first; the r11/r12
+    # precedent): the persisted-ANN-index lifecycle (VERDICT r12 #2)
+    "q_ann_index_build", "q_ann_index_probe", "q_ann_index_append",
 )
 
 

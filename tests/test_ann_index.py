@@ -1,0 +1,117 @@
+"""Persisted ANN index lifecycle (llm/ann_index.py, VERDICT r12 #2):
+build-once reuse, frozen-codebook append, atomic publish."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from benchmark_spark.llm import ann_index as ai
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from benchmark_spark.session import get_spark
+
+    s = get_spark("tests-ann-index", shuffle_partitions=4,
+                  extra_conf={"spark.locality.wait": "0s"})
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_build_is_reused_not_retrained(spark):
+    """build-once/probe-many: a second build_index call with the
+    artifact present returns WITHOUT retraining — the manifest file's
+    mtime (and the whole artifact) is untouched."""
+    path, meta = ai.build_index(spark, SF, force=True)
+    mt = os.path.getmtime(ai._manifest_path(path))
+    path2, meta2 = ai.build_index(spark, SF)
+    assert path2 == path and meta2 == meta
+    assert os.path.getmtime(ai._manifest_path(path)) == mt
+
+
+def test_manifest_params_match_sizing_rule(spark):
+    path, meta = ai.build_index(spark, SF)
+    n = meta["n"]
+    from benchmark_spark.llm.similarity import _ivfpq_params
+
+    assert (meta["nlist"], meta["nprobe"], meta["train"]) == _ivfpq_params(n)
+    # postings cover the corpus exactly once
+    post = ai.read_postings(spark, path)
+    assert post.count() == n
+    assert post.select("vec_id").distinct().count() == n
+
+
+def test_probe_plan_prunes_to_probed_lists(spark):
+    """The artifact layout realizes the nprobe/nlist scan bound as
+    partition pruning: every lid is a parquet partition directory."""
+    path, meta = ai.build_index(spark, SF)
+    lids = [
+        d for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("lid=")
+    ]
+    assert len(lids) <= meta["nlist"]
+    assert len(lids) >= 2  # non-degenerate clustering
+
+
+def test_append_freezes_codebooks_and_base_postings(spark):
+    """Incremental append never rewrites the base: coarse/pq parquet
+    and the base postings segment are byte-identical before and after,
+    and the delta segment holds exactly the appended vectors encoded
+    against those frozen codebooks."""
+    n_all = ai._vecs(spark, SF).count()
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    path, meta = ai.build_index(spark, SF, base_n=base_n, force=True)
+
+    def _sig(sub):
+        root = os.path.join(path, sub)
+        return sorted(
+            (os.path.relpath(os.path.join(dp, f), root),
+             os.path.getmtime(os.path.join(dp, f)),
+             os.path.getsize(os.path.join(dp, f)))
+            for dp, _dn, fns in os.walk(root) for f in fns
+        )
+
+    before = {s: _sig(s) for s in ("coarse", "pq", "postings")}
+    path, meta = ai.append_to_index(spark, SF, path, meta)
+    assert {s: _sig(s) for s in ("coarse", "pq", "postings")} == before
+    delta = ai.read_postings(spark, path, with_delta=True).filter(
+        F.col("vec_id") >= base_n
+    )
+    assert delta.count() == n_all - base_n
+    # idempotent: a second append reuses the segment
+    mt = os.path.getmtime(ai._manifest_path(path))
+    path2, meta2 = ai.append_to_index(spark, SF, path, meta)
+    assert meta2.get("appended") and os.path.getmtime(ai._manifest_path(path)) == mt
+
+
+def test_append_probe_retrieves_appended_vectors(spark):
+    """The merged probe actually serves appended vectors: the fixture's
+    top-10s include at least one neighbor with vec_id >= base_n, and
+    from_append flags exactly those rows."""
+    from benchmark_spark.llm.ann_index import q_ann_index_append
+
+    rows = q_ann_index_append(spark, SF).collect()
+    n_all = ai._vecs(spark, SF).count()
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    assert len(rows) == 50
+    assert all(bool(r.from_append) == (r.neighbor_id >= base_n) for r in rows)
+    assert any(r.from_append for r in rows)
+
+
+def test_atomic_publish_leaves_no_tmp_dirs(spark):
+    ai.build_index(spark, SF, force=True)
+    leftovers = [d for d in os.listdir(ai._ROOT) if d.startswith("tmp-")]
+    assert leftovers == []
+
+
+def test_corrupt_manifest_triggers_rebuild(spark):
+    path, _ = ai.build_index(spark, SF)
+    with open(ai._manifest_path(path), "w") as f:
+        f.write("{not json")
+    path2, meta2 = ai.build_index(spark, SF)
+    assert path2 == path
+    assert json.load(open(ai._manifest_path(path)))["nlist"] == meta2["nlist"]

@@ -37,7 +37,11 @@ REWRITTEN_IN_WINDOW = set()
 # rows must enter through the window; the r11/r12 precedent). Only
 # these rows may sit outside the window with evidence STALER than the
 # boundary; they are first in line for the r14 cut.
-DEFERRED_TO_R14 = set()
+DEFERRED_TO_R14 = {
+    # displaced when the persisted-ANN-index tier (q_ann_index_build/
+    # probe/append, VERDICT r12 #2) entered the window:
+    "q_union_all",
+}
 
 
 def _green(res):
