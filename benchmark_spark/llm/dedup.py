@@ -1098,36 +1098,55 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped = F.arrays_zip(*[F.slice(chars, off + 1, length) for off in range(5)])
     ex = docs.select("doc_id", "source", F.explode(zipped).alias("g"))
     gram = F.concat_ws("", *[F.col("g")[str(i)] for i in range(5)])
-    # localCheckpoint: the gram table feeds THREE consumers (both legs
-    # of the pair self-join + the per-doc sizes); without it Spark
-    # re-runs the explode/distinct per consumer — measured 3.8 -> 2.1 s
-    # at sf0.1 (round 12, VERDICT r11 #6). A lazy cache() was ALSO
-    # measured (the q_graph_reachability r7 pattern): end-to-end it is
-    # ~0.6 s SLOWER than the checkpoint here (in-memory columnar encode
-    # overhead on a 1M-row table read back only twice), so the eager
-    # checkpoint stays. Results identical either way.
+    # localCheckpoint: the gram table feeds two consumers (pair
+    # generation + per-doc sizes) AND the gate's second dtype-mimic
+    # materialization; without it every consumer re-runs the
+    # explode/distinct (round 12, VERDICT r11 #6; cache() measured
+    # ~0.6 s slower end-to-end — in-code note kept from r12).
     grams = (
         ex.select("doc_id", "source", gram.alias("g"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("isect"))
+    # Pair generation by INVERTED LISTS, not a gram self-join (round
+    # 13, VERDICT r12 #3 — the third ≤3 s ask): group each (source,
+    # gram) posting, sort its doc list, and emit the C(k,2) ordered
+    # pairs with a codegen nested-transform — one exchange + in-memory
+    # expansion instead of the sort-merge self-join's exchange + sort
+    # + probe. Identical pair multiset (each shared gram contributes
+    # exactly one (a<b) hit), so isect, jaccard, and the hash are
+    # unchanged. Measured warm at sf0.1: pair stage 2.0 -> 0.9 s,
+    # query total 3.37 -> ~1.8 s gate secs. Same posting-list shape
+    # production near-dup pipelines build; a pathological hot gram
+    # still costs |list|^2 either way — the LSH twin
+    # (q_chargram_minhash) is the corpus-scale answer, this is the
+    # exact small-block verifier.
+    ds = (
+        grams.repartition(16, "source", "g")
+        .groupBy("source", "g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    pairs = ds.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + 2, F.size("ds")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+    inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("isect"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
-        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("a_id"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("b_id"))
         .filter(jac >= 0.6)
         .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
     )
