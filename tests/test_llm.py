@@ -1110,3 +1110,82 @@ def test_containment_catches_planted_snippets_jaccard_misses(spark):
     )
     for r in planted:
         assert r["containment"] >= 0.97  # snippet shingles ~all contained
+
+
+def test_mfcc_stft_leakage_bounds_pinned():
+    """VERDICT r12 #4: the Hann-STFT verdict bounds are PINNED against
+    a fresh numpy recompute over a doc_id sweep — measured max
+    deviations sit well under the registered tolerances, and the
+    rectangular-window reference sits far OUTSIDE the dev bound (a
+    wrong window cannot pass the verdict)."""
+    import math
+
+    import numpy as np
+
+    from benchmark_spark.llm.multimodal import (
+        _MEL_N,
+        _STFT_DEV_TOL,
+        _STFT_FRAMES,
+        _STFT_HOP,
+        _STFT_LEAK_TOL,
+        _STFT_WIN,
+        _hann_mfcc_reference,
+        _mel_weight,
+        synth_tone_continuous,
+    )
+
+    n = np.arange(_STFT_WIN)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / _STFT_WIN)
+    w = [[_mel_weight(f, k) for k in range(33)] for f in range(_MEL_N)]
+    worst_leak = worst_dev = 0.0
+    worst_rect = 1e9
+    for d in range(0, 203, 7):  # covers every k residue (29 | sweep)
+        _r, _c, samples = synth_tone_continuous(d)
+        x = np.asarray(samples, dtype=np.float64)
+        k = 2 + d % 29
+        ref = _hann_mfcc_reference(k)
+        rect = [
+            sum(
+                math.cos(math.pi * ni * (f + 0.5) / _MEL_N)
+                * math.log(1.0 + _mel_weight(f, k))
+                for f in range(_MEL_N)
+            )
+            for ni in (1, 2, 3)
+        ]
+        for fr in range(_STFT_FRAMES):
+            seg = x[fr * _STFT_HOP : fr * _STFT_HOP + _STFT_WIN]
+            power = np.abs(np.fft.rfft(hann * seg)) ** 2
+            dom = int(np.argmax(power[1:]) + 1)
+            assert dom == k
+            p = float(power[dom])
+            worst_leak = max(
+                worst_leak,
+                abs(power[dom - 1] / p - 0.25),
+                abs(power[dom + 1] / p - 0.25),
+            )
+            loge = [
+                math.log(1.0 + sum(w[f][kk] * power[kk] for kk in range(33)) / p)
+                for f in range(_MEL_N)
+            ]
+            frame_rect = 0.0  # dev_ok is a MAX over the 3 coefficients
+            for ni in (1, 2, 3):
+                c = sum(
+                    math.cos(math.pi * ni * (f + 0.5) / _MEL_N) * loge[f]
+                    for f in range(_MEL_N)
+                )
+                worst_dev = max(worst_dev, abs(c - ref[ni - 1]))
+                frame_rect = max(frame_rect, abs(c - rect[ni - 1]))
+            worst_rect = min(worst_rect, frame_rect)
+    assert worst_leak <= _STFT_LEAK_TOL / 10  # 1.8e-5 measured vs 2e-3
+    assert worst_dev <= _STFT_DEV_TOL / 10  # 1.2e-5 measured vs 5e-4
+    assert worst_rect > 10 * _STFT_DEV_TOL  # rect reference is detectable
+
+
+def test_mfcc_stft_verdicts_all_green(spark):
+    from benchmark_spark.llm.multimodal import _STFT_FRAMES
+
+    rows = SPECS["q_mfcc_stft"].fn(spark, SF_SMOKE).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == n_docs * _STFT_FRAMES
+    assert all(r["leak_ok"] == 1 and r["dev_ok"] == 1 for r in rows)
+    assert all(r["dom_bin"] == 2 + r["doc_id"] % 29 for r in rows)

@@ -41,6 +41,8 @@ DEFERRED_TO_R14 = {
     # displaced when the persisted-ANN-index tier (q_ann_index_build/
     # probe/append, VERDICT r12 #2) entered the window:
     "q_union_all",
+    # ...and the Hann-STFT front end (q_mfcc_stft, VERDICT r12 #4):
+    "q_intersect_all",
 }
 
 
