@@ -104,7 +104,7 @@ _PRIORITY = (
     "q_broadcast_join", "q_semi", "q_outer", "q_range_join",
     "q_asof", "q_rank_funcs", "q_sliding_frame", "q_topk",
     "q_sort_multi", "q_value_funcs", "q_union",
-    "q_intersect", "q_except", "q_except_all",
+    "q_intersect", "q_except",
     "q4_two_step", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
     "q_textstats", "q_langid", "q_curation_pipeline", "q_string",
     "q_date", "q_math", "q_cond", "q_array",
@@ -121,6 +121,9 @@ _PRIORITY = (
     # ...and the Hann-windowed overlapping STFT front end (VERDICT r12
     # #4), displacing q_intersect_all:
     "q_mfcc_stft",
+    # ...and txlog column mapping (VERDICT r12 #5), displacing
+    # q_except_all:
+    "q_txlog_column_mapping",
 )
 
 

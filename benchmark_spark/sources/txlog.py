@@ -1428,6 +1428,212 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- column mapping (round 13, VERDICT r12 #5) -----------------------------
+# Delta-column-mapping analog: every logical column owns a STABLE
+# physical name ("c0", "c1", ... assigned at create), data files are
+# written under physical names only, and the metaData schema carries
+# the logical->physical map. Rename and drop are then METADATA-ONLY
+# commits (no add/remove actions, zero data movement — the property
+# that makes schema evolution affordable at 100 TB), time travel
+# returns the logical names live AT THAT VERSION, and files written
+# before a rename read correctly after it because nothing about them
+# changed.
+
+
+def mapped_fields(df: DataFrame, physical: dict[str, str]) -> list[dict]:
+    """metaData schema entries with logical->physical indirection."""
+    return [
+        {"name": f.name, "physical": physical[f.name],
+         "type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+
+
+def to_physical(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Project logical columns to their physical names for writing."""
+    return df.select(
+        *[F.col(c["name"]).alias(c["physical"]) for c in fields]
+    )
+
+
+def read_with_mapping(
+    spark: SparkSession, table: TxLogTable, version: int | None = None
+) -> DataFrame:
+    """Snapshot read honoring the logical->physical map at `version`:
+    files (physical names; mergeSchema unions segments written before
+    a column was dropped with ones written after) are projected to the
+    LOGICAL schema live at that version — a pre-rename time travel
+    returns the old names, a post-drop read cannot see the dropped
+    column even though its bytes are still in the old files."""
+    schema = txlog_schema_at(table, version)
+    files = table.snapshot_files(version)
+    if not files:
+        raise ValueError(f"empty table snapshot at version {version}")
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return df.select(
+        *[F.col(c["physical"]).alias(c["name"]) for c in schema]
+    )
+
+
+@register(
+    "q_txlog_column_mapping",
+    oracle=f"""
+        WITH mx AS (SELECT max(o_orderkey) + 1 AS off FROM orders),
+        v1rows AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            UNION ALL
+            SELECT o_orderkey + off, 'A', o_totalprice + 1.5
+            FROM orders, mx WHERE o_orderkey % 43 = 0
+        ),
+        finalrows AS (
+            SELECT o_orderkey, o_totalprice FROM v1rows
+            UNION ALL
+            SELECT o_orderkey + 2 * off, o_totalprice + 2.25
+            FROM orders, mx WHERE o_orderkey % 47 = 0
+        ),
+        fin AS (
+            SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                                 AS BIGINT) % 1000003) AS BIGINT) AS fp,
+                   {dsum_sql('o_totalprice', 2)} AS total
+            FROM finalrows GROUP BY 1
+        ),
+        v1 AS (
+            SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+                   {dsum_sql('o_totalprice', 2)} AS total_v1,
+                   CAST(SUM(CAST('0x' || substring(md5(o_orderstatus), 1, 15)
+                                 AS BIGINT) % 1000003) AS BIGINT) AS status_fp_v1
+            FROM v1rows GROUP BY 1
+        )
+        SELECT fin.bucket, fin.n, fin.fp, fin.total,
+               v1.total_v1, v1.status_fp_v1,
+               CAST(2 AS BIGINT) AS n_cols_final,
+               CAST(3 AS BIGINT) AS n_cols_v1
+        FROM fin JOIN v1 USING (bucket)
+    """,
+    doc=(
+        "COLUMN MAPPING through the transaction log (round 13, VERDICT "
+        "r12 #5 — the Delta column-mapping / Iceberg field-ID analog "
+        "that makes rename/drop safe under readers of old snapshots): "
+        "v0 creates the table with logical->physical indirection "
+        "(o_orderkey->c0, o_orderstatus->c1, o_totalprice->c2; data "
+        "files carry ONLY physical names), v1 appends, v2 RENAMES "
+        "o_totalprice to price and v3 DROPS o_orderstatus — both "
+        "metadata-only commits with zero add/remove actions and zero "
+        "data movement — then v4 appends a post-drop segment whose "
+        "files physically lack c1. The output joins the FINAL mapped "
+        "read (logical o_orderkey/price over mixed pre- and post-drop "
+        "files) with a TIME TRAVEL to v1 (pre-rename names, dropped "
+        "column readable, its value fingerprint hashed) and carries "
+        "both logical column counts as data — a rename that rewrote "
+        "files, a drop that leaked, or a time travel that showed the "
+        "new names would each break the hash. Pinned structurally in "
+        "tests/test_txlog.py (physical footers stable across rename, "
+        "metadata-only commit actions)."
+    ),
+    tags=("source", "maintenance", "txlog"),
+)
+def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _orders_base(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    physical = {"o_orderkey": "c0", "o_orderstatus": "c1", "o_totalprice": "c2"}
+    fields_v0 = mapped_fields(base, physical)
+    path = _fresh_table_dir("colmap")
+    os.makedirs(path, exist_ok=True)
+    t = TxLogTable(path)
+    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    off = int(hi) + 1
+    width = max(1, (int(hi) - int(lo) + 2) // 2)
+    slices = [
+        to_physical(
+            base.filter(
+                (F.col("o_orderkey") >= int(lo) + i * width)
+                & (F.col("o_orderkey") < int(lo) + (i + 1) * width)
+            ),
+            fields_v0,
+        )
+        for i in range(2)
+    ]
+    t.commit(
+        t._write_files(spark, slices, ("c0",)),
+        op="create",
+        extra={"metaData": {"schema": fields_v0}},
+    )
+    append1 = base.filter(F.col("o_orderkey") % 43 == 0).select(
+        (F.col("o_orderkey") + off).alias("o_orderkey"),
+        F.lit("A").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.5).alias("o_totalprice"),  # dyadic: IEEE-exact
+    )
+    t.commit(
+        t._write_files(spark, [to_physical(append1, fields_v0)], ("c0",)),
+        op="append",
+        extra={"metaData": {"schema": fields_v0}},
+    )
+    # v2: RENAME o_totalprice -> price. Metadata-only: logical name
+    # changes, physical c2 (and every data file) untouched.
+    fields_v2 = [
+        dict(c, name="price") if c["name"] == "o_totalprice" else c
+        for c in fields_v0
+    ]
+    t.commit([], op="rename-column", extra={"metaData": {"schema": fields_v2}})
+    # v3: DROP o_orderstatus. Metadata-only: c1's bytes stay in the old
+    # files, invisible to mapped reads from here on.
+    fields_v3 = [c for c in fields_v2 if c["name"] != "o_orderstatus"]
+    t.commit([], op="drop-column", extra={"metaData": {"schema": fields_v3}})
+    # v4: post-drop append — its files physically lack c1 entirely.
+    append2 = base.filter(F.col("o_orderkey") % 47 == 0).select(
+        (F.col("o_orderkey") + 2 * off).alias("o_orderkey"),
+        (F.col("o_totalprice") + 2.25).alias("price"),  # dyadic: IEEE-exact
+    )
+    t.commit(
+        t._write_files(spark, [to_physical(append2, fields_v3)], ("c0",)),
+        op="append",
+        extra={"metaData": {"schema": fields_v3}},
+    )
+
+    fp_key = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    fin = (
+        read_with_mapping(spark, t)
+        .groupBy((F.col("o_orderkey") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fp_key).alias("fp"),
+            dsum(F.col("price"), 2).alias("total"),
+        )
+    )
+    fp_status = (
+        F.conv(F.substring(F.md5(F.col("o_orderstatus")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000003
+    )
+    v1 = (
+        read_with_mapping(spark, t, version=1)
+        .groupBy((F.col("o_orderkey") % 5).alias("bucket"))
+        .agg(
+            dsum(F.col("o_totalprice"), 2).alias("total_v1"),
+            F.sum(fp_status).alias("status_fp_v1"),
+        )
+    )
+    n_cols_final = len(txlog_schema_at(t))
+    n_cols_v1 = len(txlog_schema_at(t, 1))
+    return fin.join(v1, "bucket").select(
+        "bucket",
+        "n",
+        "fp",
+        "total",
+        "total_v1",
+        "status_fp_v1",
+        F.lit(n_cols_final).cast("long").alias("n_cols_final"),
+        F.lit(n_cols_v1).cast("long").alias("n_cols_v1"),
+    )
+
+
 @register(
     "q_txlog_vacuum",
     oracle=f"""

@@ -43,6 +43,9 @@ DEFERRED_TO_R14 = {
     "q_union_all",
     # ...and the Hann-STFT front end (q_mfcc_stft, VERDICT r12 #4):
     "q_intersect_all",
+    # ...and txlog column mapping (q_txlog_column_mapping, VERDICT
+    # r12 #5):
+    "q_except_all",
 }
 
 
