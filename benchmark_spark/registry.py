@@ -103,7 +103,7 @@ _PRIORITY = (
     "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
     "q_broadcast_join", "q_semi", "q_outer", "q_range_join",
     "q_asof", "q_rank_funcs", "q_sliding_frame", "q_topk",
-    "q_sort_multi", "q_value_funcs", "q_union",
+    "q_sort_multi", "q_union",
     "q_intersect", "q_except",
     "q4_two_step", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
     "q_textstats", "q_langid", "q_curation_pipeline", "q_string",
@@ -124,6 +124,9 @@ _PRIORITY = (
     # ...and txlog column mapping (VERDICT r12 #5), displacing
     # q_except_all:
     "q_txlog_column_mapping",
+    # ...and density-scheduled DBSCAN (VERDICT r12 #8), displacing
+    # q_value_funcs:
+    "q_dbscan_scheduled",
 )
 
 

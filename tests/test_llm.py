@@ -1189,3 +1189,20 @@ def test_mfcc_stft_verdicts_all_green(spark):
     assert len(rows) == n_docs * _STFT_FRAMES
     assert all(r["leak_ok"] == 1 and r["dev_ok"] == 1 for r in rows)
     assert all(r["dom_bin"] == 2 + r["doc_id"] % 29 for r in rows)
+
+
+def test_dbscan_scheduled_is_scale_stable(spark):
+    """VERDICT r12 #8: the eps ~ N^(-1/2) schedule keeps the planted
+    shell NOISE-dominated where fixed eps reclassifies it core, and
+    every blob point stays core. The derived eps_u must match the
+    driver-side schedule."""
+    from benchmark_spark.llm.selection import _dbscan_sched_eps
+
+    rows = SPECS["q_dbscan_scheduled"].fn(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert all(r["eps_u"] == _dbscan_sched_eps(n) for r in rows)
+    blob = [r for r in rows if r["label"] >= 0]
+    shell = [r for r in rows if r["label"] == -1]
+    assert all(r["cls"] == "core" for r in blob)
+    noise = sum(r["cls"] == "noise" for r in shell)
+    assert noise / len(shell) >= 0.85  # measured 44/50 (sf0.001), 50/50 (sf0.01)

@@ -46,6 +46,9 @@ DEFERRED_TO_R14 = {
     # ...and txlog column mapping (q_txlog_column_mapping, VERDICT
     # r12 #5):
     "q_except_all",
+    # ...and density-scheduled DBSCAN (q_dbscan_scheduled, VERDICT
+    # r12 #8):
+    "q_value_funcs",
 }
 
 
