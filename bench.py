@@ -140,6 +140,11 @@ def main() -> None:
     }
     if floor is not None:
         payload["floor_sec"] = floor
+        # VERDICT r12 #7: the same probe under its contract name — a
+        # zero-work one-row/one-partition action timed interleaved with
+        # the headline queries, so the driver artifact carries the
+        # floor/work split as measured data, not a builder claim.
+        payload["noop_action_sec"] = floor
         # floor-normalized work term (VERDICT.md r5 item 4): total minus
         # one zero-work action floor per query. The floor (py4j round
         # trip + job scheduling + Arrow collect on this host) swung +51%
