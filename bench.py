@@ -171,6 +171,22 @@ def main() -> None:
             specs["q_knn_ivfpq"].fn(spark, sf_dir).toPandas()
             ivf_ts.append(time.perf_counter() - t0)
         payload["ivfpq_sec"] = round(statistics.median(ivf_ts), 4)
+        # Persisted-index serving sidecar (round 13, VERDICT r12 #2):
+        # the SAME result set as ivfpq_sec (q_ann_index_probe shares
+        # q_knn_ivfpq's oracle), served from the artifact — training
+        # amortized into a one-time build that is NOT in the timed
+        # loop. ivfpq_sec - ann_probe_sec is the per-query price of
+        # retraining, i.e. what the index lifecycle buys.
+        from benchmark_spark.llm.ann_index import build_index
+
+        build_index(spark, sf_dir)  # ensure artifact (reused if present)
+        specs["q_ann_index_probe"].fn(spark, sf_dir).toPandas()  # warm-up
+        probe_ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs["q_ann_index_probe"].fn(spark, sf_dir).toPandas()
+            probe_ts.append(time.perf_counter() - t0)
+        payload["ann_probe_sec"] = round(statistics.median(probe_ts), 4)
     if disk_queries is not None:
         payload["disk_queries"] = disk_queries
         payload["disk_total"] = round(sum(disk_queries.values()), 4)
