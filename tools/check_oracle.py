@@ -136,8 +136,13 @@ def main() -> int:
             "queries_run": len(specs),
             "passed": len(specs) - failures,
             "failed": failures,
-            "oracle_cache_hits": cache.hits if cache is not None else None,
-            "oracle_cache_misses": cache.misses if cache is not None else None,
+            # with --no-cache the cache is disabled entirely: hits are
+            # 0 by construction (every oracle replayed fresh), and the
+            # explicit flag records that this artifact end-to-end
+            # proves the results without any cache involvement
+            "oracle_cache_hits": cache.hits if cache is not None else 0,
+            "oracle_cache_misses": cache.misses if cache is not None else 0,
+            "oracle_cache": "enabled" if cache is not None else "disabled",
         }
         with open(json_out, "w") as f:
             json.dump({"_summary": summary, **artifact}, f, indent=1)
