@@ -132,7 +132,7 @@ _EDGES_CTE = """
         JOIN embeddings ea ON ea.vec_id = c.a_id
         JOIN embeddings eb ON eb.vec_id = c.vec_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT a_id AS src, vec_id AS dst
         FROM (SELECT a_id, vec_id,
                      row_number() OVER (PARTITION BY a_id
@@ -140,8 +140,8 @@ _EDGES_CTE = """
               FROM scored)
         WHERE rn <= 3
     ),
-    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
     r0 AS (
         SELECT vec_id, CAST({mass} // n.n AS BIGINT) AS rank
         FROM embeddings CROSS JOIN n
@@ -244,11 +244,11 @@ _TRIANGLE_ORACLE = (
     "WITH "
     + _EDGES_CTE.format(mass=MASS)
     + """,
-    und AS (
+    und AS MATERIALIZED (
         SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
         FROM edges
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM und e1
         JOIN und e2 ON e2.u = e1.v
@@ -350,7 +350,7 @@ def _ppr_oracle() -> str:
     parts = [
         _EDGES_CTE.format(mass=MASS),
         f"""
-    ns AS (SELECT COUNT(*) AS ns FROM embeddings
+    ns AS MATERIALIZED (SELECT COUNT(*) AS ns FROM embeddings
            WHERE vec_id % {SEED_MOD} = {SEED_RESIDUE}),
     s0 AS (
         SELECT vec_id,
