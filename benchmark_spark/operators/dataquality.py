@@ -361,35 +361,46 @@ _FUZZY_MIN_BP = 3000  # Jaccard >= 0.30 to accept a match
         ), clean AS (
             SELECT p_partkey AS ck, p_name AS cname FROM part
         ), dtri AS (
-            SELECT dk, orig, tri, COUNT(*) OVER (PARTITION BY dk) AS na
-            FROM (SELECT DISTINCT dk, orig,
-                         unnest(list_transform(range(1, length(dname) - 1),
-                                               i -> substring(dname, CAST(i AS INT), 3))) AS tri
-                  FROM dirty)
+            -- keys-only trigram rows: the hot-trigram pair join fans
+            -- out ~240M rows at sf0.1, and dragging the name strings
+            -- and windowed counts through that aggregation (ANY_VALUE
+            -- per 240M-row group input) was the dominant fresh-replay
+            -- cost (60 s -> ~20 s, round 13); sizes and names join
+            -- back AFTER the per-key cut instead. Keep dtri/ctri
+            -- INLINE: materializing the fan-out sides serializes the
+            -- pair join (80 s measured — the r8 minhash lesson).
+            SELECT DISTINCT dk,
+                   unnest(list_transform(range(1, length(dname) - 1),
+                                         i -> substring(dname, CAST(i AS INT), 3))) AS tri
+            FROM dirty
         ), ctri AS (
-            SELECT ck, cname, tri, COUNT(*) OVER (PARTITION BY ck) AS nb
-            FROM (SELECT DISTINCT ck, cname,
-                         unnest(list_transform(range(1, length(cname) - 1),
-                                               i -> substring(cname, CAST(i AS INT), 3))) AS tri
-                  FROM clean)
-        ), pairs AS (
-            SELECT d.dk, ANY_VALUE(d.orig) AS orig, c.ck, ANY_VALUE(c.cname) AS cname,
-                   COUNT(*) * 10000
-                       // (ANY_VALUE(d.na) + ANY_VALUE(c.nb) - COUNT(*)) AS jacc_bp
+            SELECT DISTINCT ck,
+                   unnest(list_transform(range(1, length(cname) - 1),
+                                         i -> substring(cname, CAST(i AS INT), 3))) AS tri
+            FROM clean
+        ), dna AS MATERIALIZED (SELECT dk, COUNT(*) AS na FROM dtri GROUP BY dk),
+        cnb AS MATERIALIZED (SELECT ck, COUNT(*) AS nb FROM ctri GROUP BY ck),
+        pairs AS (
+            SELECT d.dk, c.ck, COUNT(*) AS isect
             FROM dtri d JOIN ctri c USING (tri)
             GROUP BY d.dk, c.ck
+        ), scored AS (
+            SELECT p.dk, p.ck,
+                   p.isect * 10000 // (a.na + b.nb - p.isect) AS jacc_bp
+            FROM pairs p JOIN dna a USING (dk) JOIN cnb b USING (ck)
         ), best AS (
-            SELECT dk, ck AS matched_key, jacc_bp,
-                   CAST(cname = orig AS INT) AS name_correct
-            FROM pairs
+            SELECT dk, ck AS matched_key, jacc_bp
+            FROM scored
             QUALIFY row_number() OVER (PARTITION BY dk
                                        ORDER BY jacc_bp DESC, ck) = 1
         )
-        SELECT dk AS p_partkey, matched_key,
-               CAST(jacc_bp AS BIGINT) AS jacc_bp,
-               CAST(name_correct AS BIGINT) AS name_correct
-        FROM best
-        WHERE jacc_bp >= {_FUZZY_MIN_BP}
+        SELECT b.dk AS p_partkey, b.matched_key,
+               CAST(b.jacc_bp AS BIGINT) AS jacc_bp,
+               CAST(CAST(cl.cname = di.orig AS INT) AS BIGINT) AS name_correct
+        FROM best b
+        JOIN dirty di ON di.dk = b.dk
+        JOIN clean cl ON cl.ck = b.matched_key
+        WHERE b.jacc_bp >= {_FUZZY_MIN_BP}
         ORDER BY p_partkey
     """,
     doc=(
