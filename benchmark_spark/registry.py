@@ -86,47 +86,38 @@ def register(
 # on the window rotates by EVIDENCE AGE so independent driver proof
 # stays fresh (CORRECTNESS_r07: 50/50 hash-green on the r1-r3 tiers).
 _PRIORITY = (
-    # Round-13 re-cut (VERDICT r12 #1): rotation lap 2 finishes. The
-    # window = the COMPLETE 48-row r7-evidence tier (the DEFERRED_R7
-    # rows of the r12 cut, gate-green every round but last
-    # driver-proved in round 7) + the 2 oldest r8-evidence rows in
-    # registry order (q1_scan, q2_agg) to fill the 50. New queries
-    # added later this round (the persisted-ANN-index tier, STFT
-    # MFCC, txlog column mapping, scheduled-eps DBSCAN — VERDICT r12
-    # #2/#4/#5/#8) enter through the window by displacing rows,
-    # freshest evidence first: the 2 r8 rows go back to the pool,
-    # then r7 rows move to the r14 deferral list (the r11/r12
-    # in-session precedent). Everything displaced stays checked by
-    # the local full gate (tools/check_oracle.py at sf0.01 +
+    # Round-14 re-cut (VERDICT r13 #1): rotation lap 3 opens. The
+    # window = the 4 DEFERRED_TO_R14 rows (displaced mid-r13 when the
+    # new queries entered; last driver-proved in round 7) + the 46
+    # oldest r8-evidence rows in registry order. The 2 remaining
+    # r8-evidence rows (q_video_frames, q_funnel) stay in the pool —
+    # they ARE the boundary tier, first in line for the r15 cut. New
+    # queries added later this round enter through the window by
+    # displacing rows, freshest evidence first: r8 rows at the window
+    # tail go back to the pool (the r13 q1_scan/q2_agg precedent;
+    # they rejoin the boundary tier, no deferral needed because the
+    # staleness boundary is r8). Everything displaced stays checked
+    # by the local full gate (tools/check_oracle.py at sf0.01 +
     # GATE_sf01 at 10x driver scale).
-    # --- the complete r7-evidence tier, registry order ---
-    "q_pred_mix", "q_agg_funcs", "q_incremental_agg", "q_join_multi",
-    "q_broadcast_join", "q_semi", "q_outer", "q_range_join",
-    "q_asof", "q_rank_funcs", "q_sliding_frame", "q_topk",
-    "q_sort_multi", "q_union",
-    "q_intersect", "q_except",
-    "q4_two_step", "q_ann_lsh", "q_ann_ivf", "q_dedup_embed_lsh",
-    "q_textstats", "q_langid", "q_curation_pipeline", "q_string",
-    "q_date", "q_math", "q_cond", "q_array",
-    "q_json", "q_cast", "q_hash", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_minhash_capped", "q_dedup_simhash",
-    "q_dedup_clusters", "q_binary_meta", "q_multimodal_features",
-    "q_stream_dedup", "q_scalar_udf", "q_pandas_udf",
-    "q_grouped_agg_udf", "q_udtf", "q_pipe_wordcount",
-    # --- new in round 13, entering through the window (displacing the
-    # 2 r8 fill rows q1_scan/q2_agg back to the pool, then r7 rows to
-    # the r14 deferral list — q_union_all first; the r11/r12
-    # precedent): the persisted-ANN-index lifecycle (VERDICT r12 #2)
-    "q_ann_index_build", "q_ann_index_probe", "q_ann_index_append",
-    # ...and the Hann-windowed overlapping STFT front end (VERDICT r12
-    # #4), displacing q_intersect_all:
-    "q_mfcc_stft",
-    # ...and txlog column mapping (VERDICT r12 #5), displacing
-    # q_except_all:
-    "q_txlog_column_mapping",
-    # ...and density-scheduled DBSCAN (VERDICT r12 #8), displacing
-    # q_value_funcs:
-    "q_dbscan_scheduled",
+    # --- the 4 rows deferred from the r13 cut, registry order ---
+    "q_union_all", "q_intersect_all", "q_except_all", "q_value_funcs",
+    # --- the 46 oldest r8-evidence rows, registry order ---
+    "q1_scan", "q2_agg", "q5_pricing", "q_bool_agg",
+    "q3_join", "q6_window", "q_salted_join", "q_salted_agg",
+    "q4_wordcount", "q8_knn", "q_knn_batch", "q_dedup_embed",
+    "q_centroid", "q_knn_graph", "q_knn_pq", "q_quality",
+    "q_token_regex", "q_tfidf", "q_fingerprint", "q_chunk_dedup",
+    "q_langid_chargram", "q_split_sample", "q_mixture_sample",
+    "q_repetition", "q_decontaminate", "q_pii_redact",
+    "q_csv_source", "q_json_source", "q_merge_upsert", "q_orc_source",
+    "q_partition_prune", "q_scd2", "q_format_text",
+    "q_txlog_snapshot", "q_txlog_time_travel", "q_txlog_prune_stats",
+    "q_txlog_skip_scan", "q_txlog_merge", "q_txlog_stream_ingest",
+    "q_txlog_schema_evolution",
+    # (tail — freshest-in, first displaced when r14's new queries
+    # enter the window)
+    "q_map_funcs", "q_dedup_fingerprint", "q_frame_sample",
+    "q_decode_image", "q_resize_image", "q_decode_audio",
 )
 
 

@@ -19,37 +19,27 @@ import json
 from benchmark_spark.registry import _PRIORITY, all_specs
 
 # Rounds whose CORRECTNESS artifacts existed when this window was cut.
-ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
-# The round-13 cut (VERDICT r12 #1) finishes rotation lap 2: the
-# COMPLETE 48-row r7-evidence tier (the r12 cut's DEFERRED_R7 set,
-# every row whose latest driver proof is round 7), plus the 2 oldest
-# r8-evidence rows in registry order to fill the window; after
-# CORRECTNESS_r13 the oldest driver evidence anywhere rises to r8
-# (save rows displaced mid-round, below). No slot may hold evidence
-# newer than this...
+ROUNDS_SEEN = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+# The round-14 cut (VERDICT r13 #1) opens rotation lap 3: the 4
+# rows the r13 cut deferred to r14 (last driver-proved in round
+# 7) + the 46 oldest r8-evidence rows in registry order. The 2
+# remaining r8-evidence rows (q_video_frames, q_funnel) stay in the
+# pool as the boundary tier, first in line for the r15 cut. No slot
+# may hold evidence newer than this...
 WINDOW_MAX_LATEST_GREEN = 8
 # ...EXCEPT a row whose fixture/plan AND-or oracle were rewritten this
 # round: its old driver evidence validated a different query, so the
 # rewrite re-enters the window regardless of evidence age (the
-# q_apply_in_pandas precedent from the r10 cut). None yet in r13.
+# q_apply_in_pandas precedent from the r10 cut). None yet in r14.
 REWRITTEN_IN_WINDOW = set()
-# Rows displaced mid-round when new r13 queries enter the window (new
-# rows must enter through the window; the r11/r12 precedent). Only
+# Rows displaced mid-round when new r14 queries enter the window (new
+# rows must enter through the window; the r11-r13 precedent). Only
 # these rows may sit outside the window with evidence STALER than the
-# boundary; they are first in line for the r14 cut.
-DEFERRED_TO_R14 = {
-    # displaced when the persisted-ANN-index tier (q_ann_index_build/
-    # probe/append, VERDICT r12 #2) entered the window:
-    "q_union_all",
-    # ...and the Hann-STFT front end (q_mfcc_stft, VERDICT r12 #4):
-    "q_intersect_all",
-    # ...and txlog column mapping (q_txlog_column_mapping, VERDICT
-    # r12 #5):
-    "q_except_all",
-    # ...and density-scheduled DBSCAN (q_dbscan_scheduled, VERDICT
-    # r12 #8):
-    "q_value_funcs",
-}
+# boundary; they are first in line for the r15 cut. New r14 queries
+# displace the window TAIL (r8-evidence rows), which rejoin the pool
+# at exactly the boundary age — so unlike r13's r7-row displacements
+# they need no deferral entry (the r13 q1_scan/q2_agg precedent).
+DEFERRED_TO_R15 = set()
 
 
 def _green(res):
@@ -128,11 +118,11 @@ def test_no_staler_row_left_outside_window():
     """Completeness of the staleness cut: any row whose evidence is
     STRICTLY staler than the boundary must itself be in the window —
     unless it was displaced mid-round by a new query entering the
-    window (then it must be on the explicit r14 deferral list)."""
+    window (then it must be on the explicit r15 deferral list)."""
     greens = _green_rounds()
     window = set(_PRIORITY)
     for name in all_specs():
-        if name in window or name in DEFERRED_TO_R14:
+        if name in window or name in DEFERRED_TO_R15:
             continue
         latest = max(greens[name])
         assert latest >= WINDOW_MAX_LATEST_GREEN, (
@@ -152,7 +142,7 @@ def test_rows_only_in_window_are_all_by_design():
 
 
 def test_deferred_rows_are_exactly_the_displaced_residue():
-    """The r14 deferral list is precisely the set of rows outside the
+    """The r15 deferral list is precisely the set of rows outside the
     window whose evidence is staler than the boundary — no silent
     extra deferral, no stale row forgotten."""
     greens = _green_rounds()
@@ -161,4 +151,4 @@ def test_deferred_rows_are_exactly_the_displaced_residue():
         n for n in all_specs()
         if n not in window and max(greens[n]) < WINDOW_MAX_LATEST_GREEN
     }
-    assert staler_outside == DEFERRED_TO_R14
+    assert staler_outside == DEFERRED_TO_R15
