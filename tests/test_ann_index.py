@@ -115,3 +115,81 @@ def test_corrupt_manifest_triggers_rebuild(spark):
     path2, meta2 = ai.build_index(spark, SF)
     assert path2 == path
     assert json.load(open(ai._manifest_path(path)))["nlist"] == meta2["nlist"]
+
+
+def test_index_key_tracks_fixture_content(spark, tmp_path):
+    """ADVICE r13: the cache key folds a content fingerprint of the
+    embeddings fixture — a regenerated fixture (same row count, new
+    bytes/mtime) gets a NEW key instead of silently reusing a stale
+    index artifact."""
+    import shutil as sh
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    sh.copy(os.path.join(SF, "embeddings.parquet"),
+            d / "embeddings.parquet")
+    k1 = ai._index_key(str(d), 100, None)
+    os.utime(d / "embeddings.parquet", ns=(1, 1))  # simulate a re-gen
+    k2 = ai._index_key(str(d), 100, None)
+    assert k1 != k2
+    # and the key stays stable when nothing changed
+    assert ai._index_key(str(d), 100, None) == k2
+
+
+def test_publish_replace_renames_old_aside(spark, tmp_path):
+    """ADVICE r13: replacing an existing index never deletes in place —
+    the old generation is renamed aside first, and no .old-/tmp-
+    residue survives the publish."""
+    old = tmp_path / "idx"
+    old.mkdir()
+    (old / "manifest.json").write_text("{}")
+    new = tmp_path / "tmp-new"
+    new.mkdir()
+    (new / "manifest.json").write_text('{"fresh": true}')
+    ai._publish(str(new), str(old))
+    assert json.load(open(old / "manifest.json")) == {"fresh": True}
+    assert [p.name for p in tmp_path.iterdir()] == ["idx"]
+
+
+def test_compact_is_lossless_and_immutable(spark):
+    """VERDICT r13 #2: compaction folds base+delta into a NEW
+    generation whose single-segment probe returns row-identical
+    results to the base+delta probe, without touching the source
+    artifact; a second compact call reuses the generation."""
+    n_all = ai._vecs(spark, SF).count()
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    path, meta = ai.build_index(spark, SF, base_n=base_n)
+    path, meta = ai.append_to_index(spark, SF, path, meta)
+
+    def _sig(root):
+        return sorted(
+            (os.path.relpath(os.path.join(dp, f), root),
+             os.path.getmtime(os.path.join(dp, f)),
+             os.path.getsize(os.path.join(dp, f)))
+            for dp, _dn, fns in os.walk(root) for f in fns
+        )
+
+    before = _sig(path)
+    cpath, cmeta = ai.compact_index(spark, path, meta)
+    assert cpath != path and _sig(path) == before
+    assert not cmeta["appended"] and cmeta["compacted_from"] == os.path.basename(path)
+    # single postings segment, covering base + delta exactly once
+    assert not os.path.exists(os.path.join(cpath, "postings_delta"))
+    post = ai.read_postings(spark, cpath)
+    assert post.count() == n_all
+    assert post.select("vec_id").distinct().count() == n_all
+    # served results are row-identical to the base+delta probe
+    merged = sorted(
+        ai._probe_plan(spark, SF, path, meta, with_delta=True,
+                       flag_append=True).collect()
+    )
+    compacted = sorted(
+        ai._probe_plan(spark, SF, cpath, cmeta, with_delta=False,
+                       flag_append=True).collect()
+    )
+    assert compacted == merged
+    # idempotent reuse
+    mt = os.path.getmtime(ai._manifest_path(cpath))
+    cpath2, _ = ai.compact_index(spark, path, meta)
+    assert cpath2 == cpath
+    assert os.path.getmtime(ai._manifest_path(cpath)) == mt
