@@ -465,7 +465,19 @@ def _lsh_ctes(
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     corpus_sql: str = _DOUBLED_CORPUS_SQL,
+    intersect_code_expr: str | None = None,
 ) -> str:
+    # intersect_code_expr (round 14, VERDICT r13 #5): an exact integer
+    # encode of the shingle used ONLY inside the verify intersect.
+    # list_intersect over two ~100-element VARCHAR lists was the
+    # dominant fresh-replay CPU for the char-gram twin (34 of 80
+    # CPU-s at sf0.1: ~10k string compares per candidate pair x 140k
+    # pairs); the same intersect over BIGINTs is ~7x cheaper and the
+    # cardinality is unchanged whenever the encode is injective on the
+    # corpus alphabet (the chargram encode guards this with a loud
+    # error()). Signatures/banding still hash the STRING shingle, so
+    # candidates are bit-identical; only the verify carrier changes.
+    shset_item = intersect_code_expr or "shingle"
     return f"""corpus AS (
         {corpus_sql}
     ),
@@ -494,7 +506,7 @@ def _lsh_ctes(
          AND x.doc_id < y.doc_id
     ),
     doclists AS (
-        SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id
+        SELECT doc_id, list({shset_item}) AS shset FROM sh GROUP BY doc_id
     ),
     inter AS (
         SELECT a_id, b_id,
@@ -1198,8 +1210,30 @@ _CHARGRAM_SHINGLE_SELECT = """SELECT doc_id,
 CHARGRAM_BANDS = 4
 CHARGRAM_ROWS_PER_BAND = 4
 
+# Exact 40-bit integer encode of a <=5-char latin-1 shingle (round 14,
+# VERDICT r13 #5 — see _lsh_ctes.intersect_code_expr): base-256
+# positional code, short shingles NUL-pad (ascii('') = 0). Injective
+# on the corpus alphabet — codepoints above 255 would alias across
+# positions and an embedded NUL would alias with the padding, so both
+# raise a loud error() instead of silently changing the Jaccard. The
+# fixture corpus is pure ASCII (max codepoint 121, all three SFs);
+# the guard makes that an enforced precondition, not an assumption.
+_CHARGRAM_CODE = " + ".join(
+    f"ascii(substring(shingle, {i + 1}, 1)) * {256 ** (4 - i)}" for i in range(5)
+)
+_CHARGRAM_GUARD = (
+    "greatest("
+    + ", ".join(f"ascii(substring(shingle, {i + 1}, 1))" for i in range(5))
+    + ") > 255 OR instr(shingle, chr(0)) > 0"
+)
+_CHARGRAM_CODE_EXPR = (
+    f"CASE WHEN {_CHARGRAM_GUARD} "
+    "THEN error('shingle outside latin-1: 40-bit encode not injective') "
+    f"ELSE {_CHARGRAM_CODE} END"
+)
+
 _CHARGRAM_MINHASH_ORACLE = (
-    f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)}"
+    f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND, intersect_code_expr=_CHARGRAM_CODE_EXPR)}"
     f"{_jaccard_final(0.6)}"
 )
 

@@ -358,48 +358,59 @@ _FUZZY_MIN_BP = 3000  # Jaccard >= 0.30 to accept a match
                    substring(p_name, 1, ({_DIRTY_POS_SQL}) - 1)
                    || substring(p_name, ({_DIRTY_POS_SQL}) + 1) AS dname
             FROM part
-        ), clean AS (
-            SELECT p_partkey AS ck, p_name AS cname FROM part
-        ), dtri AS (
-            -- keys-only trigram rows: the hot-trigram pair join fans
-            -- out ~240M rows at sf0.1, and dragging the name strings
-            -- and windowed counts through that aggregation (ANY_VALUE
-            -- per 240M-row group input) was the dominant fresh-replay
-            -- cost (60 s -> ~20 s, round 13); sizes and names join
-            -- back AFTER the per-key cut instead. Keep dtri/ctri
-            -- INLINE: materializing the fan-out sides serializes the
-            -- pair join (80 s measured — the r8 minhash lesson).
-            SELECT DISTINCT dk,
+        ),
+        -- CANONICALIZE FIRST (round 14, VERDICT r13 #5): the replay
+        -- now mirrors the Spark plan's name-space similarity join.
+        -- The r13 key-space form fanned the hot-trigram pair join to
+        -- ~240M (dk, ck) rows at sf0.1 (the dominant fresh-oracle
+        -- bill, 15.8 s idle / 28.9 s in-gate); TPC-H part names are
+        -- 64 distinct strings at sf0.1 and the typo model yields 584
+        -- distinct dirty names, so scoring distinct NAME pairs cuts
+        -- the join to ~23k rows (measured ~700x). Jaccard depends
+        -- only on the name strings, and the per-key tiebreak
+        -- (max jacc_bp, then MIN ck) factors through names: min ck
+        -- over all tied (ck) = min over tied cnames of each name's
+        -- min key — so ordering name pairs by (jacc_bp DESC, min_ck)
+        -- reproduces the key-space winner EXACTLY (results and hash
+        -- identical; verified row-for-row at both SFs).
+        dnames AS (SELECT DISTINCT dname FROM dirty),
+        ckeys AS (
+            SELECT p_name AS cname, MIN(p_partkey) AS min_ck
+            FROM part GROUP BY p_name
+        ),
+        dtri AS (
+            SELECT DISTINCT dname,
                    unnest(list_transform(range(1, length(dname) - 1),
                                          i -> substring(dname, CAST(i AS INT), 3))) AS tri
-            FROM dirty
+            FROM dnames
         ), ctri AS (
-            SELECT DISTINCT ck,
+            SELECT DISTINCT cname,
                    unnest(list_transform(range(1, length(cname) - 1),
                                          i -> substring(cname, CAST(i AS INT), 3))) AS tri
-            FROM clean
-        ), dna AS MATERIALIZED (SELECT dk, COUNT(*) AS na FROM dtri GROUP BY dk),
-        cnb AS MATERIALIZED (SELECT ck, COUNT(*) AS nb FROM ctri GROUP BY ck),
+            FROM ckeys
+        ), dna AS (SELECT dname, COUNT(*) AS na FROM dtri GROUP BY dname),
+        cnb AS (SELECT cname, COUNT(*) AS nb FROM ctri GROUP BY cname),
         pairs AS (
-            SELECT d.dk, c.ck, COUNT(*) AS isect
+            SELECT d.dname, c.cname, COUNT(*) AS isect
             FROM dtri d JOIN ctri c USING (tri)
-            GROUP BY d.dk, c.ck
+            GROUP BY d.dname, c.cname
         ), scored AS (
-            SELECT p.dk, p.ck,
+            SELECT p.dname, p.cname,
                    p.isect * 10000 // (a.na + b.nb - p.isect) AS jacc_bp
-            FROM pairs p JOIN dna a USING (dk) JOIN cnb b USING (ck)
+            FROM pairs p JOIN dna a USING (dname) JOIN cnb b USING (cname)
         ), best AS (
-            SELECT dk, ck AS matched_key, jacc_bp
-            FROM scored
-            QUALIFY row_number() OVER (PARTITION BY dk
-                                       ORDER BY jacc_bp DESC, ck) = 1
+            SELECT s.dname, s.cname AS matched_name, k.min_ck AS matched_key,
+                   s.jacc_bp
+            FROM scored s JOIN ckeys k USING (cname)
+            QUALIFY row_number() OVER (PARTITION BY s.dname
+                                       ORDER BY s.jacc_bp DESC, k.min_ck) = 1
         )
-        SELECT b.dk AS p_partkey, b.matched_key,
+        SELECT di.dk AS p_partkey, b.matched_key,
                CAST(b.jacc_bp AS BIGINT) AS jacc_bp,
-               CAST(CAST(cl.cname = di.orig AS INT) AS BIGINT) AS name_correct
-        FROM best b
-        JOIN dirty di ON di.dk = b.dk
-        JOIN clean cl ON cl.ck = b.matched_key
+               CAST(CAST(b.matched_name = di.orig AS INT) AS BIGINT)
+                   AS name_correct
+        FROM dirty di
+        JOIN best b ON b.dname = di.dname
         WHERE b.jacc_bp >= {_FUZZY_MIN_BP}
         ORDER BY p_partkey
     """,
