@@ -66,21 +66,28 @@ BENCH_CONF = {
 }
 
 
-def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float, float]:
     """One full pass under the CURRENT cache state: build plans, global
-    warm-up, interleaved trials; returns (per-query medians, floor)."""
+    warm-up, interleaved trials; returns (per-query medians, floor,
+    noop) — floor and noop are two INDEPENDENT observations of the
+    same zero-work quantity (ADVICE r13: the artifact used to publish
+    one measurement under both keys)."""
     specs = all_specs()
     dfs = {name: specs[name].fn(spark, sf_dir) for name in HEADLINE}
     # per-action fixed-cost probe: a one-row single-partition action
     # carries zero query work, so its time is pure py4j round-trip +
     # job/task scheduling + Arrow collection — the floor under every
-    # headline number (see BENCH_NOTES.md)
+    # headline number (see BENCH_NOTES.md). Two distinct probe frames:
+    # floor_df opens each trial round, noop_df closes it, so the two
+    # published keys are separate samples bracketing the headline work.
     floor_df = spark.range(0, 1, 1, 1)
+    noop_df = spark.range(1, 2, 1, 1)
 
     # global warm-up: JIT/codegen/broadcasts reach steady state before
     # any measurement (first executions are 2-3x slower)
     for _ in range(WARMUP_ROUNDS):
         floor_df.toPandas()
+        noop_df.toPandas()
         for df in dfs.values():
             df.toPandas()
 
@@ -89,6 +96,7 @@ def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     # noise) hits all queries equally instead of one query's trials
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     floor_samples: list[float] = []
+    noop_samples: list[float] = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
         floor_df.toPandas()
@@ -97,8 +105,15 @@ def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float]:
             t0 = time.perf_counter()
             df.toPandas()  # Arrow-batched result materialization
             samples[name].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        noop_df.toPandas()
+        noop_samples.append(time.perf_counter() - t0)
     per_query = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
-    return per_query, round(statistics.median(floor_samples), 4)
+    return (
+        per_query,
+        round(statistics.median(floor_samples), 4),
+        round(statistics.median(noop_samples), 4),
+    )
 
 
 def main() -> None:
@@ -113,21 +128,22 @@ def main() -> None:
 
     disk_queries: dict[str, float] | None = None
     disk_floor: float | None = None
+    disk_noop: float | None = None
     if mode in ("both", "disk"):
         # disk pass FIRST — nothing cached yet, queries re-scan parquet
-        disk_queries, disk_floor = _measure(spark, sf_dir)
+        disk_queries, disk_floor, disk_noop = _measure(spark, sf_dir)
 
     payload: dict[str, object]
     if mode in ("both", "mem"):
         # identical scans inside the queries hit the cached relation
         for t in CACHE_TABLES:
             load_table(spark, sf_dir, t, assert_schema=False).cache().count()
-        per_query, floor = _measure(spark, sf_dir)
+        per_query, floor, noop = _measure(spark, sf_dir)
     else:
         # disk-only run (scale_probe loops): keep the measured floor so
         # the floor-normalized work_sec is reported here too (ADVICE r6
         # — 'both' mode already reports disk_floor_sec/disk_work_sec)
-        per_query, floor = disk_queries, disk_floor
+        per_query, floor, noop = disk_queries, disk_floor, disk_noop
         disk_queries = None
 
     total = round(sum(per_query.values()), 4)
@@ -140,11 +156,12 @@ def main() -> None:
     }
     if floor is not None:
         payload["floor_sec"] = floor
-        # VERDICT r12 #7: the same probe under its contract name — a
-        # zero-work one-row/one-partition action timed interleaved with
-        # the headline queries, so the driver artifact carries the
-        # floor/work split as measured data, not a builder claim.
-        payload["noop_action_sec"] = floor
+        # VERDICT r12 #7 + ADVICE r13: noop_action_sec is now a
+        # SEPARATE zero-work action (a second one-row/one-partition
+        # frame timed at the END of each trial round, where floor_sec's
+        # probe opens it) — two independent interleaved observations of
+        # the action floor, not one measurement under two keys.
+        payload["noop_action_sec"] = noop
         # floor-normalized work term (VERDICT.md r5 item 4): total minus
         # one zero-work action floor per query. The floor (py4j round
         # trip + job scheduling + Arrow collect on this host) swung +51%

@@ -1161,10 +1161,20 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("isect"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # Broadcast the per-doc sizes only while they are broadcast-SIZED
+    # (ADVICE r13: sizes is one row per document, so an unconditional
+    # hint grows linearly with the corpus and trades the shuffle
+    # join's scalability for driver/executor memory pressure). The
+    # gate reads the pre-explosion doc count (a parquet count-scan,
+    # ~free) — an upper bound on sizes' rows; past the bound the two
+    # joins degrade to shuffle joins on the pair keys, the plan that
+    # scaled before the r13 hint. 1M (doc_id, n) rows ~= 16 MB.
+    if docs.count() <= 1_000_000:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
     out = (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("a_id"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("b_id"))
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
         .filter(jac >= 0.6)
         .select("a_id", "b_id", rnd(jac, 4).alias("jaccard"))
     )

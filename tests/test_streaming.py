@@ -390,7 +390,7 @@ def test_transform_with_state_env_block_pinned(spark):
 
     Round 8 (VERDICT r7 #7): the prose NOTE became this MACHINE-CHECKED
     pin — each round it re-probes the import (last manual re-probe:
-    round 13, still ModuleNotFoundError). While blocked it skips
+    round 14, still ModuleNotFoundError). While blocked it skips
     with the exact failure; the moment the runtime ships an intact
     protobuf it FAILS loudly (xfail-strict style) telling us to add the
     real TWS test instead of silently staying skipped."""

@@ -39,6 +39,7 @@ from benchmark_spark.testing import OracleCache, compare, duckdb_connection, run
 
 
 def main() -> int:
+    load_start = os.getloadavg()[0]
     args = sys.argv[1:]
     json_out = None
     if "--json" in args:
@@ -143,6 +144,12 @@ def main() -> int:
             "oracle_cache_hits": cache.hits if cache is not None else 0,
             "oracle_cache_misses": cache.misses if cache is not None else 0,
             "oracle_cache": "enabled" if cache is not None else "disabled",
+            # host load at start/end of the run (1-min loadavg), so
+            # "idle-host artifact" is recorded data rather than a
+            # commit-message claim (VERDICT r13 #9); per-query secs in
+            # a gate taken at high load are a loaded-host upper bound.
+            "loadavg_1m_start": round(load_start, 2),
+            "loadavg_1m_end": round(os.getloadavg()[0], 2),
         }
         with open(json_out, "w") as f:
             json.dump({"_summary": summary, **artifact}, f, indent=1)
