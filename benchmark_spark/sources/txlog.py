@@ -1456,6 +1456,53 @@ def to_physical(df: DataFrame, fields: list[dict]) -> DataFrame:
     )
 
 
+def _physical_id(name: str) -> int:
+    """Numeric id of a generated physical name ('c7' -> 7)."""
+    if not (name.startswith("c") and name[1:].isdigit()):
+        raise ValueError(f"not a generated physical column name: {name!r}")
+    return int(name[1:])
+
+
+def txlog_physical_max_id(table: TxLogTable, version: int | None = None) -> int:
+    """Highest physical-name id EVER ASSIGNED at-or-before `version`
+    (Delta's column-mapping maxColumnId analog). Tracked explicitly in
+    metaData because the current schema alone cannot reveal ids freed
+    by a drop — and reusing one would make mergeSchema's name-based
+    union silently resurrect the dropped column's bytes from old files
+    (ADVICE r13)."""
+    max_id = -1
+    for v in table.versions():
+        if version is not None and v > version:
+            break
+        md = table._read_commit(v).get("metaData")
+        if md is not None:
+            max_id = max(max_id, md.get("physicalMaxId", -1))
+    return max_id
+
+
+def mapped_schema_meta(table: TxLogTable, fields: list[dict]) -> dict:
+    """metaData payload for a column-mapping commit: validates that
+    every physical name NEW to this table (not live in the current
+    schema) has an id ABOVE every id ever assigned — a dropped
+    column's physical name can never come back — and records the new
+    high-water mark. Raise loudly at commit time; the alternative is a
+    reader quietly unioning resurrected bytes."""
+    prev_max = txlog_physical_max_id(table)
+    current = txlog_schema_at(table) or []
+    live = {c["physical"] for c in current}
+    ids = []
+    for c in fields:
+        pid = _physical_id(c["physical"])
+        if c["physical"] not in live and pid <= prev_max:
+            raise ValueError(
+                f"physical name {c['physical']!r} reuses an already-assigned "
+                f"id (max ever assigned: c{prev_max}); reuse would resurrect "
+                "dropped bytes via mergeSchema — assign a fresh physical name"
+            )
+        ids.append(pid)
+    return {"schema": fields, "physicalMaxId": max([prev_max, *ids])}
+
+
 def read_with_mapping(
     spark: SparkSession, table: TxLogTable, version: int | None = None
 ) -> DataFrame:
@@ -1559,7 +1606,7 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(
         t._write_files(spark, slices, ("c0",)),
         op="create",
-        extra={"metaData": {"schema": fields_v0}},
+        extra={"metaData": mapped_schema_meta(t, fields_v0)},
     )
     append1 = base.filter(F.col("o_orderkey") % 43 == 0).select(
         (F.col("o_orderkey") + off).alias("o_orderkey"),
@@ -1569,7 +1616,7 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(
         t._write_files(spark, [to_physical(append1, fields_v0)], ("c0",)),
         op="append",
-        extra={"metaData": {"schema": fields_v0}},
+        extra={"metaData": mapped_schema_meta(t, fields_v0)},
     )
     # v2: RENAME o_totalprice -> price. Metadata-only: logical name
     # changes, physical c2 (and every data file) untouched.
@@ -1577,11 +1624,11 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(c, name="price") if c["name"] == "o_totalprice" else c
         for c in fields_v0
     ]
-    t.commit([], op="rename-column", extra={"metaData": {"schema": fields_v2}})
+    t.commit([], op="rename-column", extra={"metaData": mapped_schema_meta(t, fields_v2)})
     # v3: DROP o_orderstatus. Metadata-only: c1's bytes stay in the old
     # files, invisible to mapped reads from here on.
     fields_v3 = [c for c in fields_v2 if c["name"] != "o_orderstatus"]
-    t.commit([], op="drop-column", extra={"metaData": {"schema": fields_v3}})
+    t.commit([], op="drop-column", extra={"metaData": mapped_schema_meta(t, fields_v3)})
     # v4: post-drop append — its files physically lack c1 entirely.
     append2 = base.filter(F.col("o_orderkey") % 47 == 0).select(
         (F.col("o_orderkey") + 2 * off).alias("o_orderkey"),
@@ -1590,7 +1637,7 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(
         t._write_files(spark, [to_physical(append2, fields_v3)], ("c0",)),
         op="append",
-        extra={"metaData": {"schema": fields_v3}},
+        extra={"metaData": mapped_schema_meta(t, fields_v3)},
     )
 
     fp_key = (

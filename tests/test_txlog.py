@@ -928,7 +928,9 @@ def mapped_table(spark, tmp_path):
     """3-column table with logical->physical mapping, through the full
     rename/drop/append scenario: v0 create, v1 rename v->val, v2 drop
     w, v3 post-drop append."""
-    from benchmark_spark.sources.txlog import mapped_fields, to_physical
+    from benchmark_spark.sources.txlog import (
+        mapped_fields, mapped_schema_meta, to_physical,
+    )
 
     df = spark.range(0, 500).select(
         F.col("id").alias("k"),
@@ -943,19 +945,19 @@ def mapped_table(spark, tmp_path):
     t.commit(
         t._write_files(spark, [to_physical(df, f0)], ("c0",)),
         op="create",
-        extra={"metaData": {"schema": f0}},
+        extra={"metaData": mapped_schema_meta(t, f0)},
     )
     f1 = [dict(c, name="val") if c["name"] == "v" else c for c in f0]
-    t.commit([], op="rename-column", extra={"metaData": {"schema": f1}})
+    t.commit([], op="rename-column", extra={"metaData": mapped_schema_meta(t, f1)})
     f2 = [c for c in f1 if c["name"] != "w"]
-    t.commit([], op="drop-column", extra={"metaData": {"schema": f2}})
+    t.commit([], op="drop-column", extra={"metaData": mapped_schema_meta(t, f2)})
     post = spark.range(500, 600).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("val")
     )
     t.commit(
         t._write_files(spark, [to_physical(post, f2)], ("c0",)),
         op="append",
-        extra={"metaData": {"schema": f2}},
+        extra={"metaData": mapped_schema_meta(t, f2)},
     )
     return t
 
@@ -1007,3 +1009,38 @@ def test_colmap_old_files_read_correctly_after_rename(spark, mapped_table):
     assert cur.columns == ["k", "val"]
     assert cur.count() == 600
     assert cur.filter(F.col("val") != 2 * F.col("k")).count() == 0
+
+
+def test_colmap_physical_id_high_water_mark(mapped_table):
+    """ADVICE r13: metaData tracks the max physical-name id ever
+    assigned (Delta's column-mapping maxColumnId analog), and the mark
+    survives the drop — the current schema's ids alone would forget
+    that c2 was ever used."""
+    from benchmark_spark.sources.txlog import txlog_physical_max_id
+
+    assert txlog_physical_max_id(mapped_table) == 2
+    # the drop (v2) did not lower the mark even though c2 left the schema
+    assert txlog_physical_max_id(mapped_table, version=2) == 2
+
+
+def test_colmap_reusing_dropped_physical_name_is_rejected(mapped_table):
+    """Adding a new logical column under a previously-assigned physical
+    name must fail AT COMMIT TIME: mergeSchema unions files by physical
+    name, so a reused c2 would silently resurrect the dropped column's
+    bytes from pre-drop files (ADVICE r13)."""
+    from benchmark_spark.sources.txlog import (
+        mapped_schema_meta, txlog_schema_at,
+    )
+
+    cur = txlog_schema_at(mapped_table)
+    with pytest.raises(ValueError, match="reuses an already-assigned"):
+        mapped_schema_meta(
+            mapped_table,
+            cur + [{"name": "region", "physical": "c2", "type": "bigint"}],
+        )
+    # a FRESH id is accepted and advances the mark
+    meta = mapped_schema_meta(
+        mapped_table,
+        cur + [{"name": "region", "physical": "c3", "type": "bigint"}],
+    )
+    assert meta["physicalMaxId"] == 3
