@@ -446,10 +446,12 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
 
 
 def read_postings(spark: SparkSession, path: str, *,
-                  with_delta: bool = False) -> DataFrame:
+                  with_delta: bool = False,
+                  extra_segments: list[str] | None = None) -> DataFrame:
     segs = [os.path.join(path, "postings")]
     if with_delta:
         segs.append(os.path.join(path, "postings_delta"))
+    segs.extend(extra_segments or [])
     # one read per segment (partition discovery is per-root), unioned:
     # the merged-index view a segmented production index serves from
     dfs = [
@@ -464,8 +466,112 @@ def read_postings(spark: SparkSession, path: str, *,
     return df
 
 
+# --- streaming ingest (round 14, VERDICT r13 #6) ----------------------------
+# q_txlog_stream_ingest's exactly-once batch-id protocol composed with
+# the frozen-codebook append: each micro-batch is encoded against the
+# PERSISTED codebooks inside foreachBatch and lands as its own postings
+# segment, recorded in a ledger keyed by batch_id — a replayed batch
+# (foreachBatch retry, checkpoint replay) is detected and skipped, so
+# the index cannot double-ingest a vector.
+
+_LEDGER = "stream_segments.json"
+
+
+def stream_ledger(path: str) -> list[dict]:
+    try:
+        with open(os.path.join(path, _LEDGER)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
+def stream_segments(path: str) -> list[str]:
+    return [os.path.join(path, e["segment"]) for e in stream_ledger(path)]
+
+
+def stream_append_segment(spark: SparkSession, path: str,
+                          batch_df: DataFrame, batch_id: int) -> bool:
+    """foreachBatch writer: encode one micro-batch against the index's
+    persisted codebooks and publish it as a new postings segment, with
+    per-batch idempotence (the stream_commit_batch contract from
+    sources/txlog.py): a batch_id already in the ledger is skipped.
+    The segment is fully written BEFORE the ledger row that makes it
+    visible is atomically published (tmp + os.replace) — a crash
+    between the two leaves an orphan directory, never a torn index.
+    Returns whether a segment was committed."""
+    ledger = stream_ledger(path)
+    if any(e["batch_id"] == batch_id for e in ledger):
+        return False
+    seg_name = f"postings_stream_{batch_id:05d}"
+    cdf = spark.read.parquet(os.path.join(path, "coarse"))
+    pdf = spark.read.parquet(os.path.join(path, "pq"))
+    vm = _vm(batch_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ))
+    lists = _assign_lists(vm, cdf)
+    codes = _encode_codes(vm, lists, cdf, pdf)
+    _postings(lists, codes).repartition(2, "lid").write.mode(
+        "overwrite"
+    ).partitionBy("lid").parquet(os.path.join(path, seg_name))
+    ledger.append({"batch_id": batch_id, "segment": seg_name})
+    tmp = os.path.join(path, f".{_LEDGER}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, os.path.join(path, _LEDGER))
+    return True
+
+
+def _tail_stream(spark: SparkSession, sf_dir: str, base_n: int,
+                 nchunks: int = 4) -> DataFrame:
+    """The corpus tail (vec_id >= base_n) as a MULTI-BATCH stream: a
+    staged nchunks-file copy split by vec_id range, read with
+    maxFilesPerTrigger=1 so AvailableNow executes one deterministic
+    micro-batch per file (the events_stream_chunks pattern). Staged
+    copy keyed by SF + split, mtime-invalidated against the fixture."""
+    import glob
+    import shutil as sh
+
+    stage = os.path.join(
+        "/root/repo/.scratch",
+        f"ann_stream_{os.path.basename(sf_dir.rstrip('/'))}_{base_n}",
+    )
+    marker = os.path.join(stage, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(marker)
+    )
+    if stale:
+        sh.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        tail = _vecs(spark, sf_dir).filter(F.col("vec_id") >= base_n).select(
+            "vec_id", F.col("v").cast("array<float>").alias("embedding")
+        )
+        n_tail = _corpus_rows(sf_dir) - base_n
+        width = max(1, (n_tail + nchunks - 1) // nchunks)
+        for i in range(nchunks):
+            lo = base_n + i * width
+            tmp = os.path.join(stage, f"_tmp_{i}")
+            tail.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + width)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"chunk_{i}.parquet")
+            sh.move(part, dst)
+            sh.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        with open(marker, "w"):
+            pass
+    return (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "chunk_*.parquet"))
+    )
+
+
 def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
-                with_delta: bool = False, flag_append: bool = False) -> DataFrame:
+                with_delta: bool = False, flag_append: bool = False,
+                extra_segments: list[str] | None = None) -> DataFrame:
     """Serve top-10 for anchors vec_id<5 from the persisted artifact:
     coarse-rank lists per anchor, ADC-score the probed lists' codes,
     exact-rerank a corpus-proportional shortlist; in_exact10 compares
@@ -474,7 +580,8 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
     artifact and the anchor vectors."""
     cdf = spark.read.parquet(os.path.join(path, "coarse"))
     pdf = spark.read.parquet(os.path.join(path, "pq"))
-    post = read_postings(spark, path, with_delta=with_delta)
+    post = read_postings(spark, path, with_delta=with_delta,
+                         extra_segments=extra_segments)
     lists = post.select("vec_id", "lid")
     codes = post.select(
         "vec_id", F.posexplode("codes").alias("s", "cid")
@@ -890,3 +997,55 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings segment; result must hash-equal the base+delta probe.
     return _probe_plan(spark, sf_dir, cpath, cmeta, with_delta=False,
                        flag_append=True)
+
+
+@register(
+    "q_ann_stream_ingest",
+    oracle=_ivfpq_prefix_sql(
+        base_cond=f"vec_id < ({_BASE_N_SQL})"
+    ) + _probe_select_sql(flag_append=True, base_n_sql=_BASE_N_SQL),
+    doc=(
+        "STREAMING ANN ingest, exactly-once (round 14, VERDICT r13 #6 — "
+        "q_txlog_stream_ingest's batch-id protocol composed with the "
+        "frozen-codebook append): the corpus tail arrives as an "
+        "AvailableNow stream of one-file micro-batches; foreachBatch "
+        "encodes each batch against the PERSISTED codebooks (no "
+        "retrain, no base rewrite) and publishes it as its own "
+        "postings segment, the segment fully written before the "
+        "ledger row that makes it visible lands via atomic rename — "
+        "and a replayed batch_id (foreachBatch retry, checkpoint "
+        "replay) is detected in the ledger and skipped, so a vector "
+        "can never be double-indexed. The probe then serves base + "
+        "stream segments and must hash-equal q_ann_index_append's "
+        "batch-append result (SAME oracle verbatim): encoding against "
+        "frozen codebooks is per-vector math, so any micro-batch "
+        "partition of the tail converges to the identical index. "
+        "Replay idempotence is pinned in tests/test_ann_index.py. At "
+        "100 TB this is continuous vector ingest: per-batch cost ~ "
+        "batch size, probes pay one segment per un-compacted batch, "
+        "and q_ann_index_compact is the background fold."
+    ),
+    tags=("extension", "similarity", "ann", "index", "streaming"),
+)
+def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benchmark_spark.streaming.windows import await_done, scratch_dir
+
+    n_all = _corpus_rows(sf_dir)
+    base_n = (_BASE_NUM * n_all) // _BASE_DEN
+    path, meta = build_index(spark, sf_dir, base_n=base_n)
+
+    stream = _tail_stream(spark, sf_dir, base_n)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stream_append_segment(spark, path, batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", scratch_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_done(q)
+    return _probe_plan(spark, sf_dir, path, meta, with_delta=False,
+                       flag_append=True,
+                       extra_segments=stream_segments(path))

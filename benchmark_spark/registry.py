@@ -117,11 +117,14 @@ _PRIORITY = (
     # (tail — freshest-in, first displaced when r14's new queries
     # enter the window)
     "q_map_funcs", "q_dedup_fingerprint", "q_frame_sample",
-    "q_decode_image", "q_resize_image",
+    "q_decode_image",
     # --- new in round 14, entering through the window (displacing r8
     # tail rows back to the pool — q_decode_audio first; the r13
     # precedent): ANN index segment compaction (VERDICT r13 #2)
     "q_ann_index_compact",
+    # ...and exactly-once streaming ANN ingest (VERDICT r13 #6),
+    # displacing q_resize_image:
+    "q_ann_stream_ingest",
 )
 
 

@@ -151,6 +151,54 @@ def test_publish_replace_renames_old_aside(spark, tmp_path):
     assert [p.name for p in tmp_path.iterdir()] == ["idx"]
 
 
+def test_stream_ingest_replay_is_idempotent(spark):
+    """VERDICT r13 #6: a replayed batch_id (foreachBatch retry /
+    checkpoint replay) is detected in the ledger and skipped — the
+    segment set, ledger, and served results are unchanged; and the
+    streamed index serves row-identical results to the batch append."""
+    n_all = ai._corpus_rows(SF)
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    path, meta = ai.build_index(spark, SF, base_n=base_n)
+    from benchmark_spark.registry import all_specs
+
+    specs = all_specs()
+    streamed = sorted(specs["q_ann_stream_ingest"].fn(spark, SF).collect())
+    ledger = ai.stream_ledger(path)
+    assert len(ledger) >= 2  # genuinely multi-batch
+    segs = ai.stream_segments(path)
+    # the streamed segments cover the tail exactly once
+    tail = ai.read_postings(spark, path, extra_segments=segs).filter(
+        F.col("vec_id") >= base_n
+    )
+    assert tail.count() == n_all - base_n
+    assert tail.select("vec_id").distinct().count() == n_all - base_n
+
+    def _sig():
+        return sorted(
+            (os.path.relpath(os.path.join(dp, f), path),
+             os.path.getmtime(os.path.join(dp, f)))
+            for s in segs
+            for dp, _dn, fns in os.walk(s) for f in fns
+        )
+
+    before = _sig()
+    # replay EVERY batch id: all must be skipped, nothing rewritten
+    tail_df = ai._vecs(spark, SF).filter(F.col("vec_id") >= base_n).select(
+        "vec_id", F.col("v").cast("array<float>").alias("embedding")
+    )
+    for e in ledger:
+        assert ai.stream_append_segment(spark, path, tail_df, e["batch_id"]) is False
+    assert ai.stream_ledger(path) == ledger
+    assert _sig() == before
+    # convergence: hash-equal to the batch append (same oracle upstream)
+    path2, meta2 = ai.append_to_index(spark, SF, path, meta)
+    batch = sorted(
+        ai._probe_plan(spark, SF, path2, meta2, with_delta=True,
+                       flag_append=True).collect()
+    )
+    assert streamed == batch
+
+
 def test_compact_is_lossless_and_immutable(spark):
     """VERDICT r13 #2: compaction folds base+delta into a NEW
     generation whose single-segment probe returns row-identical
