@@ -1276,7 +1276,16 @@ _BPE_K = 32  # merge-table size (VERDICT r10 #3: raised from 8 to prove
 _BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
 
 
-def _bpe_oracle(k: int, final: str | None = None) -> str:
+_BPE_EVENTS_SOURCE = (
+    f"SELECT unnest(regexp_extract_all(props, '{_BPE_REGEX}')) AS tok FROM events"
+)
+_BPE_DOCS_SOURCE = (
+    f"SELECT unnest(regexp_extract_all(text, '{_BPE_REGEX}')) AS tok FROM documents"
+)
+
+
+def _bpe_oracle(k: int, final: str | None = None,
+                token_source: str | None = None) -> str:
     """K unrolled merge iterations (the q_knn_pq_trained precedent:
     a driver loop replayed as chained SQL). Each words_i CTE is
     MATERIALIZED — chained iteration CTEs inline exponentially
@@ -1288,12 +1297,12 @@ def _bpe_oracle(k: int, final: str | None = None) -> str:
     under (a,a) becomes [aa, aa] and 'aaaaa' becomes [aa, aa, a] —
     the single-space form got this wrong because consecutive matches
     shared a separator character."""
+    source = token_source or _BPE_EVENTS_SOURCE
     ctes = [
         f"""words0 AS MATERIALIZED (
         SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1  ', 'g')) || ' ' AS ws,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM (SELECT unnest(regexp_extract_all(
-                  props, '{_BPE_REGEX}')) AS tok FROM events)
+        FROM ({source})
         GROUP BY 1
     )"""
     ]
@@ -1420,6 +1429,222 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_tokens"))
         .orderBy(F.desc("n_tokens"), F.asc("tok"))
         .limit(20)
+    )
+
+
+# --- BPE tokenization of the documents corpus (round 14, VERDICT r13 #3) ---
+# The train -> tokenize -> pack chain end-to-end on BPE tokens: merges
+# trained on the DOCUMENTS pre-token vocabulary (self-contained chain,
+# same unrolled-CTE oracle with the corpus swapped in), every document
+# materialized as its token-id sequence, and the packing query re-run
+# on BPE token counts instead of whitespace counts. Cost shape is the
+# q_bpe_encode argument: training + encoding run on the VOCAB-sized
+# table (31 distinct pre-tokens in this corpus), and the corpus is
+# touched exactly once by a map-side join from pre-tokens to their
+# final symbol arrays — O(vocab x K) + one corpus map, never
+# O(corpus x K).
+
+
+def _doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, n) pre-token vocabulary of documents.text."""
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _doc_symtab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tok -> ordered final-symbol array after the K trained merges.
+    The separator-encoded word is a bijection of the pre-token
+    (symbols concatenate back to it), so stripping spaces recovers the
+    join key without threading tok through the merge loop."""
+    _merges, words = bpe_train(spark, _doc_vocab(spark, sf_dir), _BPE_K)
+    return words.select(
+        F.replace(F.col("ws"), F.lit(" "), F.lit("")).alias("tok"),
+        F.split(F.trim(F.col("ws")), "  ").alias("syms"),
+        "n",
+    )
+
+
+_BPE_TOKENIZE_FINAL = f"""
+    , symtab AS MATERIALIZED (
+        SELECT replace(ws, ' ', '') AS tok,
+               string_split(trim(ws), '  ') AS syms, n
+        FROM {{last}}
+    ),
+    hist AS (
+        SELECT u.sym AS sym, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM symtab, unnest(syms) AS u(sym) GROUP BY 1
+    ),
+    ids AS MATERIALIZED (
+        SELECT sym,
+               CAST(row_number() OVER (ORDER BY n_tokens DESC, sym) AS BIGINT)
+                   AS tid
+        FROM hist
+    ),
+    pre AS (
+        SELECT doc_id, t.i AS p, toks[t.i] AS tok
+        FROM (SELECT doc_id,
+                     regexp_extract_all(text, '{_BPE_REGEX}') AS toks
+              FROM documents),
+             unnest(range(1, len(toks) + 1)) AS t(i)
+    ),
+    ex AS (
+        SELECT pre.doc_id, pre.p, s.i AS sp, st.syms[s.i] AS sym
+        FROM pre JOIN symtab st USING (tok),
+             unnest(range(1, len(st.syms) + 1)) AS s(i)
+    ),
+    seq AS (
+        SELECT doc_id, tid,
+               row_number() OVER (PARTITION BY doc_id ORDER BY p, sp) AS idx
+        FROM ex JOIN ids USING (sym)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT tid) AS BIGINT) AS n_distinct,
+           CAST(SUM(idx * tid) AS BIGINT) AS seq_fp,
+           CAST(SUM(tid) AS BIGINT) AS id_sum
+    FROM seq GROUP BY doc_id
+"""
+
+
+@register(
+    "q_bpe_tokenize",
+    oracle=_bpe_oracle(_BPE_K, final=_BPE_TOKENIZE_FINAL,
+                       token_source=_BPE_DOCS_SOURCE),
+    doc=(
+        "BPE TOKENIZE the corpus (round 14, VERDICT r13 #3 — the step "
+        "between q_bpe_train and q_pack_sequences every pretraining "
+        "pipeline runs): train the K merges on the DOCUMENTS pre-token "
+        "vocabulary, derive the token-id table from the final symbol "
+        "histogram (id = rank by count desc, symbol — deterministic in "
+        "both engines), then materialize every document's token-id "
+        "SEQUENCE with ONE corpus map: pre-tokens explode in document "
+        "order, a broadcast join swaps each for its final symbol "
+        "array, and a per-doc window numbers the flattened ids. The "
+        "per-doc digest carries total/distinct counts plus an "
+        "ORDER-SENSITIVE checksum (sum of position x id) — a single "
+        "swapped, dropped, or mis-merged token anywhere in any "
+        "document breaks the hash. The oracle replays train + id "
+        "assignment + per-doc application over the unrolled "
+        "MATERIALIZED CTE chain. Encode cost stays O(vocab x K) + one "
+        "corpus map (the q_bpe_encode argument); at 100 TB the corpus "
+        "pass is a map-side broadcast join, no shuffle beyond the "
+        "doc-keyed window."
+    ),
+    tags=("extension", "text"),
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    symtab = _doc_symtab(spark, sf_dir)
+    hist = (
+        symtab.select("n", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    wid = Window.orderBy(F.desc("n_tokens"), F.asc("sym"))
+    ids = hist.select("sym", F.row_number().over(wid).cast("long").alias("tid"))
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
+    pre = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    ex = pre.join(F.broadcast(symtab.select("tok", "syms")), "tok").select(
+        "doc_id", "p", F.posexplode("syms").alias("sp", "sym")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p", "sp")
+    seq = ex.join(F.broadcast(ids), "sym").withColumn(
+        "idx", F.row_number().over(wdoc).cast("long")
+    )
+    return seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("tid").alias("n_distinct"),
+        F.sum(F.col("idx") * F.col("tid")).alias("seq_fp"),
+        F.sum("tid").alias("id_sum"),
+    )
+
+
+_BPE_PACK_FINAL = f"""
+    , symtab AS MATERIALIZED (
+        SELECT replace(ws, ' ', '') AS tok, len(string_split(trim(ws), '  ')) AS n_syms
+        FROM {{last}}
+    ),
+    dl AS (
+        SELECT d.doc_id, d.source, CAST(SUM(st.n_syms) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, source,
+                     unnest(regexp_extract_all(text, '{_BPE_REGEX}')) AS tok
+              FROM documents) d
+        JOIN symtab st USING (tok)
+        GROUP BY 1, 2
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM dl
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_start,
+           CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((cum - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last,
+           CAST((cum - 1) // {PACK_SEQ_LEN}
+                - (cum - n_tok) // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM packed
+"""
+
+
+@register(
+    "q_pack_sequences_bpe",
+    oracle=_bpe_oracle(_BPE_K, final=_BPE_PACK_FINAL,
+                       token_source=_BPE_DOCS_SOURCE),
+    doc=(
+        "Training-sequence packing ON BPE TOKENS (round 14, VERDICT "
+        "r13 #3 — q_pack_sequences' fixed-boundary concat-and-split "
+        "with the whitespace token count replaced by the trained "
+        "tokenizer's): per-doc BPE token counts come from one "
+        "vocab-sized broadcast join (pre-token -> final symbol count, "
+        "summed per doc — the sequence itself is not needed for "
+        "packing, only its length), then the identical per-source "
+        "prefix-sum window cuts {PACK}-token sequences. The oracle "
+        "replays the full train + count + pack chain, so a tokenizer "
+        "drift of a single merge shifts every downstream offset and "
+        "breaks the hash. This completes the train -> tokenize -> "
+        "pack chain on real tokenizer output; the packing math and "
+        "its 100 TB shard-parallel argument are unchanged from "
+        "q_pack_sequences."
+    ).replace("{PACK}", str(PACK_SEQ_LEN)),
+    tags=("extension", "text"),
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    symtab = _doc_symtab(spark, sf_dir).select(
+        "tok", F.size("syms").cast("long").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents", assert_schema=False)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
+    dl = (
+        docs.select("doc_id", "source", F.explode(toks).alias("tok"))
+        .join(F.broadcast(symtab), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_syms").alias("n_tok"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = dl.withColumn("cum", F.sum("n_tok").over(w))
+    c = PACK_SEQ_LEN
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).cast("long").alias("tok_start"),
+        F.expr(f"(cum - n_tok) div {c}").cast("long").alias("seq_first"),
+        F.expr(f"(cum - 1) div {c}").cast("long").alias("seq_last"),
+        F.expr(f"(cum - 1) div {c} - (cum - n_tok) div {c} + 1")
+        .cast("long")
+        .alias("n_seqs"),
     )
 
 
