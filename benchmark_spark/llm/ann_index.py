@@ -402,6 +402,36 @@ def append_to_index(spark: SparkSession, sf_dir: str, path: str,
     return path, meta
 
 
+def delete_from_index(spark: SparkSession, path: str, keys: DataFrame) -> bool:
+    """MERGE-ON-READ point deletes for the persisted index (the
+    q_txlog_delete_vectors shape applied to vector serving): the
+    deleted vec_ids land as a TOMBSTONE table inside the artifact —
+    no postings file is rewritten; probes anti-join the tombstones so
+    deleted vectors stop being retrievable immediately. Repeated
+    deletes union-distinct into the existing set (idempotent: a replay
+    of an already-applied delete set is detected and skipped).
+    Physical removal happens at the next compaction, which folds the
+    postings MINUS tombstones into a fresh generation. At 100 TB this
+    is the only affordable delete: cost ~ |tombstones| per probe until
+    compaction, never a corpus rewrite per delete batch."""
+    tomb = os.path.join(path, "tombstones")
+    keys = keys.select(F.col("vec_id").cast("long")).distinct()
+    if os.path.exists(tomb):
+        existing = spark.read.parquet(tomb)
+        if keys.join(existing, "vec_id", "left_anti").isEmpty():
+            return False  # replay of an applied delete set
+        keys = keys.unionByName(existing).distinct()
+    tmp = os.path.join(path, f"tmp-tomb-{uuid.uuid4().hex}")
+    keys.coalesce(1).write.parquet(tmp)
+    _publish(tmp, tomb)
+    return True
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tomb = os.path.join(path, "tombstones")
+    return spark.read.parquet(tomb) if os.path.exists(tomb) else None
+
+
 def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict]:
     """Fold the appended postings segment into the base postings as a
     NEW index generation (VERDICT r13 #2). Generations are immutable:
@@ -415,9 +445,16 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
     background maintenance job that caps the probe's
     segments-per-read at a constant: append cost stays
     new-segment-sized, compaction pays one postings-sized rewrite,
-    amortized across the append window."""
-    if not meta.get("appended"):
-        raise ValueError("compact requires an index with an appended segment")
+    amortized across the append window. Round-14 delete extension:
+    compaction also applies the tombstone set — the fold anti-joins
+    deleted vec_ids out and the new generation carries NO tombstones,
+    turning merge-on-read deletes into physical removal (the
+    q_txlog_delete_vectors -> vacuum lifecycle for vectors)."""
+    tombs = read_tombstones(spark, path)
+    if not meta.get("appended") and tombs is None:
+        raise ValueError(
+            "compact requires an appended segment or tombstones to fold"
+        )
     cpath = f"{path}-compact"
     done = load_manifest(cpath)
     if done is not None and done.get("compacted_from"):
@@ -434,9 +471,12 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
         os.makedirs(tmp)
         shutil.copytree(os.path.join(path, "coarse"), os.path.join(tmp, "coarse"))
         shutil.copytree(os.path.join(path, "pq"), os.path.join(tmp, "pq"))
-        read_postings(spark, path, with_delta=True).repartition(
-            8, "lid"
-        ).write.partitionBy("lid").parquet(os.path.join(tmp, "postings"))
+        post = read_postings(spark, path, with_delta=bool(meta.get("appended")))
+        if tombs is not None:
+            post = post.join(F.broadcast(tombs), "vec_id", "left_anti")
+        post.repartition(8, "lid").write.partitionBy("lid").parquet(
+            os.path.join(tmp, "postings")
+        )
         with open(_manifest_path(tmp), "w") as f:
             json.dump(new_meta, f)
         _publish(tmp, cpath)
@@ -582,6 +622,15 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
     pdf = spark.read.parquet(os.path.join(path, "pq"))
     post = read_postings(spark, path, with_delta=with_delta,
                          extra_segments=extra_segments)
+    # A probe ALWAYS honors the artifact's tombstones (merge-on-read
+    # deletes, round 14): deleted vectors are excluded from the served
+    # lists AND from the exact ground truth — a deleted vector is out
+    # of the corpus, not merely demoted. Shared build/append artifacts
+    # never carry tombstones (q_ann_index_delete works on its own
+    # generation), so the other index queries' results are unchanged.
+    tombs = read_tombstones(spark, path)
+    if tombs is not None:
+        post = post.join(F.broadcast(tombs), "vec_id", "left_anti")
     lists = post.select("vec_id", "lid")
     codes = post.select(
         "vec_id", F.posexplode("codes").alias("s", "cid")
@@ -641,8 +690,11 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
         .filter(F.col("rank") <= 10)
         .select("a_id", "vec_id", "rank", F.round("raw", 4).alias("score"))
     )
+    live = vecs if tombs is None else vecs.join(
+        F.broadcast(tombs), "vec_id", "left_anti"
+    )
     exact_scored = (
-        vecs.crossJoin(F.broadcast(anchors))
+        live.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
         .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
     )
@@ -755,7 +807,8 @@ def _ivfpq_prefix_sql(base_cond: str = "TRUE") -> str:
 
 
 def _probe_select_sql(*, lists_cond: str = "TRUE", flag_append: bool = False,
-                      base_n_sql: str | None = None) -> str:
+                      base_n_sql: str | None = None,
+                      exact_cond: str = "TRUE") -> str:
     extra = ""
     if flag_append:
         extra = (
@@ -824,6 +877,7 @@ def _probe_select_sql(*, lists_cond: str = "TRUE", flag_append: bool = False,
                        ORDER BY list_dot_product(e.v, a.v) DESC, e.vec_id
                    ) AS rn
             FROM vecs e JOIN vecs a ON a.vec_id < 5 AND e.vec_id <> a.vec_id
+            WHERE ({exact_cond})
         ) WHERE rn <= 10
     )
     SELECT r.a_id, r.vec_id AS neighbor_id,
@@ -997,6 +1051,54 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings segment; result must hash-equal the base+delta probe.
     return _probe_plan(spark, sf_dir, cpath, cmeta, with_delta=False,
                        flag_append=True)
+
+
+# Deterministic merge-on-read delete set: every 17th vector starting
+# at 6 (no anchor is deleted — anchors are QUERIES, the delete set is
+# corpus membership). Integer predicate so the oracle replays it.
+_DELETE_MOD, _DELETE_RES = 17, 6
+
+
+@register(
+    "q_ann_index_delete",
+    oracle=_ivfpq_prefix_sql() + _probe_select_sql(
+        lists_cond=f"l.vec_id % {_DELETE_MOD} <> {_DELETE_RES}",
+        exact_cond=f"e.vec_id % {_DELETE_MOD} <> {_DELETE_RES}",
+    ),
+    doc=(
+        "MERGE-ON-READ DELETES from the persisted ANN index (round 14 "
+        "— the q_txlog_delete_vectors lifecycle applied to vector "
+        "serving, completing the index CRUD next to build/probe/"
+        "append/stream-ingest/compact): the delete batch lands as a "
+        "TOMBSTONE table inside its own index generation (the shared "
+        "build artifact is copied, never mutated) — zero postings "
+        "rewritten; the probe anti-joins the tombstones so deleted "
+        "vectors stop being retrievable immediately, and the exact "
+        "ground truth excludes them too (a deleted vector is out of "
+        "the corpus, not merely demoted — in_exact10 stays a recall "
+        "measure over the LIVE corpus). Replayed delete batches are "
+        "detected and skipped. The oracle replays the full "
+        "construction with the delete predicate on served lists and "
+        "exact side. Physical removal is the next compaction "
+        "(compact_index folds postings MINUS tombstones; probe "
+        "equality pinned in tests/test_ann_index.py). At 100 TB: "
+        "delete cost ~ |tombstones| per probe until compaction, never "
+        "a corpus rewrite per delete batch."
+    ),
+    tags=("extension", "similarity", "ann", "index", "maintenance"),
+)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, meta = build_index(spark, sf_dir)
+    dpath = f"{path}-mor"
+    if load_manifest(dpath) is None:
+        tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
+        shutil.copytree(path, tmp)
+        _publish(tmp, dpath)
+    keys = _vecs(spark, sf_dir).filter(
+        F.col("vec_id") % _DELETE_MOD == _DELETE_RES
+    ).select("vec_id")
+    delete_from_index(spark, dpath, keys)
+    return _probe_plan(spark, sf_dir, dpath, meta)
 
 
 @register(

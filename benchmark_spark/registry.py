@@ -116,7 +116,7 @@ _PRIORITY = (
     "q_txlog_schema_evolution",
     # (tail — freshest-in, first displaced when r14's new queries
     # enter the window)
-    "q_map_funcs", "q_dedup_fingerprint",
+    "q_map_funcs",
     # --- new in round 14, entering through the window (displacing r8
     # tail rows back to the pool — q_decode_audio first; the r13
     # precedent): ANN index segment compaction (VERDICT r13 #2)
@@ -127,6 +127,9 @@ _PRIORITY = (
     # ...and the BPE train->tokenize->pack chain (VERDICT r13 #3),
     # displacing q_decode_image and q_frame_sample:
     "q_bpe_tokenize", "q_pack_sequences_bpe",
+    # ...and merge-on-read index deletes (round-14 CRUD completion),
+    # displacing q_dedup_fingerprint:
+    "q_ann_index_delete",
 )
 
 

@@ -199,6 +199,60 @@ def test_stream_ingest_replay_is_idempotent(spark):
     assert streamed == batch
 
 
+def test_delete_is_merge_on_read_then_physical_at_compact(spark):
+    """Round 14: deletes land as tombstones (no postings rewrite), a
+    replayed delete batch is skipped, probes stop serving deleted
+    vectors immediately, and compaction makes the removal physical —
+    the compacted generation has no tombstones yet probes identically."""
+    import shutil as sh
+
+    path, meta = ai.build_index(spark, SF)
+    dpath = f"{path}-mor2"
+    sh.rmtree(dpath, ignore_errors=True)
+    sh.copytree(path, dpath)
+
+    def _postings_sig(root):
+        pdir = os.path.join(root, "postings")
+        return sorted(
+            (os.path.relpath(os.path.join(dp, f), pdir),
+             os.path.getmtime(os.path.join(dp, f)))
+            for dp, _dn, fns in os.walk(pdir) for f in fns
+        )
+
+    before = _postings_sig(dpath)
+    keys = ai._vecs(spark, SF).filter(F.col("vec_id") % 9 == 2).select("vec_id")
+    assert ai.delete_from_index(spark, dpath, keys) is True
+    # merge-on-read: no postings byte moved, replay skipped
+    assert _postings_sig(dpath) == before
+    assert ai.delete_from_index(spark, dpath, keys) is False
+    # probes stop serving deleted vectors immediately
+    mor = ai._probe_plan(spark, SF, dpath, meta)
+    rows = mor.collect()
+    assert rows and all(r.neighbor_id % 9 != 2 for r in rows)
+    # baseline probe (no tombstones) DID serve some now-deleted ids,
+    # so the filter above is load-bearing, not vacuous
+    base_rows = ai._probe_plan(spark, SF, path, meta).collect()
+    assert any(r.neighbor_id % 9 == 2 for r in base_rows)
+    # compaction folds the tombstones out physically
+    cpath, _cmeta = ai.compact_index(spark, dpath, meta)
+    assert not os.path.exists(os.path.join(cpath, "tombstones"))
+    deleted = {r.vec_id for r in keys.collect()}
+    post = ai.read_postings(spark, cpath)
+    assert post.filter(F.col("vec_id").isin(list(deleted))).count() == 0
+    n = ai._corpus_rows(SF)
+    assert post.count() == n - len(deleted)
+    # the SERVED payload (anchor, neighbor, rank, score) is identical;
+    # in_exact10 is a diagnostic against the fixture corpus, and the
+    # compacted generation has physically forgotten the delete set, so
+    # its diagnostic baseline is the full fixture again — compare the
+    # serving columns, which is the lossless-fold claim
+    served = lambda rs: sorted(  # noqa: E731
+        (r.a_id, r.neighbor_id, r.rank, r.score) for r in rs
+    )
+    compacted = ai._probe_plan(spark, SF, cpath, meta).collect()
+    assert served(compacted) == served(rows)
+
+
 def test_compact_is_lossless_and_immutable(spark):
     """VERDICT r13 #2: compaction folds base+delta into a NEW
     generation whose single-segment probe returns row-identical
