@@ -663,17 +663,18 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
         .agg((F.col("cd") + F.sum("t")).alias("score"))
         .select("a_id", "vec_id", "score")
     )
-    sl_n = vecs.agg(
-        F.greatest(
-            F.lit(_PQT_SL_MIN),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(_PQT_SL_DIV))).cast("long"),
-        ).alias("sl")
-    )
+    # shortlist bound: corpus-proportional, same formula as the
+    # oracle's sl_n CTE — but the corpus size comes from parquet
+    # FOOTERS driver-side (round 14), so the bound is a literal in the
+    # plan instead of a count job + crossJoin(broadcast) nested-loop
+    # join: one fewer scheduled action per probe and the family's one
+    # BroadcastNestedLoopJoin gone. Identical value by construction
+    # (the footer count IS count(*) over the unfiltered table).
+    sl = max(_PQT_SL_MIN, math.ceil(_corpus_rows(sf_dir) / _PQT_SL_DIV))
     w_rank = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w_rank))
-        .crossJoin(F.broadcast(sl_n))
-        .filter(F.col("rk") <= F.col("sl"))
+        .filter(F.col("rk") <= F.lit(sl))
         .select("a_id", "vec_id")
     )
     anchors = vecs.filter(F.col("vec_id") < 5).select(
