@@ -526,7 +526,11 @@ def stream_ledger(path: str) -> list[dict]:
 
 
 def stream_segments(path: str) -> list[str]:
-    return [os.path.join(path, e["segment"]) for e in stream_ledger(path)]
+    return [
+        os.path.join(path, e["segment"])
+        for e in stream_ledger(path)
+        if e["segment"] is not None  # empty batches carry no segment
+    ]
 
 
 def stream_append_segment(spark: SparkSession, path: str,
@@ -541,6 +545,18 @@ def stream_append_segment(spark: SparkSession, path: str,
     Returns whether a segment was committed."""
     ledger = stream_ledger(path)
     if any(e["batch_id"] == batch_id for e in ledger):
+        return False
+    if batch_df.isEmpty():
+        # An empty micro-batch (source idle, or a chunk boundary past
+        # the data) must still be recorded for idempotence, but a
+        # zero-row partitioned parquet write leaves a schema-less
+        # directory that breaks every later segment read — record the
+        # batch with NO segment instead.
+        ledger.append({"batch_id": batch_id, "segment": None})
+        tmp = os.path.join(path, f".{_LEDGER}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, os.path.join(path, _LEDGER))
         return False
     seg_name = f"postings_stream_{batch_id:05d}"
     cdf = spark.read.parquet(os.path.join(path, "coarse"))

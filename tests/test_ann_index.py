@@ -199,6 +199,28 @@ def test_stream_ingest_replay_is_idempotent(spark):
     assert streamed == batch
 
 
+def test_stream_ingest_empty_batch_is_recorded_not_written(spark):
+    """An empty micro-batch must be ledger-recorded for idempotence but
+    write NO segment — a zero-row partitioned parquet write leaves a
+    schema-less directory that would break every later segment read."""
+    n_all = ai._corpus_rows(SF)
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    path, meta = ai.build_index(spark, SF, base_n=base_n)
+    empty = ai._vecs(spark, SF).filter(F.col("vec_id") < 0).select(
+        "vec_id", F.col("v").cast("array<float>").alias("embedding")
+    )
+    before = ai.stream_segments(path)
+    assert ai.stream_append_segment(spark, path, empty, 99_999) is False
+    ledger = ai.stream_ledger(path)
+    assert {"batch_id": 99_999, "segment": None} in ledger
+    assert ai.stream_segments(path) == before  # no unreadable dir added
+    # replay of the empty batch is also skipped without re-recording
+    assert ai.stream_append_segment(spark, path, empty, 99_999) is False
+    assert ai.stream_ledger(path) == ledger
+    # postings over the recorded segments still read fine
+    ai.read_postings(spark, path, extra_segments=ai.stream_segments(path)).count()
+
+
 def test_delete_is_merge_on_read_then_physical_at_compact(spark):
     """Round 14: deletes land as tombstones (no postings rewrite), a
     replayed delete batch is skipped, probes stop serving deleted
