@@ -357,16 +357,23 @@ def _publish(tmp: str, path: str) -> None:
     two concurrent builds could collide mid-delete). The aside rename
     shrinks the gap to two renames with no deletes in between; a
     reader that still loses the race sees a clean miss (no manifest)
-    and rebuilds — never a half-deleted tree. Concurrent WRITERS are
-    serialized by the unique tmp/aside names: the loser's rename
-    fails loudly instead of corrupting the winner's publish."""
+    and rebuilds — never a half-deleted tree. The old generation is
+    deleted ONLY after the forward rename succeeds — if it fails, the
+    aside is renamed back, so a failed publish never destroys data
+    that is not rebuildable from source (the tombstone table rides on
+    this). A crash between the two renames leaves the aside dir on
+    disk, recoverable by hand. Concurrent WRITERS are serialized by
+    the unique tmp/aside names: the loser's rename fails loudly
+    instead of corrupting the winner's publish."""
     if os.path.exists(path):
         aside = f"{path}.old-{uuid.uuid4().hex}"
         os.rename(path, aside)
         try:
             os.rename(tmp, path)
-        finally:
-            shutil.rmtree(aside, ignore_errors=True)
+        except BaseException:
+            os.rename(aside, path)  # restore the old generation
+            raise
+        shutil.rmtree(aside, ignore_errors=True)
     else:
         os.rename(tmp, path)
 
@@ -400,6 +407,38 @@ def append_to_index(spark: SparkSession, sf_dir: str, path: str,
     with open(_manifest_path(path), "w") as f:
         json.dump(meta, f)
     return path, meta
+
+
+def _clone_index(path: str, suffix: str) -> str:
+    """Clone an index's CANONICAL BASE GENERATION (codebooks + base
+    postings + manifest with the appended flag cleared) into its own
+    directory — used by the delete and streaming-ingest scenarios so
+    the shared build/append artifacts are never mutated and so the
+    clone starts clean: no append delta, no stream ledger, no
+    tombstones ride along (a clone carrying another scenario's delta
+    would double-ingest the tail at its first compaction). Idempotent:
+    an existing clone with a readable manifest is reused; a partial
+    copy is cleaned up on failure (tmp dir + _publish, like every
+    other generation write)."""
+    cpath = f"{path}{suffix}"
+    if load_manifest(cpath) is not None:
+        return cpath
+    tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
+    try:
+        os.makedirs(tmp)
+        for sub in ("coarse", "pq", "postings"):
+            shutil.copytree(os.path.join(path, sub), os.path.join(tmp, sub))
+        meta = load_manifest(path)
+        if meta is None:
+            raise ValueError(f"cannot clone {path}: unreadable manifest")
+        meta = dict(meta)
+        meta.pop("appended", None)
+        with open(_manifest_path(tmp), "w") as f:
+            json.dump(meta, f)
+        _publish(tmp, cpath)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return cpath
 
 
 def delete_from_index(spark: SparkSession, path: str, keys: DataFrame) -> bool:
@@ -445,37 +484,51 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
     background maintenance job that caps the probe's
     segments-per-read at a constant: append cost stays
     new-segment-sized, compaction pays one postings-sized rewrite,
-    amortized across the append window. Round-14 delete extension:
-    compaction also applies the tombstone set — the fold anti-joins
-    deleted vec_ids out and the new generation carries NO tombstones,
-    turning merge-on-read deletes into physical removal (the
-    q_txlog_delete_vectors -> vacuum lifecycle for vectors)."""
-    tombs = read_tombstones(spark, path)
-    if not meta.get("appended") and tombs is None:
+    amortized across the append window. Round-14 extensions:
+    compaction folds EVERY visible part of the source index — the
+    append delta, all streaming-ingest segments from the ledger, and
+    the tombstone set (anti-joined out, so merge-on-read deletes
+    become physical removal — the q_txlog_delete_vectors -> vacuum
+    lifecycle for vectors); the new generation carries no delta, no
+    ledger, no tombstones. The manifest records the SOURCE SIGNATURE
+    (appended flag, ledger, tombstone file stats) that was folded: a
+    reuse is valid only while the source still matches, so tombstones
+    or segments added after a compaction trigger a fresh fold instead
+    of silently serving the stale generation."""
+    sig = _source_signature(path, meta)
+    if not (meta.get("appended") or sig["ledger"] or sig["tombstones"]):
         raise ValueError(
-            "compact requires an appended segment or tombstones to fold"
+            "compact requires an appended segment, stream segments, "
+            "or tombstones to fold"
         )
     cpath = f"{path}-compact"
     done = load_manifest(cpath)
-    if done is not None and done.get("compacted_from"):
+    if done is not None and done.get("compacted_source") == sig:
         return cpath, done
+    tombs = read_tombstones(spark, path)
     os.makedirs(_ROOT, exist_ok=True)
     tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
-    new_meta = dict(
-        meta,
-        appended=False,
-        compacted_from=os.path.basename(path),
-        n=meta["n_all"],
-    )
     try:
         os.makedirs(tmp)
         shutil.copytree(os.path.join(path, "coarse"), os.path.join(tmp, "coarse"))
         shutil.copytree(os.path.join(path, "pq"), os.path.join(tmp, "pq"))
-        post = read_postings(spark, path, with_delta=bool(meta.get("appended")))
+        post = read_postings(spark, path, with_delta=bool(meta.get("appended")),
+                             extra_segments=stream_segments(path))
+        n_dead = 0
         if tombs is not None:
+            n_dead = tombs.count()
             post = post.join(F.broadcast(tombs), "vec_id", "left_anti")
         post.repartition(8, "lid").write.partitionBy("lid").parquet(
             os.path.join(tmp, "postings")
+        )
+        new_meta = dict(
+            meta,
+            appended=False,
+            compacted_from=os.path.basename(path),
+            compacted_source=sig,
+            # the generation's LIVE row count, not the corpus size —
+            # a tombstone fold physically removes rows
+            n=meta["n_all"] - n_dead,
         )
         with open(_manifest_path(tmp), "w") as f:
             json.dump(new_meta, f)
@@ -483,6 +536,26 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return cpath, new_meta
+
+
+def _source_signature(path: str, meta: dict) -> dict:
+    """What a compaction folds: the append flag, the stream ledger,
+    and a content fingerprint of the tombstone table (file sizes +
+    mtimes). A compacted generation is reusable only while this
+    signature still matches the source — anything ingested or deleted
+    after the fold invalidates it."""
+    tomb = os.path.join(path, "tombstones")
+    tomb_sig = []
+    if os.path.isdir(tomb):
+        for base, _d, files in sorted(os.walk(tomb)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(base, fn))
+                tomb_sig.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return {
+        "appended": bool(meta.get("appended")),
+        "ledger": stream_ledger(path),
+        "tombstones": tomb_sig,
+    }
 
 
 def read_postings(spark: SparkSession, path: str, *,
@@ -587,9 +660,15 @@ def _tail_stream(spark: SparkSession, sf_dir: str, base_n: int,
     import glob
     import shutil as sh
 
+    # keyed by the fixture's CONTENT fingerprint, not just its basename
+    # (code-review r14: two fixture dirs sharing a basename — or a
+    # restore with preserved mtimes — must never serve each other's
+    # staged tail; the fingerprint is the same one the index cache key
+    # uses, so stage and index always agree on corpus identity)
     stage = os.path.join(
         "/root/repo/.scratch",
-        f"ann_stream_{os.path.basename(sf_dir.rstrip('/'))}_{base_n}",
+        f"ann_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{base_n}_{_embeddings_fingerprint(sf_dir)}",
     )
     marker = os.path.join(stage, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1106,11 +1185,7 @@ _DELETE_MOD, _DELETE_RES = 17, 6
 )
 def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, meta = build_index(spark, sf_dir)
-    dpath = f"{path}-mor"
-    if load_manifest(dpath) is None:
-        tmp = os.path.join(_ROOT, f"tmp-{uuid.uuid4().hex}")
-        shutil.copytree(path, tmp)
-        _publish(tmp, dpath)
+    dpath = _clone_index(path, "-mor")
     keys = _vecs(spark, sf_dir).filter(
         F.col("vec_id") % _DELETE_MOD == _DELETE_RES
     ).select("vec_id")
@@ -1152,11 +1227,17 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_all = _corpus_rows(sf_dir)
     base_n = (_BASE_NUM * n_all) // _BASE_DEN
     path, meta = build_index(spark, sf_dir, base_n=base_n)
+    # the stream ingests into its OWN generation (clone of the base
+    # build): the shared base_n artifact stays ledger-free, so the
+    # batch-append (postings_delta) and streamed (segments) views of
+    # the tail never coexist on one artifact — compaction folds
+    # whatever its given artifact actually contains, exactly once.
+    spath = _clone_index(path, "-stream")
 
     stream = _tail_stream(spark, sf_dir, base_n)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stream_append_segment(spark, path, batch_df, batch_id)
+        stream_append_segment(spark, spath, batch_df, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
@@ -1165,6 +1246,6 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_done(q)
-    return _probe_plan(spark, sf_dir, path, meta, with_delta=False,
+    return _probe_plan(spark, sf_dir, spath, meta, with_delta=False,
                        flag_append=True,
-                       extra_segments=stream_segments(path))
+                       extra_segments=stream_segments(spath))

@@ -1234,7 +1234,11 @@ _CHARGRAM_CODE = " + ".join(
 _CHARGRAM_GUARD = (
     "greatest("
     + ", ".join(f"ascii(substring(shingle, {i + 1}, 1))" for i in range(5))
-    + ") > 255 OR instr(shingle, chr(0)) > 0"
+    # >5-char shingles would silently truncate (the encode reads only
+    # positions 1..5) — the guard enforces the full precondition, so a
+    # future caller reusing intersect_code_expr with longer shingles
+    # fails loudly instead of changing the Jaccard
+    + ") > 255 OR instr(shingle, chr(0)) > 0 OR length(shingle) > 5"
 )
 _CHARGRAM_CODE_EXPR = (
     f"CASE WHEN {_CHARGRAM_GUARD} "

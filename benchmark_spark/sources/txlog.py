@@ -1469,7 +1469,10 @@ def txlog_physical_max_id(table: TxLogTable, version: int | None = None) -> int:
     metaData because the current schema alone cannot reveal ids freed
     by a drop — and reusing one would make mergeSchema's name-based
     union silently resurrect the dropped column's bytes from old files
-    (ADVICE r13)."""
+    (ADVICE r13). Besides the recorded field, every historical mapped
+    schema's physical ids are folded in, so the guard also covers
+    tables whose early commits predate the recorded high-water mark
+    (a legacy log would otherwise report -1 and accept any reuse)."""
     max_id = -1
     for v in table.versions():
         if version is not None and v > version:
@@ -1477,6 +1480,9 @@ def txlog_physical_max_id(table: TxLogTable, version: int | None = None) -> int:
         md = table._read_commit(v).get("metaData")
         if md is not None:
             max_id = max(max_id, md.get("physicalMaxId", -1))
+            for c in md.get("schema") or []:
+                if "physical" in c:
+                    max_id = max(max_id, _physical_id(c["physical"]))
     return max_id
 
 
@@ -1485,19 +1491,42 @@ def mapped_schema_meta(table: TxLogTable, fields: list[dict]) -> dict:
     every physical name NEW to this table (not live in the current
     schema) has an id ABOVE every id ever assigned — a dropped
     column's physical name can never come back — and records the new
-    high-water mark. Raise loudly at commit time; the alternative is a
-    reader quietly unioning resurrected bytes."""
+    high-water mark. Also rejects two fields sharing one physical
+    name and a LIVE physical name changing type (both would make
+    mergeSchema serve one column's bytes under another's contract).
+    Raise loudly at commit time; the alternative is a reader quietly
+    unioning resurrected or mis-cast bytes. Known limit (Delta solves
+    it with per-field ids): a drop + re-add of a different logical
+    column onto the SAME live physical name within one commit is
+    structurally indistinguishable from a rename and is accepted as
+    one — split such changes across commits so the drop retires the
+    physical name first."""
     prev_max = txlog_physical_max_id(table)
     current = txlog_schema_at(table) or []
-    live = {c["physical"] for c in current}
+    live = {c["physical"]: c for c in current}
+    seen: set[str] = set()
     ids = []
     for c in fields:
         pid = _physical_id(c["physical"])
+        if c["physical"] in seen:
+            raise ValueError(
+                f"physical name {c['physical']!r} mapped by two fields in "
+                "one schema — mergeSchema would serve one column's bytes "
+                "under both logical names"
+            )
+        seen.add(c["physical"])
         if c["physical"] not in live and pid <= prev_max:
             raise ValueError(
                 f"physical name {c['physical']!r} reuses an already-assigned "
                 f"id (max ever assigned: c{prev_max}); reuse would resurrect "
                 "dropped bytes via mergeSchema — assign a fresh physical name"
+            )
+        if c["physical"] in live and c["type"] != live[c["physical"]]["type"]:
+            raise ValueError(
+                f"physical name {c['physical']!r} changes type "
+                f"{live[c['physical']]['type']!r} -> {c['type']!r}; old files' "
+                "bytes would be read under the wrong type — assign a fresh "
+                "physical name instead"
             )
         ids.append(pid)
     return {"schema": fields, "physicalMaxId": max([prev_max, *ids])}

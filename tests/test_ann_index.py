@@ -163,11 +163,13 @@ def test_stream_ingest_replay_is_idempotent(spark):
 
     specs = all_specs()
     streamed = sorted(specs["q_ann_stream_ingest"].fn(spark, SF).collect())
-    ledger = ai.stream_ledger(path)
+    spath = f"{path}-stream"  # the query ingests into its own clone
+    assert ai.stream_ledger(path) == []  # shared artifact stays ledger-free
+    ledger = ai.stream_ledger(spath)
     assert len(ledger) >= 2  # genuinely multi-batch
-    segs = ai.stream_segments(path)
+    segs = ai.stream_segments(spath)
     # the streamed segments cover the tail exactly once
-    tail = ai.read_postings(spark, path, extra_segments=segs).filter(
+    tail = ai.read_postings(spark, spath, extra_segments=segs).filter(
         F.col("vec_id") >= base_n
     )
     assert tail.count() == n_all - base_n
@@ -187,8 +189,8 @@ def test_stream_ingest_replay_is_idempotent(spark):
         "vec_id", F.col("v").cast("array<float>").alias("embedding")
     )
     for e in ledger:
-        assert ai.stream_append_segment(spark, path, tail_df, e["batch_id"]) is False
-    assert ai.stream_ledger(path) == ledger
+        assert ai.stream_append_segment(spark, spath, tail_df, e["batch_id"]) is False
+    assert ai.stream_ledger(spath) == ledger
     assert _sig() == before
     # convergence: hash-equal to the batch append (same oracle upstream)
     path2, meta2 = ai.append_to_index(spark, SF, path, meta)
@@ -206,19 +208,21 @@ def test_stream_ingest_empty_batch_is_recorded_not_written(spark):
     n_all = ai._corpus_rows(SF)
     base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
     path, meta = ai.build_index(spark, SF, base_n=base_n)
+    # work on a clone so the shared base artifact stays ledger-free
+    cpath = ai._clone_index(path, "-emptybatch")
     empty = ai._vecs(spark, SF).filter(F.col("vec_id") < 0).select(
         "vec_id", F.col("v").cast("array<float>").alias("embedding")
     )
-    before = ai.stream_segments(path)
-    assert ai.stream_append_segment(spark, path, empty, 99_999) is False
-    ledger = ai.stream_ledger(path)
+    before = ai.stream_segments(cpath)
+    assert ai.stream_append_segment(spark, cpath, empty, 99_999) is False
+    ledger = ai.stream_ledger(cpath)
     assert {"batch_id": 99_999, "segment": None} in ledger
-    assert ai.stream_segments(path) == before  # no unreadable dir added
+    assert ai.stream_segments(cpath) == before  # no unreadable dir added
     # replay of the empty batch is also skipped without re-recording
-    assert ai.stream_append_segment(spark, path, empty, 99_999) is False
-    assert ai.stream_ledger(path) == ledger
+    assert ai.stream_append_segment(spark, cpath, empty, 99_999) is False
+    assert ai.stream_ledger(cpath) == ledger
     # postings over the recorded segments still read fine
-    ai.read_postings(spark, path, extra_segments=ai.stream_segments(path)).count()
+    ai.read_postings(spark, cpath, extra_segments=ai.stream_segments(cpath)).count()
 
 
 def test_delete_is_merge_on_read_then_physical_at_compact(spark):
@@ -273,6 +277,53 @@ def test_delete_is_merge_on_read_then_physical_at_compact(spark):
     )
     compacted = ai._probe_plan(spark, SF, cpath, meta).collect()
     assert served(compacted) == served(rows)
+
+
+def test_compact_folds_stream_segments_and_detects_stale_generation(spark):
+    """Code-review round 14: compaction folds ALL visible parts of its
+    source (stream segments included, not just the append delta), and
+    a generation is reused only while the source signature matches —
+    tombstones added after a compaction force a fresh fold instead of
+    silently serving the stale generation."""
+    import shutil as sh
+
+    n_all = ai._corpus_rows(SF)
+    base_n = (ai._BASE_NUM * n_all) // ai._BASE_DEN
+    path, _meta = ai.build_index(spark, SF, base_n=base_n)
+    # self-cleaning: this test MUTATES its clone (post-compact delete),
+    # so a rerun must start from a fresh clone, not last run's state
+    sh.rmtree(f"{path}-cmpstream", ignore_errors=True)
+    sh.rmtree(f"{path}-cmpstream-compact", ignore_errors=True)
+    spath = ai._clone_index(path, "-cmpstream")
+    meta = ai.load_manifest(spath)
+    mid = base_n + (n_all - base_n) // 2
+    tail = ai._vecs(spark, SF).filter(F.col("vec_id") >= base_n).select(
+        "vec_id", F.col("v").cast("array<float>").alias("embedding")
+    )
+    ai.stream_append_segment(spark, spath, tail.filter(F.col("vec_id") < mid), 0)
+    ai.stream_append_segment(spark, spath, tail.filter(F.col("vec_id") >= mid), 1)
+    merged = sorted(
+        ai._probe_plan(spark, SF, spath, meta,
+                       extra_segments=ai.stream_segments(spath)).collect()
+    )
+    cpath, cmeta = ai.compact_index(spark, spath, meta)
+    post = ai.read_postings(spark, cpath)
+    assert post.count() == n_all  # stream segments folded, not dropped
+    assert cmeta["n"] == n_all
+    assert sorted(ai._probe_plan(spark, SF, cpath, cmeta).collect()) == merged
+    # reuse while the source is unchanged...
+    cpath2, cmeta2 = ai.compact_index(spark, spath, meta)
+    assert (cpath2, cmeta2) == (cpath, cmeta)
+    # ...but tombstones added AFTER the fold invalidate the generation
+    keys = ai._vecs(spark, SF).filter(F.col("vec_id") % 13 == 1).select("vec_id")
+    ai.delete_from_index(spark, spath, keys)
+    cpath3, cmeta3 = ai.compact_index(spark, spath, ai.load_manifest(spath))
+    assert cpath3 == cpath  # same generation dir, freshly re-published
+    n_dead = keys.count()
+    post3 = ai.read_postings(spark, cpath3)
+    assert post3.filter(F.col("vec_id") % 13 == 1).count() == 0
+    assert post3.count() == n_all - n_dead
+    assert cmeta3["n"] == n_all - n_dead  # manifest counts LIVE rows
 
 
 def test_compact_is_lossless_and_immutable(spark):

@@ -1044,3 +1044,54 @@ def test_colmap_reusing_dropped_physical_name_is_rejected(mapped_table):
         cur + [{"name": "region", "physical": "c3", "type": "bigint"}],
     )
     assert meta["physicalMaxId"] == 3
+
+
+def test_colmap_duplicate_and_retyped_physical_names_rejected(mapped_table):
+    """Code-review round 14: two fields mapping one physical name, or a
+    live physical name changing type, are schema corruption accepted
+    nowhere — both would make mergeSchema serve one column's bytes
+    under another contract."""
+    from benchmark_spark.sources.txlog import (
+        mapped_schema_meta, txlog_schema_at,
+    )
+
+    cur = txlog_schema_at(mapped_table)
+    dup = cur + [{"name": "region", "physical": cur[0]["physical"],
+                  "type": cur[0]["type"]}]
+    with pytest.raises(ValueError, match="mapped by two fields"):
+        mapped_schema_meta(mapped_table, dup)
+    retyped = [dict(c, type="double") if c is cur[0] else c for c in cur]
+    with pytest.raises(ValueError, match="changes type"):
+        mapped_schema_meta(mapped_table, retyped)
+
+
+def test_colmap_guard_covers_legacy_logs_without_recorded_mark(spark, tmp_path):
+    """Code-review round 14: a mapped table whose history predates the
+    recorded physicalMaxId (raw metaData commits) must still refuse to
+    reuse a dropped physical name — the mark is re-derived from every
+    historical schema's physical ids."""
+    from benchmark_spark.sources.txlog import (
+        mapped_fields, mapped_schema_meta, to_physical,
+        txlog_physical_max_id,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    f0 = mapped_fields(df, {"k": "c0", "v": "c1"})
+    path = str(tmp_path / "legacy")
+    os.makedirs(path)
+    t = TxLogTable(path)
+    # legacy-style commits: schema recorded WITHOUT the high-water mark
+    t.commit(
+        t._write_files(spark, [to_physical(df, f0)], ("c0",)),
+        op="create",
+        extra={"metaData": {"schema": f0}},
+    )
+    f1 = [c for c in f0 if c["name"] != "v"]  # drop v (frees c1 — or not)
+    t.commit([], op="drop-column", extra={"metaData": {"schema": f1}})
+    assert txlog_physical_max_id(t) == 1  # re-derived from history
+    with pytest.raises(ValueError, match="reuses an already-assigned"):
+        mapped_schema_meta(
+            t, f1 + [{"name": "w", "physical": "c1", "type": "bigint"}]
+        )

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import statistics
 import sys
 import time
@@ -64,10 +63,10 @@ def main() -> None:
     points = {}
     reference = None
     for k in (1, 2, 4, 8):
-        path = os.path.join(ai._ROOT, f"curve-seg-{k}")
-        if ai.load_manifest(path) is None:
-            shutil.rmtree(path, ignore_errors=True)
-            shutil.copytree(base_path, path)
+        # a CLEAN base clone per k (the registered _clone_index path:
+        # codebooks + base postings only), so no append delta from the
+        # shared artifact rides along into the fold
+        path = ai._clone_index(base_path, f"-curve{k}")
         if len(ai.stream_ledger(path)) != k:
             width = max(1, (n_tail + k - 1) // k)
             for b in range(k):
@@ -83,25 +82,11 @@ def main() -> None:
             reference = rows
         assert rows == reference, f"k={k} served a different result set"
         points[f"segments_{1 + k}"] = med  # base + k tail segments
-    # compacted single-segment generation (fold base + the 1-segment tail)
-    one = os.path.join(ai._ROOT, "curve-seg-1")
-    m1 = dict(meta, appended=False)
-    cpath = os.path.join(ai._ROOT, "curve-seg-compacted")
-    if ai.load_manifest(cpath) is None:
-        shutil.rmtree(cpath, ignore_errors=True)
-        tmp = os.path.join(ai._ROOT, "tmp-curve-compact")
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        shutil.copytree(os.path.join(one, "coarse"), os.path.join(tmp, "coarse"))
-        shutil.copytree(os.path.join(one, "pq"), os.path.join(tmp, "pq"))
-        ai.read_postings(
-            spark, one, extra_segments=ai.stream_segments(one)
-        ).repartition(8, "lid").write.partitionBy("lid").parquet(
-            os.path.join(tmp, "postings")
-        )
-        with open(ai._manifest_path(tmp), "w") as f:
-            json.dump(m1, f)
-        ai._publish(tmp, cpath)
+    # compacted single-segment generation: the REGISTERED compaction
+    # path folds base + the 1-segment tail (no hand-rolled twin — the
+    # tool measures exactly what compact_index produces)
+    one = f"{base_path}-curve1"
+    cpath, _cmeta = ai.compact_index(spark, one, ai.load_manifest(one))
     rows, med = timed_probe(cpath, None)
     assert rows == reference, "compacted generation served a different result set"
     points["segments_1_compacted"] = med
