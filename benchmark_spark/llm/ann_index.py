@@ -854,23 +854,30 @@ def _ivfpq_prefix_sql(base_cond: str = "TRUE") -> str:
     ),
     bvm AS MATERIALIZED (SELECT * FROM vm WHERE {base_cond}),
     trc AS MATERIALIZED (SELECT * FROM bvm WHERE vec_id < (SELECT train FROM params)),
+    vl AS MATERIALIZED (  -- full corpus packed to 64-dim DOUBLE lists
+        SELECT vec_id, list(CAST(xm AS DOUBLE) ORDER BY p) AS xl
+        FROM vm GROUP BY vec_id
+    ),
+    tvl AS MATERIALIZED (SELECT * FROM vl
+                         WHERE ({base_cond})
+                           AND vec_id < (SELECT train FROM params)),
     cc0 AS (SELECT vec_id AS cid, p AS i, xm AS cm FROM bvm
             WHERE vec_id < (SELECT nlist FROM params)),
     {",".join(_coarse_iteration_sql(str(i), str(i + 1)) for i in range(_IVFPQ_ITERS))},
     ccf AS MATERIALIZED (SELECT * FROM cc{_IVFPQ_ITERS}),
-    qcf AS (SELECT cid, SUM(cm * cm) AS csq FROM ccf GROUP BY cid),
-    dall AS (
-        SELECT v.vec_id, c.cid, SUM(v.xm * c.cm) AS dp
-        FROM vm v JOIN ccf c ON c.i = v.p
-        GROUP BY v.vec_id, c.cid
+    cclf AS MATERIALIZED (  -- final coarse codebook packed to lists
+        SELECT cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM ccf GROUP BY cid
     ),
     lists AS MATERIALIZED (
         SELECT vec_id, cid AS lid FROM (
-            SELECT d.vec_id, d.cid,
+            SELECT v.vec_id, c.cid,
                    row_number() OVER (
-                       PARTITION BY d.vec_id
-                       ORDER BY q.csq - 2 * d.dp ASC, d.cid ASC) AS rn
-            FROM dall d JOIN qcf q USING (cid)
+                       PARTITION BY v.vec_id
+                       ORDER BY c.csq - 2 * list_dot_product(v.xl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM vl v, cclf c
         ) WHERE rn = 1
     ),
     rr AS MATERIALIZED (
@@ -880,24 +887,30 @@ def _ivfpq_prefix_sql(base_cond: str = "TRUE") -> str:
         JOIN lists l USING (vec_id)
         JOIN ccf c ON c.cid = l.lid AND c.i = v.p
     ),
+    rrl AS MATERIALIZED (  -- residual subvectors packed to 8-dim lists
+        SELECT vec_id, s, list(CAST(rm AS DOUBLE) ORDER BY i) AS rl
+        FROM rr GROUP BY vec_id, s
+    ),
     trr AS MATERIALIZED (SELECT r.* FROM rr r
                          WHERE r.vec_id < (SELECT train FROM params)),
+    trrl AS MATERIALIZED (SELECT * FROM rrl
+                          WHERE vec_id < (SELECT train FROM params)),
     rc0 AS (SELECT s, vec_id AS cid, i, rm AS cm FROM rr WHERE vec_id < {_PQT_K}),
     {",".join(_resid_iteration_sql(str(i), str(i + 1)) for i in range(_IVFPQ_ITERS))},
     rcf AS MATERIALIZED (SELECT * FROM rc{_IVFPQ_ITERS}),
-    qrf AS (SELECT s, cid, SUM(cm * cm) AS csq FROM rcf GROUP BY s, cid),
-    enc AS (
-        SELECT r.vec_id, r.s, c.cid, SUM(r.rm * c.cm) AS dp
-        FROM rr r JOIN rcf c ON c.s = r.s AND c.i = r.i
-        GROUP BY r.vec_id, r.s, c.cid
+    rclf AS MATERIALIZED (  -- final residual codebooks packed to lists
+        SELECT s, cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM rcf GROUP BY s, cid
     ),
     codes AS MATERIALIZED (
         SELECT vec_id, s, cid FROM (
-            SELECT e.vec_id, e.s, e.cid,
+            SELECT r.vec_id, r.s, c.cid,
                    row_number() OVER (
-                       PARTITION BY e.vec_id, e.s
-                       ORDER BY q.csq - 2 * e.dp ASC, e.cid ASC) AS rn
-            FROM enc e JOIN qrf q ON q.s = e.s AND q.cid = e.cid
+                       PARTITION BY r.vec_id, r.s
+                       ORDER BY c.csq - 2 * list_dot_product(r.rl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM rrl r JOIN rclf c ON c.s = r.s
         ) WHERE rn = 1
     )"""
 

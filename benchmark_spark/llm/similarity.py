@@ -1976,21 +1976,31 @@ def _ivfpq_train(train_micro, nlist: int):
 
 
 def _coarse_iteration_sql(prev: str, cur: str) -> str:
-    """One coarse-quantizer Lloyd iteration (full 64-dim rows in vm)."""
+    """One coarse-quantizer Lloyd iteration (assignment over 64-dim LISTS).
+
+    The assignment step packs centroids into DOUBLE lists and scores
+    with list_dot_product against the pre-packed training lists (tvl),
+    replacing the unnest-join + 64-way hash-aggregate formulation (a
+    train x nlist x 64-row intermediate) with train x nlist rows. All
+    operands are integers |x| < 2^50 held in doubles, so every product
+    and partial sum is exactly representable: scores, and therefore
+    assignments and the final hashes, are bit-identical to the BIGINT
+    formulation (round-14 oracle trim; gate economics).
+    """
     return f"""
-    qc{cur} AS MATERIALIZED (SELECT cid, SUM(cm * cm) AS csq FROM cc{prev} GROUP BY cid),
-    dc{cur} AS MATERIALIZED (
-        SELECT t.vec_id, c.cid, SUM(t.xm * c.cm) AS dp
-        FROM trc t JOIN cc{prev} c ON c.i = t.p
-        GROUP BY t.vec_id, c.cid
+    ccl{cur} AS MATERIALIZED (
+        SELECT cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM cc{prev} GROUP BY cid
     ),
     ac{cur} AS MATERIALIZED (
         SELECT vec_id, cid FROM (
-            SELECT d.vec_id, d.cid,
+            SELECT t.vec_id, c.cid,
                    row_number() OVER (
-                       PARTITION BY d.vec_id
-                       ORDER BY q.csq - 2 * d.dp ASC, d.cid ASC) AS rn
-            FROM dc{cur} d JOIN qc{cur} q USING (cid)
+                       PARTITION BY t.vec_id
+                       ORDER BY c.csq - 2 * list_dot_product(t.xl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM tvl t, ccl{cur} c
         ) WHERE rn = 1
     ),
     cc{cur} AS MATERIALIZED (
@@ -2005,21 +2015,27 @@ def _coarse_iteration_sql(prev: str, cur: str) -> str:
 
 
 def _resid_iteration_sql(prev: str, cur: str) -> str:
-    """One residual-PQ Lloyd iteration (subspace rows in trr)."""
+    """One residual-PQ Lloyd iteration (assignment over 8-dim subspace LISTS).
+
+    Same list_dot_product reformulation as _coarse_iteration_sql, per
+    (vec_id, s) subvector against per-subspace codebook lists; exact
+    by the same integer-in-double argument, so assignments are
+    bit-identical to the unnest-join formulation it replaces.
+    """
     return f"""
-    qr{cur} AS MATERIALIZED (SELECT s, cid, SUM(cm * cm) AS csq FROM rc{prev} GROUP BY s, cid),
-    dr{cur} AS MATERIALIZED (
-        SELECT t.vec_id, t.s, c.cid, SUM(t.rm * c.cm) AS dp
-        FROM trr t JOIN rc{prev} c ON c.s = t.s AND c.i = t.i
-        GROUP BY t.vec_id, t.s, c.cid
+    rcl{cur} AS MATERIALIZED (
+        SELECT s, cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM rc{prev} GROUP BY s, cid
     ),
     ar{cur} AS MATERIALIZED (
         SELECT vec_id, s, cid FROM (
-            SELECT d.vec_id, d.s, d.cid,
+            SELECT t.vec_id, t.s, c.cid,
                    row_number() OVER (
-                       PARTITION BY d.vec_id, d.s
-                       ORDER BY q.csq - 2 * d.dp ASC, d.cid ASC) AS rn
-            FROM dr{cur} d JOIN qr{cur} q ON q.s = d.s AND q.cid = d.cid
+                       PARTITION BY t.vec_id, t.s
+                       ORDER BY c.csq - 2 * list_dot_product(t.rl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM trrl t JOIN rcl{cur} c ON c.s = t.s
         ) WHERE rn = 1
     ),
     rc{cur} AS MATERIALIZED (
@@ -2059,23 +2075,29 @@ _IVFPQ_ORACLE = f"""
         FROM vecs, unnest(range(0, 64)) AS p(p)
     ),
     trc AS MATERIALIZED (SELECT * FROM vm WHERE vec_id < (SELECT train FROM params)),
+    vl AS MATERIALIZED (  -- full corpus packed to 64-dim DOUBLE lists
+        SELECT vec_id, list(CAST(xm AS DOUBLE) ORDER BY p) AS xl
+        FROM vm GROUP BY vec_id
+    ),
+    tvl AS MATERIALIZED (SELECT * FROM vl
+                         WHERE vec_id < (SELECT train FROM params)),
     cc0 AS (SELECT vec_id AS cid, p AS i, xm AS cm FROM vm
             WHERE vec_id < (SELECT nlist FROM params)),
     {",".join(_coarse_iteration_sql(str(n), str(n + 1)) for n in range(_IVFPQ_ITERS))},
     ccf AS MATERIALIZED (SELECT * FROM cc{_IVFPQ_ITERS}),
-    qcf AS (SELECT cid, SUM(cm * cm) AS csq FROM ccf GROUP BY cid),
-    dall AS (
-        SELECT v.vec_id, c.cid, SUM(v.xm * c.cm) AS dp
-        FROM vm v JOIN ccf c ON c.i = v.p
-        GROUP BY v.vec_id, c.cid
+    cclf AS MATERIALIZED (  -- final coarse codebook packed to lists
+        SELECT cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM ccf GROUP BY cid
     ),
     lists AS MATERIALIZED (
         SELECT vec_id, cid AS lid FROM (
-            SELECT d.vec_id, d.cid,
+            SELECT v.vec_id, c.cid,
                    row_number() OVER (
-                       PARTITION BY d.vec_id
-                       ORDER BY q.csq - 2 * d.dp ASC, d.cid ASC) AS rn
-            FROM dall d JOIN qcf q USING (cid)
+                       PARTITION BY v.vec_id
+                       ORDER BY c.csq - 2 * list_dot_product(v.xl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM vl v, cclf c
         ) WHERE rn = 1
     ),
     rr AS MATERIALIZED (  -- residual rows under the FINAL coarse, subspace-keyed
@@ -2085,23 +2107,29 @@ _IVFPQ_ORACLE = f"""
         JOIN lists l USING (vec_id)
         JOIN ccf c ON c.cid = l.lid AND c.i = v.p
     ),
+    rrl AS MATERIALIZED (  -- residual subvectors packed to 8-dim lists
+        SELECT vec_id, s, list(CAST(rm AS DOUBLE) ORDER BY i) AS rl
+        FROM rr GROUP BY vec_id, s
+    ),
     trr AS MATERIALIZED (SELECT * FROM rr WHERE vec_id < (SELECT train FROM params)),
+    trrl AS MATERIALIZED (SELECT * FROM rrl
+                          WHERE vec_id < (SELECT train FROM params)),
     rc0 AS (SELECT s, vec_id AS cid, i, rm AS cm FROM rr WHERE vec_id < {_PQT_K}),
     {",".join(_resid_iteration_sql(str(n), str(n + 1)) for n in range(_IVFPQ_ITERS))},
     rcf AS MATERIALIZED (SELECT * FROM rc{_IVFPQ_ITERS}),
-    qrf AS (SELECT s, cid, SUM(cm * cm) AS csq FROM rcf GROUP BY s, cid),
-    enc AS (
-        SELECT r.vec_id, r.s, c.cid, SUM(r.rm * c.cm) AS dp
-        FROM rr r JOIN rcf c ON c.s = r.s AND c.i = r.i
-        GROUP BY r.vec_id, r.s, c.cid
+    rclf AS MATERIALIZED (  -- final residual codebooks packed to lists
+        SELECT s, cid, list(CAST(cm AS DOUBLE) ORDER BY i) AS cl,
+               SUM(CAST(cm AS DOUBLE) * cm) AS csq
+        FROM rcf GROUP BY s, cid
     ),
     codes AS (
         SELECT vec_id, s, cid FROM (
-            SELECT e.vec_id, e.s, e.cid,
+            SELECT r.vec_id, r.s, c.cid,
                    row_number() OVER (
-                       PARTITION BY e.vec_id, e.s
-                       ORDER BY q.csq - 2 * e.dp ASC, e.cid ASC) AS rn
-            FROM enc e JOIN qrf q ON q.s = e.s AND q.cid = e.cid
+                       PARTITION BY r.vec_id, r.s
+                       ORDER BY c.csq - 2 * list_dot_product(r.rl, c.cl) ASC,
+                                c.cid ASC) AS rn
+            FROM rrl r JOIN rclf c ON c.s = r.s
         ) WHERE rn = 1
     ),
     acd AS (  -- anchor x coarse inner products (probe ranking + score base)
