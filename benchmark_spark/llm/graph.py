@@ -82,7 +82,7 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(ea), "a_id")
         .join(F.broadcast(eb), "vec_id")
-        .select("a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw"))
+        .select("a_id", "vec_id", dot("n_emb", "a_emb").alias("raw"))
     )
     return topk_per_anchor(scored, TOP_K_NEIGHBORS).select(
         F.col("a_id").alias("src"), F.col("neighbor_id").alias("dst")

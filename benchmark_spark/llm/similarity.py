@@ -37,8 +37,22 @@ from benchmark_spark.catalog import load_table
 from benchmark_spark.registry import register
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two float arrays, JVM-side."""
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side.
+
+    String args take the F.expr fast path: building the IDENTICAL
+    expression through the Python-lambda higher-order-function API
+    costs ~130 ms of py4j round trips per call (measured round 15 —
+    two lambda constructions), vs ~0.5 ms for one SQL parse; on
+    plan-rebuilt-per-trial paths (gate, ivfpq/probe sidecars) the
+    build cost is the difference. CAST(0 AS DOUBLE) folds to the same
+    0.0 literal; the lambda body is the same cast-multiply-accumulate,
+    so analyzed plans and results are unchanged."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+            " * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -138,7 +152,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw"))
+        .select("a_id", "vec_id", dot("embedding", "a_emb").alias("raw"))
     )
     return topk_per_anchor(scored, 3)
 
@@ -319,7 +333,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a_id", "vec_id"])
     )
     scored = cand.select(
-        "a_id", "vec_id", dot(F.col("embedding"), F.col("a_emb")).alias("raw")
+        "a_id", "vec_id", dot("embedding", "a_emb").alias("raw")
     )
     return topk_per_anchor(scored, 3)
 
@@ -348,7 +362,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot("a.embedding", "b.embedding")
     return (
         a.join(
             b,
@@ -450,7 +464,7 @@ def kmeans_parallel_init(
         cost = (
             vecs.crossJoin(F.broadcast(cand))
             .groupBy("vec_id")
-            .agg(F.first("v").alias("v"), F.max(dot(F.col("v"), F.col("cvec"))).alias("best"))
+            .agg(F.first("v").alias("v"), F.max(dot("v", "cvec")).alias("best"))
             .select(
                 "vec_id",
                 "v",
@@ -580,7 +594,7 @@ def _assign(
     """Each vector's n max-dot centroids (deterministic tiebreak on
     cid): (vec_id, cid[, v])."""
     scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cid", dot(F.col("v"), F.col("cvec")).alias("s")
+        "vec_id", "v", "cid", dot("v", "cvec").alias("s")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
     out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
@@ -786,7 +800,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         probes.join(lists, "cid")
         .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     return topk_per_anchor(cand, 3)
 
@@ -875,7 +889,7 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.crossJoin(F.broadcast(anchor))
         .select(
             "vec_id",
-            F.round(dot(F.col("embedding"), F.col("a_emb")), 4).alias("score"),
+            F.round(dot("embedding", "a_emb"), 4).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
@@ -964,7 +978,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     cand = cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
-    cos = dot(F.col("ea"), F.col("eb"))
+    cos = dot("ea", "eb")
     return cand.filter(cos > 0.3).select(
         "a_id", "b_id", F.round(cos, 4).alias("cosine")
     )
@@ -1062,7 +1076,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(ea), "a_id")
         .join(F.broadcast(eb), "vec_id")
-        .select("a_id", "vec_id", dot(F.col("n_emb"), F.col("a_emb")).alias("raw"))
+        .select("a_id", "vec_id", dot("n_emb", "a_emb").alias("raw"))
     )
     return topk_per_anchor(scored, 3)
 
@@ -1190,7 +1204,7 @@ def q_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("score"),
+            F.round(dot("embedding", "anchor_emb"), 4).alias("score"),
         )
         .filter(F.col("score") >= 0.2)
         .orderBy(F.desc("score"), F.asc("vec_id"))
@@ -1494,7 +1508,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
 
     scored = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "cid", _micros(dot(F.col("sv"), F.col("cvec"))).alias("d")
+        "vec_id", "s", "cid", _micros(dot("sv", "cvec")).alias("d")
     )
     w_code = Window.partitionBy("vec_id", "s").orderBy(F.desc("d"), F.asc("cid"))
     codes = (
@@ -1536,7 +1550,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = (
         shortlist.join(vecs, "vec_id")
         .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     reranked = (
@@ -1548,7 +1562,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_scored = (
         vecs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     exact = (
@@ -1847,7 +1861,7 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = (
         shortlist.join(vecs, "vec_id")
         .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     reranked = (
@@ -1859,7 +1873,7 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_scored = (
         vecs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     exact = (
@@ -1973,6 +1987,165 @@ def _ivfpq_train(train_micro, nlist: int):
             c = new
         cents.append(c)
     return coarse, cents
+
+
+def _emb_count(sf_dir: str) -> int:
+    """Row count of the embeddings fixture from parquet FOOTERS — no
+    scheduled Spark job (the ann_index._corpus_rows pattern, round 15
+    applied to the in-query ANN tier). Identical by construction to
+    count(*) over the unfiltered table."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if os.path.isdir(src):
+        return sum(
+            papq.ParquetFile(os.path.join(base, fn)).metadata.num_rows
+            for base, _d, files in os.walk(src)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+    return papq.ParquetFile(src).metadata.num_rows
+
+
+def _emb_slice(sf_dir: str, hi: int) -> list[tuple[int, list[float]]]:
+    """(vec_id, vector) rows with vec_id < hi, ordered by vec_id, read
+    driver-side from the embeddings parquet via pyarrow row-group
+    filtering — replaces a filter+orderBy+collect Spark job for the
+    bounded training/anchor slices. float32 -> float64 widening is
+    exact, so values bit-match the cast('array<double>') plan path."""
+    import pyarrow.dataset as pads
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    tab = pads.dataset(src, format="parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < hi,
+    )
+    rows = sorted(
+        zip(tab.column("vec_id").to_pylist(), tab.column("embedding").to_pylist())
+    )
+    return [(int(vid), [float(x) for x in v]) for vid, v in rows]
+
+
+def _sql_long(v) -> str:
+    return f"{int(v)}L"
+
+
+def _sql_double(v) -> str:
+    # repr() is the shortest round-tripping decimal form; the SQL
+    # parser's Double.parseDouble of that form returns the exact same
+    # IEEE-754 bits, so literal doubles are lossless.
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _sql_double_array(vs) -> str:
+    return "array(" + ",".join(_sql_double(v) for v in vs) + ")"
+
+
+def _values_df(spark: SparkSession, schema: str, rows,
+               formatters) -> DataFrame:
+    """A literal DataFrame as a SQL VALUES LocalRelation. Unlike
+    createDataFrame (which parallelizes the rows into a 32-slice RDD,
+    so every broadcast of the frame schedules a 32-task collect job —
+    measured ~0.35 s per broadcast at local[32]), a LocalRelation
+    broadcast is a driver-side hash-relation build with NO scheduled
+    job. `schema` is 'name type, ...'; `formatters` render one SQL
+    literal per column."""
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    vals = ",".join(
+        "(" + ",".join(f(v) for f, v in zip(formatters, row)) + ")"
+        for row in rows
+    )
+    cols = ",".join(f"col{i + 1} AS {n}" for i, n in enumerate(names))
+    return spark.sql(f"SELECT {cols} FROM VALUES {vals}")
+
+
+def _probe_side_arrays(coarse, cents,
+                       anchor_rows: list[tuple[int, list[float]]],
+                       nprobe: int):
+    """Driver-side probe-side data for the IVFPQ family (round 15):
+    the trained codebooks are kilobytes of driver data and the anchor
+    set is 5 rows, so the coarse probe ranking and the ADC lookup
+    tables are exact int64 arithmetic the driver can do directly.
+    Same integer-micro contract the oracle replays: xm =
+    floor(x*1e6+0.5) in IEEE double, then pure int64 products/sums
+    (|xm|,|cm| ~ 1e7 so 64-term dots stay < 2^63) — every cd / t
+    value, and therefore every downstream hash, is bit-identical to
+    the Spark-computed frames this data replaces. Returns
+    (a_ids, probe_rows [(a_id, lid, cd)], t [A, M, K] int64 ndarray,
+    probed_lids)."""
+    import numpy as np
+
+    coarse = np.asarray(coarse, dtype="int64")
+    a_ids = [vid for vid, _v in anchor_rows]
+    axm = np.floor(
+        np.array([v for _vid, v in anchor_rows], dtype="float64") * 1e6 + 0.5
+    ).astype("int64")
+    nlist = coarse.shape[0]
+    cd = axm @ coarse.T
+    probe_rows = []
+    for ai, vid in enumerate(a_ids):
+        order = sorted(range(nlist), key=lambda lid: (-int(cd[ai, lid]), lid))
+        probe_rows.extend(
+            (vid, int(lid), int(cd[ai, lid])) for lid in order[:nprobe]
+        )
+    t = np.stack(
+        [
+            axm[:, s * _PQT_D:(s + 1) * _PQT_D]
+            @ np.asarray(cents[s], dtype="int64").T  # [A, K]
+            for s in range(_PQT_M)
+        ],
+        axis=1,
+    )  # [A, M, K]
+    probed_lids = sorted({lid for _a, lid, _cd in probe_rows})
+    return a_ids, probe_rows, t, probed_lids
+
+
+def _probe_side_literals(spark: SparkSession, coarse, cents,
+                         anchor_rows: list[tuple[int, list[float]]],
+                         nprobe: int):
+    """_probe_side_arrays rendered for the plan: zero-job literal
+    frames for the probe set and anchors, plus the per-anchor ADC
+    lookup tables as ONE nested-array SQL literal indexed
+    element_at(element_at(element_at(T, a_id+1), s+1), code+1)
+    (anchors are vec_id < 5, so a_id indexes a dense slot list; a
+    missing anchor slot holds zeros and is never referenced). The
+    lookup expression replaces the old posexplode + broadcast-join +
+    re-aggregate ADC plan shape with per-row arithmetic. Returns
+    (probe_df, anchors_df, tmat_sql, probed_lids)."""
+    a_ids, probe_rows, t, probed_lids = _probe_side_arrays(
+        coarse, cents, anchor_rows, nprobe
+    )
+    probe_df = _values_df(spark, "a_id long, lid long, cd long", probe_rows,
+                          [_sql_long] * 3)
+    anchors_df = _values_df(spark, "a_id long, a_v array<double>", anchor_rows,
+                            [_sql_long, _sql_double_array])
+    by_aid = {vid: t[ai] for ai, vid in enumerate(a_ids)}
+    pq_k = t.shape[2]
+    zeros = [[0] * pq_k] * _PQT_M
+    slots = [
+        "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in tab[s]) + ")"
+            for s in range(_PQT_M)
+        ) + ")"
+        for tab in (
+            by_aid.get(vid, zeros) for vid in range(max(a_ids) + 1)
+        )
+    ]
+    tmat_sql = "array(" + ",".join(slots) + ")"
+    return probe_df, anchors_df, tmat_sql, probed_lids
+
+
+def _adc_lookup_sql(tmat_sql: str, *, a_id: str = "a_id",
+                    s: str = "s", code: str = "cid") -> str:
+    """The ADC table lookup T[a_id][s][code] as a SQL expression over
+    the literal tables (1-based element_at; ints for the indices)."""
+    return (
+        f"element_at(element_at(element_at({tmat_sql}, "
+        f"CAST({a_id} AS INT) + 1), CAST({s} AS INT) + 1), "
+        f"CAST({code} AS INT) + 1)"
+    )
 
 
 def _coarse_iteration_sql(prev: str, cur: str) -> str:
@@ -2244,29 +2417,37 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
-    # corpus-derived sizing (one bounded count; the oracle's params CTE
-    # replays the same IEEE arithmetic)
-    n_vecs = vecs.count()
+    # corpus-derived sizing from parquet FOOTERS (round 15: the count
+    # job and the training collect job are driver-readable — the
+    # oracle's params CTE replays the same IEEE arithmetic, and the
+    # pyarrow slice read is the same bounded re-read per invocation
+    # the collect was, minus two scheduled actions)
+    n_vecs = _emb_count(sf_dir)
     nlist, nprobe, n_train = _ivfpq_params(n_vecs)
 
-    train_rows = (
-        vecs.filter(F.col("vec_id") < n_train).orderBy("vec_id").collect()
-    )
     train = np.floor(
-        np.array([r.v for r in train_rows], dtype="float64") * 1e6 + 0.5
+        np.array([v for _vid, v in _emb_slice(sf_dir, n_train)],
+                 dtype="float64") * 1e6 + 0.5
     ).astype("int64")
     coarse, cents = _ivfpq_train(train, nlist)
 
+    # codebook frames as zero-job VALUES literals (round 15): each
+    # createDataFrame parallelized its rows into a 32-slice RDD, so
+    # every broadcast of these frames scheduled a ~0.35 s 32-task
+    # collect job — five such jobs per query build; LocalRelations
+    # broadcast driver-side with no job at all.
     coarse_rows = [
         (int(cid), p, int(coarse[cid, p]))
         for cid in range(len(coarse))
         for p in range(64)
     ]
-    cdf = spark.createDataFrame(coarse_rows, "cid long, p long, cm long")
-    ccsq = spark.createDataFrame(
+    cdf = _values_df(spark, "cid long, p long, cm long", coarse_rows,
+                     [_sql_long] * 3)
+    ccsq = _values_df(
+        spark, "cid long, csq long",
         [(int(cid), int((coarse[cid].astype("int64") ** 2).sum()))
          for cid in range(len(coarse))],
-        "cid long, csq long",
+        [_sql_long] * 2,
     )
     pq_rows = [
         (s, int(cid), i, int(cents[s][cid, i]))
@@ -2274,11 +2455,13 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid in range(len(cents[s]))
         for i in range(_PQT_D)
     ]
-    pdf = spark.createDataFrame(pq_rows, "s long, cid long, i long, cm long")
-    pcsq = spark.createDataFrame(
+    pdf = _values_df(spark, "s long, cid long, i long, cm long", pq_rows,
+                     [_sql_long] * 4)
+    pcsq = _values_df(
+        spark, "s long, cid long, csq long",
         [(s, int(cid), int((cents[s][cid].astype("int64") ** 2).sum()))
          for s in range(_PQT_M) for cid in range(len(cents[s]))],
-        "s long, cid long, csq long",
+        [_sql_long] * 3,
     )
 
     vm = vecs.select("vec_id", F.posexplode(F.col("v")).alias("p", "x")).select(
@@ -2328,55 +2511,39 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s", "cid")
     )
 
-    avm = vm.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "a_id")
-    acd = (
-        avm.join(F.broadcast(cdf), "p")
-        .groupBy("a_id", F.col("cid").alias("lid"))
-        .agg(F.sum(F.col("xm") * F.col("cm")).alias("cd"))
-    )
-    w_probe = Window.partitionBy("a_id").orderBy(F.desc("cd"), F.asc("lid"))
-    probe = (
-        acd.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("a_id", "lid", "cd")
-    )
-    adc_table = (
-        avm.join(
-            F.broadcast(pdf), avm.p == F.col("s") * _PQT_D + F.col("i")
-        )
-        .groupBy("a_id", "s", "cid")
-        .agg(F.sum(F.col("xm") * F.col("cm")).alias("t"))
+    # probe-side frames as driver-computed literals (round 15): the
+    # coarse probe ranking, ADC tables and anchors are exact int64
+    # math over the trained numpy codebooks already on the driver —
+    # the broadcast-building Spark jobs are replaced by literal
+    # frames, the per-code ADC term by a literal lookup expression,
+    # and the shortlist bound by a footer-derived plan literal (same
+    # formula as the oracle's sl CTE: the footer count IS count(*)).
+    probe, anchors, tmat_sql, _probed = _probe_side_literals(
+        spark, coarse, cents, _emb_slice(sf_dir, 5), nprobe
     )
     adc = (
         lists.join(F.broadcast(probe), "lid")
         .filter(F.col("vec_id") != F.col("a_id"))
         .join(codes, "vec_id")
-        .join(F.broadcast(adc_table), ["a_id", "s", "cid"])
+        .withColumn("t", F.expr(_adc_lookup_sql(tmat_sql)))
         .groupBy("a_id", "vec_id", "cd")
         .agg((F.col("cd") + F.sum("t")).alias("score"))
         .select("a_id", "vec_id", "score")
     )
-    sl_n = vecs.agg(
-        F.greatest(
-            F.lit(_PQT_SL_MIN),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(_PQT_SL_DIV))).cast("long"),
-        ).alias("sl")
-    )
+    import math as _math
+
+    sl = max(_PQT_SL_MIN, _math.ceil(n_vecs / _PQT_SL_DIV))
     w_rank = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w_rank))
-        .crossJoin(F.broadcast(sl_n))
-        .filter(F.col("rk") <= F.col("sl"))
+        .filter(F.col("rk") <= F.lit(sl))
         .select("a_id", "vec_id")
     )
 
-    anchors = vecs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
-    )
     rerank = (
         shortlist.join(vecs, "vec_id")
         .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     reranked = (
@@ -2387,7 +2554,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_scored = (
         vecs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot(F.col("v"), F.col("a_v")).alias("raw"))
+        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
     )
     w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
     exact = (
@@ -2395,8 +2562,11 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("a_id", F.col("vec_id").alias("x_vec"))
     )
+    # exact is 10 rows per anchor at ANY corpus size — broadcast it so
+    # the final left join needs no exchange on either side.
     return reranked.join(
-        exact, (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
+        F.broadcast(exact),
+        (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
     ).select(
         reranked.a_id,
         F.col("vec_id").alias("neighbor_id"),
@@ -2483,7 +2653,7 @@ def _semdedup_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
     dups = (
         a.join(b, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(dot(F.col("a_v"), F.col("b_v")) >= _SEMDEDUP_TAU)
+        .filter(dot("a_v", "b_v") >= _SEMDEDUP_TAU)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("d", F.lit(1))

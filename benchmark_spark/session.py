@@ -30,6 +30,14 @@ DEFAULT_CONF: dict[str, str] = {
     # (defaults, pinned here so a misconfigured environment fails loud).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Partition discovery: the default threshold (32 paths) turns the
+    # listing of a modest partitioned layout (e.g. the ANN index's
+    # per-list postings dirs) into a scheduled 45-task cluster job of
+    # ~0.15-0.2 s per read. Local-FS stats are microseconds, so list
+    # driver-side up to 1024 paths; at object-store scale LOWER this
+    # (cluster listing parallelism is the win there) — scale knob, not
+    # a constant (guide §6).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "1024",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects;
     # read it as raw long and convert (catalog.load_table).
