@@ -117,6 +117,11 @@ def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float, float]:
 
 
 def main() -> None:
+    # Host-load bookkeeping (VERDICT r14 #3): the r13->r14 +10.5%
+    # uniform headline drift was host load, but the artifact could not
+    # prove that about itself — record 1-minute loadavg at start and
+    # end so a loaded-host run self-attributes in-band.
+    loadavg_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     # both (default) reports the reference's disk AND mem protocol rows;
@@ -212,6 +217,8 @@ def main() -> None:
             payload["disk_work_sec"] = round(
                 payload["disk_total"] - len(disk_queries) * disk_floor, 4
             )
+    payload["loadavg_1m_start"] = loadavg_start
+    payload["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(payload))
 
 

@@ -151,6 +151,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a fixture table from parquet FOOTERS — no Spark
+    job (the ann_index._corpus_rows pattern, shared). Identical by
+    construction to count(*) over the unfiltered table."""
+    import pyarrow.parquet as papq
+
+    src = table_path(sf_dir, name)
+    if os.path.isdir(src):
+        return sum(
+            papq.ParquetFile(p).metadata.num_rows
+            for p in sorted(
+                glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+            )
+        )
+    return papq.ParquetFile(src).metadata.num_rows
+
+
 def probe_file(path: str) -> str | None:
     """A footer-sniffable parquet file for ``path``: the path itself,
     or the first part file when it's a directory dataset (partitioned /

@@ -63,12 +63,15 @@ from benchmark_spark.llm.similarity import (
     _PQT_SL_DIV,
     _PQT_SL_MIN,
     _adc_lookup_sql,
+    _adc_tmat_sql,
     _coarse_iteration_sql,
     _emb_slice,
     _ivfpq_params,
     _ivfpq_train,
-    _probe_side_literals,
+    _probe_side_arrays,
     _resid_iteration_sql,
+    _sql_double_array,
+    _sql_long,
     dot,
 )
 
@@ -241,26 +244,37 @@ def _write_codebooks(root: str, coarse, cents) -> None:
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the embeddings fixture: sorted
-    (relpath, size, mtime_ns) of its parquet file(s). A regenerated
-    fixture with the same row count gets a NEW index key instead of
-    silently reusing a stale artifact (ADVICE r13: the old key hashed
-    only realpath + row count, so a re-gen could leave bench probing
-    wrong postings and the gate blaming the query)."""
+    (relpath, size, mtime_ns, head/tail byte digest) of its parquet
+    file(s). A regenerated fixture with the same row count gets a NEW
+    index key instead of silently reusing a stale artifact (ADVICE
+    r13: the old key hashed only realpath + row count). The 4 KiB
+    head+tail sample (ADVICE r14) also covers a preserved-mtime
+    restore of different same-size content (cp -p / rsync -a): the
+    parquet footer lives in the tail, so any row-group or stats drift
+    changes the digest."""
     import hashlib
+
+    def _entry(p: str, rel: str) -> str:
+        st = os.stat(p)
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            h.update(f.read(4096))
+            if st.st_size > 4096:
+                f.seek(max(4096, st.st_size - 4096))
+                h.update(f.read(4096))
+        return f"{rel}:{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()[:8]}"
 
     src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     entries = []
     if os.path.isdir(src):
         for base, _dirs, files in sorted(os.walk(src)):
-            for fn in sorted(files):
-                p = os.path.join(base, fn)
-                st = os.stat(p)
-                entries.append(
-                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
-                )
+            entries.extend(
+                _entry(os.path.join(base, fn),
+                       os.path.relpath(os.path.join(base, fn), src))
+                for fn in sorted(files)
+            )
     elif os.path.exists(src):
-        st = os.stat(src)
-        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+        entries.append(_entry(src, "."))
     return hashlib.md5("|".join(entries).encode()).hexdigest()[:12]
 
 
@@ -456,6 +470,8 @@ def delete_from_index(spark: SparkSession, path: str, keys: DataFrame) -> bool:
     postings MINUS tombstones into a fresh generation. At 100 TB this
     is the only affordable delete: cost ~ |tombstones| per probe until
     compaction, never a corpus rewrite per delete batch."""
+    import glob
+
     tomb = os.path.join(path, "tombstones")
     keys = keys.select(F.col("vec_id").cast("long")).distinct()
     if os.path.exists(tomb):
@@ -465,7 +481,27 @@ def delete_from_index(spark: SparkSession, path: str, keys: DataFrame) -> bool:
         keys = keys.unionByName(existing).distinct()
     tmp = os.path.join(path, f"tmp-tomb-{uuid.uuid4().hex}")
     keys.coalesce(1).write.parquet(tmp)
-    _publish(tmp, tomb)
+    if not os.path.exists(tomb):
+        os.rename(tmp, tomb)  # fresh path: one atomic rename
+        return True
+    # ADVICE r14: the old _publish rename-aside left a window with NO
+    # tombstone dir, so a concurrent probe silently served deleted
+    # vectors. Tombstone sets only GROW (union-distinct above), so
+    # publish ADDITIVELY in place: move the new file(s) — each holding
+    # the FULL updated set — into the live dir first (a concurrent
+    # reader sees old ∪ new = new; probes anti-join, which is
+    # duplicate- and superset-tolerant), then delete the superseded
+    # files. The dir never disappears and every intermediate state
+    # serves a correct-or-newer delete set; a crash mid-publish leaves
+    # extra rows, never missing ones.
+    old = set(glob.glob(os.path.join(tomb, "*.parquet")))
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    ):
+        os.rename(part, os.path.join(tomb, f"tomb-{uuid.uuid4().hex}-{i}.parquet"))
+    for stale in old:
+        os.remove(stale)
+    shutil.rmtree(tmp, ignore_errors=True)
     return True
 
 
@@ -517,21 +553,31 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
         shutil.copytree(os.path.join(path, "pq"), os.path.join(tmp, "pq"))
         post = read_postings(spark, path, with_delta=bool(meta.get("appended")),
                              extra_segments=stream_segments(path))
-        n_dead = 0
         if tombs is not None:
-            n_dead = tombs.count()
             post = post.join(F.broadcast(tombs), "vec_id", "left_anti")
         post.repartition(8, "lid").write.partitionBy("lid").parquet(
             os.path.join(tmp, "postings")
+        )
+        # the generation's LIVE row count, counted from the parquet
+        # FOOTERS of what was actually written (ADVICE r14: the old
+        # n_all - tombs.count() arithmetic assumed a full-corpus fold
+        # and every tombstone hitting a live row — wrong for partial
+        # clones or out-of-set tombstones — and scheduled an extra
+        # count job besides; footers are free and ground truth).
+        import pyarrow.parquet as papq
+
+        n_live = sum(
+            papq.ParquetFile(os.path.join(base, fn)).metadata.num_rows
+            for base, _d, files in os.walk(os.path.join(tmp, "postings"))
+            for fn in files
+            if fn.endswith(".parquet")
         )
         new_meta = dict(
             meta,
             appended=False,
             compacted_from=os.path.basename(path),
             compacted_source=sig,
-            # the generation's LIVE row count, not the corpus size —
-            # a tombstone fold physically removes rows
-            n=meta["n_all"] - n_dead,
+            n=n_live,
         )
         with open(_manifest_path(tmp), "w") as f:
             json.dump(new_meta, f)
@@ -755,9 +801,18 @@ def _probe_literals(spark: SparkSession, sf_dir: str, path: str, meta: dict):
     cents[np.array(ptab["s"]), np.array(ptab["cid"]), np.array(ptab["i"])] = (
         np.array(ptab["cm"])
     )
-    return _probe_side_literals(
-        spark, coarse, cents, _emb_slice(sf_dir, 5), meta["nprobe"]
+    anchor_rows = _emb_slice(sf_dir, 5)
+    _a_ids, probe_rows, _t, probed_lids = _probe_side_arrays(
+        coarse, cents, anchor_rows, meta["nprobe"]
     )
+    probe_values = ",".join(
+        "(" + ",".join(_sql_long(v) for v in row) + ")" for row in probe_rows
+    )
+    anchor_values = ",".join(
+        f"({_sql_long(vid)},{_sql_double_array(v)})" for vid, v in anchor_rows
+    )
+    return (probe_values, anchor_values,
+            _adc_tmat_sql(cents, anchor_rows), probed_lids)
 
 
 def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
@@ -774,7 +829,7 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
     broadcast-building Spark jobs, and the probed-list bound is a
     static IN filter on the postings partition column — pruning
     happens at planning, not via a runtime broadcast."""
-    probe_df, anchors_df, tmat_sql, probed_lids = _probe_literals(
+    probe_values, anchor_values, tmat_sql, probed_lids = _probe_literals(
         spark, sf_dir, path, meta
     )
     post = read_postings(spark, path, with_delta=with_delta,
@@ -820,11 +875,18 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
     )
     return spark.sql(
         f"""
-        WITH cand AS (
+        WITH probe AS (
+            SELECT col1 AS a_id, col2 AS lid, col3 AS cd
+            FROM VALUES {probe_values}
+        ),
+        anchors AS (
+            SELECT col1 AS a_id, col2 AS a_v FROM VALUES {anchor_values}
+        ),
+        cand AS (
             SELECT /*+ BROADCAST(p) */ p.a_id, t.vec_id,
                    p.cd + aggregate(transform(t.codes, (c, s) -> {adc_term}),
                                     0L, (acc, x) -> acc + x) AS score
-            FROM {{post}} t JOIN {{probe}} p ON t.lid = p.lid
+            FROM {{post}} t JOIN probe p ON t.lid = p.lid
             WHERE t.lid IN ({lid_set}) AND t.vec_id <> p.a_id
         ),
         sh AS (
@@ -837,7 +899,7 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
         rr AS (
             SELECT /*+ BROADCAST(a) */ h.a_id, h.vec_id, {dot_vv} AS raw
             FROM sh h JOIN {{vecs}} v USING (vec_id)
-                      JOIN {{anchors}} a USING (a_id)
+                      JOIN anchors a USING (a_id)
         ),
         reranked AS (
             SELECT a_id, vec_id, CAST(rnk AS BIGINT) AS rank,
@@ -854,7 +916,7 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
                        row_number() OVER (PARTITION BY a.a_id
                                           ORDER BY {dot_vv} DESC,
                                                    v.vec_id ASC) AS rn
-                FROM {{live}} v CROSS JOIN {{anchors}} a
+                FROM {{live}} v CROSS JOIN anchors a
                 WHERE v.vec_id <> a.a_id) WHERE rn <= 10
         )
         SELECT /*+ BROADCAST(e) */ r.a_id, r.vec_id AS neighbor_id, r.rank,
@@ -864,7 +926,7 @@ def _probe_plan(spark: SparkSession, sf_dir: str, path: str, meta: dict, *,
         FROM reranked r LEFT JOIN exact e
              ON r.a_id = e.a_id AND r.vec_id = e.x_vec
         """,
-        post=post, probe=probe_df, vecs=vecs, anchors=anchors_df, live=live,
+        post=post, vecs=vecs, live=live,
     )
 
 

@@ -32,7 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from benchmark_spark.catalog import load_table
+from benchmark_spark.catalog import load_table, table_rows
 from benchmark_spark.operators.aggregates import rnd, rnd_sql
 from benchmark_spark.registry import register
 
@@ -486,7 +486,17 @@ def _lsh_ctes(
             {shingle_select}
         )
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
+        -- MATERIALIZED (round 15): sigs is tiny (one row per doc, 16
+        -- ints) but each inlined reference recomputes the whole
+        -- shingle explosion + md5 pass, and the banding self-join
+        -- reads it 2x (8x through cand's x/y sides at band fan-out).
+        -- Measured at sf0.1: word-gram oracle 8.6 -> 1.8 s, char-gram
+        -- 10.1 -> 7.1 s, containment 4.2 -> 2.3 s. doclists/sh/cand
+        -- stay INLINE — materializing the list-valued fan-out CTEs
+        -- serializes the intersect join (re-measured this round:
+        -- +doclists 7.1 -> 33 s; the round-6 warning below still
+        -- holds for them).
         SELECT doc_id,
                {_MINHASH_SIG_COLS}
         FROM (
@@ -911,9 +921,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair may collide in several bands
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # eager checkpoint (round 15): the gate's level-2 dtype-mimic
+    # re-materializes the result; shuffle reuse skips the map stages
+    # but the band self-join + distinct + filter final stage re-ran in
+    # full (~2.7 s at sf0.1) — materialize once, serve both passes.
     return cand.filter(hamming <= 3).select(
         "a_id", "b_id", hamming.cast("long").alias("hamming")
-    )
+    ).localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -1165,11 +1179,13 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r13: sizes is one row per document, so an unconditional
     # hint grows linearly with the corpus and trades the shuffle
     # join's scalability for driver/executor memory pressure). The
-    # gate reads the pre-explosion doc count (a parquet count-scan,
-    # ~free) — an upper bound on sizes' rows; past the bound the two
-    # joins degrade to shuffle joins on the pair keys, the plan that
-    # scaled before the r13 hint. 1M (doc_id, n) rows ~= 16 MB.
-    if docs.count() <= 1_000_000:
+    # gate reads the fixture's parquet FOOTER row count (ADVICE r14:
+    # the old docs.count() was an extra scheduled action per plan
+    # build — the same per-action floor the probe path removes via
+    # footers) — an upper bound on sizes' rows; past the bound the
+    # two joins degrade to shuffle joins on the pair keys, the plan
+    # that scaled before the r13 hint. 1M (doc_id, n) rows ~= 16 MB.
+    if table_rows(sf_dir, "documents") <= 1_000_000:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     jac = F.col("isect") / (F.col("sa.n") + F.col("sb.n") - F.col("isect"))
     out = (

@@ -873,7 +873,11 @@ def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return images.mapInPandas(decode, schema=JPEG_STATS_SCHEMA)
+    return images.mapInPandas(decode, schema=JPEG_STATS_SCHEMA).localCheckpoint(eager=True)  # tiny per-image stats; the gate's
+    # level-2 dtype-mimic re-materializes the result, and a shuffle-free
+    # mapInPandas plan has no reusable shuffle files, so without the
+    # checkpoint every re-materialization re-runs the full Python decode
+    # (measured ~4-6.5 s per extra pass at sf0.1; round 15)
 
 
 PROGRESSIVE_SCHEMA = T.StructType(
@@ -1004,7 +1008,11 @@ def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["mean_err_ok"].append(int(err.mean() * 100 <= _JPEG_MEAN_CENTI))
             yield pd.DataFrame(rows)
 
-    return ids.mapInPandas(run, schema=PROGRESSIVE_SCHEMA)
+    return ids.mapInPandas(run, schema=PROGRESSIVE_SCHEMA).localCheckpoint(eager=True)  # tiny per-image stats; the gate's
+    # level-2 dtype-mimic re-materializes the result, and a shuffle-free
+    # mapInPandas plan has no reusable shuffle files, so without the
+    # checkpoint every re-materialization re-runs the full Python decode
+    # (measured ~4-6.5 s per extra pass at sf0.1; round 15)
 
 
 # 4:2:0 tier (round 10, VERDICT r9 #1): real-corpus JPEGs are
@@ -1122,7 +1130,11 @@ def q_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return ids.mapInPandas(run, schema=JPEG420_STATS_SCHEMA)
+    return ids.mapInPandas(run, schema=JPEG420_STATS_SCHEMA).localCheckpoint(eager=True)  # tiny per-image stats; the gate's
+    # level-2 dtype-mimic re-materializes the result, and a shuffle-free
+    # mapInPandas plan has no reusable shuffle files, so without the
+    # checkpoint every re-materialization re-runs the full Python decode
+    # (measured ~4-6.5 s per extra pass at sf0.1; round 15)
 
 
 # ---------------------------------------------------------------------------

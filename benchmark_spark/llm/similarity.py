@@ -30,6 +30,8 @@ On a cluster the bucketed table would be written pre-partitioned by
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -375,6 +377,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("b_id"),
             F.round(cos, 4).alias("cosine"),
         )
+        # eager checkpoint (round 15): the level-2 re-materialization
+        # re-ran the label-block self-join + cosine (~2.3 s at sf0.1).
+        .localCheckpoint(eager=True)
     )
 
 
@@ -979,9 +984,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     cand = cand.join(F.broadcast(ea), "a_id").join(F.broadcast(eb), "b_id")
     cos = dot("ea", "eb")
+    # eager checkpoint (round 15): the level-2 re-materialization
+    # re-ran the pair join + cosine stage (~2.7 s at sf0.1).
     return cand.filter(cos > 0.3).select(
         "a_id", "b_id", F.round(cos, 4).alias("cosine")
-    )
+    ).localCheckpoint(eager=True)
 
 
 @register(
@@ -1781,27 +1788,34 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
-    # --- bounded driver-side training (512 x 64 doubles = 32 KB) ---
-    train_rows = (
-        vecs.filter(F.col("vec_id") < _PQT_TRAIN).orderBy("vec_id").collect()
+    # --- bounded driver-side training (512 x 64 doubles = 32 KB),
+    # read via pyarrow row-group filtering (round 15: the old
+    # filter+orderBy+collect was a scheduled job; float32 -> float64
+    # widening is exact so train_micro is bit-identical) ---
+    train = np.array(
+        [v for _vid, v in _emb_slice(sf_dir, _PQT_TRAIN)], dtype="float64"
     )
-    train = np.array([r.v for r in train_rows], dtype="float64")
     train_micro = np.floor(train * 1e6 + 0.5).astype("int64")
     cents = _pq_lloyd_micro(train_micro)
 
+    # codebook frames as zero-job VALUES literals (round 15: each
+    # createDataFrame was a 32-slice RDD whose broadcast scheduled a
+    # ~0.35 s collect job)
     cent_rows = [
         (s, int(cid), i, int(cents[s][cid, i]))
         for s in range(_PQT_M)
         for cid in range(len(cents[s]))
         for i in range(_PQT_D)
     ]
-    cb = spark.createDataFrame(cent_rows, "s long, cid long, i long, cm long")
+    cb = _values_df(spark, "s long, cid long, i long, cm long", cent_rows,
+                    [_sql_long] * 4)
     csq_rows = [
         (s, int(cid), int((cents[s][cid].astype("int64") ** 2).sum()))
         for s in range(_PQT_M)
         for cid in range(len(cents[s]))
     ]
-    csq = spark.createDataFrame(csq_rows, "s long, cid long, csq long")
+    csq = _values_df(spark, "s long, cid long, csq long", csq_rows,
+                     [_sql_long] * 3)
 
     # --- distributed encode: int rows x broadcast codebook, codegen ---
     vm = vecs.select(
@@ -1826,38 +1840,40 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s", "cid")
     )
 
-    adc_table = (
-        vm.filter(F.col("vec_id") < 5)
-        .withColumnRenamed("vec_id", "a_id")
-        .join(F.broadcast(cb), ["s", "i"])
-        .groupBy("a_id", "s", "cid")
-        .agg(F.sum(F.col("xm") * F.col("cm")).alias("t"))
-    )
+    # ADC tables as driver-side literals (round 15): anchors are 5
+    # rows, cents are kilobytes of driver data — the per-(a_id, s,
+    # cid) term becomes a literal lookup expression over an exploded
+    # anchor-id array instead of a broadcast join; identical row
+    # multiset (each code row x each anchor) and exact int64 values.
+    anchor_rows = _emb_slice(sf_dir, 5)
+    tmat_sql = _adc_tmat_sql(cents, anchor_rows)
+    aid_arr = "array(" + ",".join(
+        f"{vid}L" for vid, _v in anchor_rows
+    ) + ")"
     adc = (
-        codes.join(F.broadcast(adc_table), ["s", "cid"])
+        codes.select(
+            "vec_id", "s", "cid",
+            F.explode(F.expr(aid_arr)).alias("a_id"),
+        )
         .filter(F.col("vec_id") != F.col("a_id"))
+        .withColumn("t", F.expr(_adc_lookup_sql(tmat_sql)))
         .groupBy("a_id", "vec_id")
         .agg(F.sum("t").alias("score_micro"))
     )
 
-    # corpus-proportional shortlist threshold, computed in-plan
-    sl_n = vecs.agg(
-        F.greatest(
-            F.lit(_PQT_SL_MIN),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(_PQT_SL_DIV))).cast("long"),
-        ).alias("sl")
-    )
+    # corpus-proportional shortlist threshold from parquet footers
+    # (round 15: same formula as the oracle's sl CTE — the footer
+    # count IS count(*) — minus one count job and the crossJoin)
+    sl = max(_PQT_SL_MIN, math.ceil(_emb_count(sf_dir) / _PQT_SL_DIV))
     w_rank = Window.partitionBy("a_id").orderBy(F.desc("score_micro"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w_rank))
-        .crossJoin(F.broadcast(sl_n))
-        .filter(F.col("rk") <= F.col("sl"))
+        .filter(F.col("rk") <= F.lit(sl))
         .select("a_id", "vec_id")
     )
 
-    anchors = vecs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
-    )
+    anchors = _values_df(spark, "a_id long, a_v array<double>", anchor_rows,
+                         [_sql_long, _sql_double_array])
     rerank = (
         shortlist.join(vecs, "vec_id")
         .join(F.broadcast(anchors), "a_id")
@@ -2121,20 +2137,38 @@ def _probe_side_literals(spark: SparkSession, coarse, cents,
                           [_sql_long] * 3)
     anchors_df = _values_df(spark, "a_id long, a_v array<double>", anchor_rows,
                             [_sql_long, _sql_double_array])
+    return probe_df, anchors_df, _adc_tmat_sql(cents, anchor_rows), probed_lids
+
+
+def _adc_tmat_sql(cents, anchor_rows: list[tuple[int, list[float]]]) -> str:
+    """Per-anchor ADC lookup tables t[a][s][k] = <axm[a] subvec s,
+    cents[s][k]> as ONE nested-array SQL literal indexed by dense
+    a_id slots (see _probe_side_literals). Exact int64 arithmetic —
+    same integer-micro contract as the Spark frames it replaces."""
+    import numpy as np
+
+    a_ids = [vid for vid, _v in anchor_rows]
+    axm = np.floor(
+        np.array([v for _vid, v in anchor_rows], dtype="float64") * 1e6 + 0.5
+    ).astype("int64")
+    t = np.stack(
+        [
+            axm[:, s * _PQT_D:(s + 1) * _PQT_D]
+            @ np.asarray(cents[s], dtype="int64").T
+            for s in range(_PQT_M)
+        ],
+        axis=1,
+    )  # [A, M, K]
     by_aid = {vid: t[ai] for ai, vid in enumerate(a_ids)}
-    pq_k = t.shape[2]
-    zeros = [[0] * pq_k] * _PQT_M
+    zeros = [[0] * t.shape[2]] * _PQT_M
     slots = [
         "array(" + ",".join(
             "array(" + ",".join(f"{int(v)}L" for v in tab[s]) + ")"
             for s in range(_PQT_M)
         ) + ")"
-        for tab in (
-            by_aid.get(vid, zeros) for vid in range(max(a_ids) + 1)
-        )
+        for tab in (by_aid.get(vid, zeros) for vid in range(max(a_ids) + 1))
     ]
-    tmat_sql = "array(" + ",".join(slots) + ")"
-    return probe_df, anchors_df, tmat_sql, probed_lids
+    return "array(" + ",".join(slots) + ")"
 
 
 def _adc_lookup_sql(tmat_sql: str, *, a_id: str = "a_id",
@@ -2530,9 +2564,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.col("cd") + F.sum("t")).alias("score"))
         .select("a_id", "vec_id", "score")
     )
-    import math as _math
-
-    sl = max(_PQT_SL_MIN, _math.ceil(n_vecs / _PQT_SL_DIV))
+    sl = max(_PQT_SL_MIN, math.ceil(n_vecs / _PQT_SL_DIV))
     w_rank = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w_rank))
