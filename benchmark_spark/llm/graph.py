@@ -59,7 +59,14 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured: 22 s — the element_at chain loses to the HOF here;
     BENCH_NOTES round-1 finding still stands.)"""
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    signed = emb.select(
+    # repartition before the plane-dot explode (round 15, guide §2.5):
+    # the embeddings fixture is ONE parquet row group, so the scan —
+    # and the 32-plane signature computation fused into its stage —
+    # ran as a single task; round-robin over default parallelism costs
+    # one kilobyte-scale exchange and parallelizes the signatures.
+    signed = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")

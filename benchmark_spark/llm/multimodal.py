@@ -405,11 +405,26 @@ def synth_rgb(doc_id: int, width: int, height: int, frame: int = 0) -> bytes:
     return bytes(out)
 
 
+def _spread(ids: DataFrame) -> DataFrame:
+    """Round-robin repartition of an id frame to the session's default
+    parallelism BEFORE per-row codec work (round 15, guide §2.5 "input
+    skew: one huge unsplittable file"): every fixture table is a
+    single parquet ROW GROUP, so the scan is one task and every
+    mapInPandas codec stage inherited serial execution — measured
+    single-task stages of 4-10 s at sf0.1 with ~2% CPU per-core
+    utilization. The exchange moves kilobytes of ids; the codec work
+    then runs on every core. Row-to-partition assignment is
+    deterministic under retry (sortBeforeRepartition, SPARK-23207)
+    and per-row outputs are partition-independent, so results and
+    hashes are unchanged."""
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary image fixture: one real encoded image per document —
     format round-robins ppm/bmp/png by doc_id % 3 so one query
     exercises all three decoders."""
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -638,7 +653,7 @@ _AUDIO_ORACLE = """
     tags=("extension", "multimodal"),
 )
 def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -669,7 +684,7 @@ def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video fixture: a 4-frame PPM-stream container per document; the
     per-frame pixel pattern folds the frame index into the generator."""
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -793,7 +808,7 @@ def jpeg_rgb(doc_id: int, width: int, height: int) -> bytes:
 
 
 def jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from benchmark_spark.llm import jpeg
@@ -961,7 +976,7 @@ _PROG_RST_INTERVAL = 2  # blocks per restart segment in every scan
     tags=("extension", "multimodal"),
 )
 def q_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = (
+    ids = _spread(
         load_table(spark, sf_dir, "documents", assert_schema=False)
         .filter(F.col("doc_id") % 5 == 0)  # fixture cap, mirrored in oracle
         .select("doc_id")
@@ -1082,7 +1097,7 @@ JPEG420_STATS_SCHEMA = T.StructType(
     tags=("extension", "multimodal"),
 )
 def q_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -1199,7 +1214,7 @@ def synth_tone(doc_id: int) -> tuple[int, int, list[int]]:
     tags=("extension", "multimodal"),
 )
 def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1285,7 +1300,7 @@ FILTERBANK_SCHEMA = T.StructType(
     tags=("extension", "multimodal"),
 )
 def q_audio_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1410,7 +1425,7 @@ MEL_SCHEMA = T.StructType(
     tags=("extension", "multimodal"),
 )
 def q_audio_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1516,7 +1531,7 @@ def _mfcc_sql(n: int) -> str:
     tags=("extension", "multimodal"),
 )
 def q_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1644,7 +1659,7 @@ def scene_rgb(doc_id: int, width: int, height: int, frame: int) -> bytes:
     tags=("extension", "multimodal"),
 )
 def q_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1765,7 +1780,7 @@ def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent): 4 encodes + 4 entropy decodes per video is the most
     # Python-CPU-intensive fixture in the repo, and the demo should not
     # dominate the gate (37 s -> ~9 s at sf0.1)
-    ids = (
+    ids = _spread(
         load_table(spark, sf_dir, "documents", assert_schema=False)
         .filter(F.col("doc_id") % 4 == 1)
         .select("doc_id")
@@ -1896,7 +1911,7 @@ def mjpeg_scene_rgb(doc_id: int, width: int, height: int, frame: int) -> bytes:
 )
 def q_video_mjpeg_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capped to a disjoint residue class from q_video_mjpeg (see there)
-    ids = (
+    ids = _spread(
         load_table(spark, sf_dir, "documents", assert_schema=False)
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
@@ -2045,7 +2060,7 @@ _FRAME_K_SQL = "1 + (d.doc_id + 7 * f.f) % 31"
     tags=("extension", "multimodal"),
 )
 def q_mfcc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2210,7 +2225,7 @@ def _hann_mfcc_reference(k: int) -> list[float]:
     tags=("extension", "multimodal"),
 )
 def q_mfcc_stft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id")
+    ids = _spread(load_table(spark, sf_dir, "documents", assert_schema=False).select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

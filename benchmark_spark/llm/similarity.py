@@ -309,7 +309,14 @@ _ANN_LSH_ORACLE = """
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    signed = emb.select(
+    # repartition before the plane-dot explode (round 15, guide §2.5):
+    # the embeddings fixture is ONE parquet row group, so the scan —
+    # and the 32-plane signature computation fused into its stage —
+    # ran as a single task; round-robin over default parallelism costs
+    # one kilobyte-scale exchange and parallelizes the signatures.
+    signed = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
     ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     probe_vals = F.array(
@@ -962,7 +969,14 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same rule as knn_edges — the pair set is quadratic within
     # buckets, the payload must ride the small side)
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    signed = emb.select(
+    # repartition before the plane-dot explode (round 15, guide §2.5):
+    # the embeddings fixture is ONE parquet row group, so the scan —
+    # and the 32-plane signature computation fused into its stage —
+    # ran as a single task; round-robin over default parallelism costs
+    # one kilobyte-scale exchange and parallelizes the signatures.
+    signed = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")
@@ -1060,7 +1074,14 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must ride the small side (measured 12.7 -> 7.8 s at sf0.1 on the
     # shared knn_edges pipeline; identical output)
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    signed = emb.select(
+    # repartition before the plane-dot explode (round 15, guide §2.5):
+    # the embeddings fixture is ONE parquet row group, so the scan —
+    # and the 32-plane signature computation fused into its stage —
+    # ran as a single task; round-robin over default parallelism costs
+    # one kilobyte-scale exchange and parallelizes the signatures.
+    signed = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = signed.alias("a")
