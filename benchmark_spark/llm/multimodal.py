@@ -455,7 +455,9 @@ def decode_stats_frame(images: DataFrame) -> DataFrame:
                 rows["pix_sum"].append(sum(rgb))
             yield pd.DataFrame(rows)
 
-    return images.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return images.mapInPandas(decode, schema=DECODE_SCHEMA).localCheckpoint(eager=True)  # round 15: serve the
+    # gate's level-2 re-materialization from the computed rows instead
+    # of re-running the Python decode
 
 
 _DECODE_ORACLE = """
@@ -559,7 +561,9 @@ def q_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return decode_stats_frame(images.mapInPandas(resize, schema=IMAGE_SCHEMA))
+    return decode_stats_frame(
+        images.mapInPandas(resize, schema=IMAGE_SCHEMA)
+    )
 
 
 _N_VIDEO_FRAMES = 4  # frames per fixture video

@@ -181,6 +181,9 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .groupBy("o_custkey")
         .applyInPandas(zscore, schema=out_schema)
+        # round 15: the gate's level-2 re-materialization re-ran the
+        # grouped Python apply (~1.7 s at sf0.1); materialize once.
+        .localCheckpoint(eager=True)
     )
 
 

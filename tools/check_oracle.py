@@ -67,6 +67,24 @@ def main() -> int:
         # off and expect the same N/N (SCALE.md records the run).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         print("[conf] spark.sql.adaptive.enabled=false (differential mode)")
+    # Pre-warm the Python worker pool (round 15): the codec pipelines
+    # now run on defaultParallelism partitions with up to three
+    # chained mapInPandas stages, so a cold session spawns ~100
+    # workers (~120 ms each, partly serialized) on whichever
+    # multimodal query runs first — a ~13 s lump misattributed to one
+    # query's wall time. Spawn and import-warm the pool once, up
+    # front, where it is visibly harness setup.
+    import pandas as _pd  # noqa: F401
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        from benchmark_spark.llm import codecs, jpeg  # noqa: F401
+
+        yield from batches
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, 3 * par, 1, 3 * par).mapInPandas(_warm, "id long").count()
     con = duckdb_connection(sf_dir)
     cache = OracleCache(sf_dir) if use_cache else None
     if cache is not None:
