@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchmark_spark.catalog import load_table
-from benchmark_spark.llm.similarity import dot, lsh_buckets, topk_per_anchor
+from benchmark_spark.llm.similarity import lsh_scored_pairs, topk_per_anchor
 from benchmark_spark.registry import register
 
 MASS = 1_000_000_000_000  # total rank mass, fixed-point units
@@ -47,50 +47,21 @@ TOP_K_NEIGHBORS = 3
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) edges: q_knn_graph's exact candidate + top-3 logic.
 
-    Round 10 shape: the bucket self-join and the pair dedup move ONLY
-    (a_id, vec_id) id pairs — the 512-byte embedding arrays never
-    cross the candidate shuffles — and the vectors re-attach via two
-    BROADCAST joins (the embedding table is corpus-row-sized, tiny
-    next to the quadratic candidate set) before the dot product.
-    Measured at sf0.1: 12.7 s -> 7.8 s warm, identical 6000 edges.
-    At 100 TB the same rule holds harder: candidate pairs outnumber
-    vectors quadratically within buckets, so the payload must ride
-    the SMALL side. (An unrolled 64-term codegen dot was also
-    measured: 22 s — the element_at chain loses to the HOF here;
-    BENCH_NOTES round-1 finding still stands.)"""
+    Round 10 shape: the candidate stage moves ONLY id pairs — the
+    512-byte embedding arrays never cross the candidate shuffles —
+    and the vectors re-attach via two BROADCAST joins (the embedding
+    table is corpus-row-sized, tiny next to the quadratic candidate
+    set) before the dot product. Round 16: first-band accounting +
+    one cosine per unordered pair (lsh_scored_pairs) removed the
+    pair-set dropDuplicates exchange and halved the HOF dots —
+    measured 2.9 -> 1.9 s at sf0.1, identical 6000 edges. At 100 TB
+    the same rule holds harder: candidate pairs outnumber vectors
+    quadratically within buckets, so the payload must ride the SMALL
+    side. (An unrolled 64-term codegen dot was also measured: 22 s —
+    the element_at chain loses to the HOF here; BENCH_NOTES round-1
+    finding still stands.)"""
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    # repartition before the plane-dot explode (round 15, guide §2.5):
-    # the embeddings fixture is ONE parquet row group, so the scan —
-    # and the 32-plane signature computation fused into its stage —
-    # ran as a single task; round-robin over default parallelism costs
-    # one kilobyte-scale exchange and parallelizes the signatures.
-    signed = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
-        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    a = signed.alias("a")
-    b = signed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("vec_id"),
-        )
-        .dropDuplicates(["a_id", "vec_id"])
-    )
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    eb = emb.select("vec_id", F.col("embedding").alias("n_emb"))
-    scored = (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "vec_id")
-        .select("a_id", "vec_id", dot("n_emb", "a_emb").alias("raw"))
-    )
+    scored = lsh_scored_pairs(spark, emb)
     return topk_per_anchor(scored, TOP_K_NEIGHBORS).select(
         F.col("a_id").alias("src"), F.col("neighbor_id").alias("dst")
     )

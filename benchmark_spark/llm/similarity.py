@@ -191,22 +191,13 @@ def _fixed_embedding(emb_col: Column) -> Column:
     )
 
 
-def lsh_buckets(
-    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
-) -> Column:
-    """Multi-table random-hyperplane LSH: an array of (table, bucket)
-    structs, one per hash table.
-
-    One k-bit table has collision probability (1 - θ/π)^k for angle θ
-    — far too low for moderate-similarity neighbors — so ANN uses L
-    independent tables and unions their candidates: P(any) =
-    1-(1-p^k)^L (~0.7 for cosine≈0.35 at L=8, k=4). Tuning L/k trades
-    recall against candidate-set size; both are data-independent
-    constants, so at 100 TB the (table, bucket) pair is a write-time
-    partition key and probes touch L partitions, not the corpus.
-    """
+def _bucket_exprs(
+    emb_col: Column, tables: int, bits: int, dim: int
+) -> list[Column]:
+    """One bucket-id Column per hash table (shared by lsh_buckets and
+    lsh_sigs — identical expression trees, so plans/results agree)."""
     rfix = _fixed_embedding(emb_col)
-    structs = []
+    buckets = []
     for t in range(tables):
         bit_terms = []
         for j in range(bits):
@@ -221,10 +212,116 @@ def lsh_buckets(
         bucket = bit_terms[0]
         for b in bit_terms[1:]:
             bucket = bucket + b
-        structs.append(
-            F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("bucket"))
+        buckets.append(bucket.cast("long"))
+    return buckets
+
+
+def lsh_buckets(
+    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
+) -> Column:
+    """Multi-table random-hyperplane LSH: an array of (table, bucket)
+    structs, one per hash table.
+
+    One k-bit table has collision probability (1 - θ/π)^k for angle θ
+    — far too low for moderate-similarity neighbors — so ANN uses L
+    independent tables and unions their candidates: P(any) =
+    1-(1-p^k)^L (~0.7 for cosine≈0.35 at L=8, k=4). Tuning L/k trades
+    recall against candidate-set size; both are data-independent
+    constants, so at 100 TB the (table, bucket) pair is a write-time
+    partition key and probes touch L partitions, not the corpus.
+    """
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), b.alias("bucket"))
+            for t, b in enumerate(_bucket_exprs(emb_col, tables, bits, dim))
+        ]
+    )
+
+
+def lsh_sigs(
+    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
+) -> Column:
+    """The same per-table bucket ids as lsh_buckets, as a plain array
+    indexed by table id (position i = table i's bucket) — the compact
+    per-row signature the first-band pair dedup needs on both sides of
+    the bucket join."""
+    return F.array(*_bucket_exprs(emb_col, tables, bits, dim))
+
+
+def lsh_undirected_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Every unordered LSH candidate pair (u < v) emitted EXACTLY once.
+
+    Round 16 (guide §2.3/§2.4): replaces bucket-self-join →
+    dropDuplicates. The old shape shuffled the QUADRATIC pair set once
+    more just to dedup band collisions; here each pair is emitted only
+    by the FIRST band in which the two signatures agree — both sides
+    carry the full 8-entry signature array (kilobytes per row never
+    leave the node: N×8 rows of ~90 bytes feed the join instead of the
+    pair set feeding an exchange), and a codegen'd OR-chain of
+    element_at comparisons suppresses later-band duplicates, so the
+    join output IS the distinct pair set. Set equality with
+    `SELECT DISTINCT ... a.vec_id < b.vec_id` is structural: a pair
+    sharing ≥1 band survives in exactly its first shared band.
+    """
+    par = spark.sparkContext.defaultParallelism
+    # repartition before the plane-dot explode (round 15, guide §2.5):
+    # the embeddings fixture is ONE parquet row group, so the scan —
+    # and the 32-plane signature computation fused into its stage —
+    # ran as a single task; round-robin over default parallelism costs
+    # one kilobyte-scale exchange and parallelizes the signatures.
+    signed = (
+        emb.repartition(par)
+        .select("vec_id", lsh_sigs(F.col("embedding")).alias("sigs"))
+        .select("vec_id", "sigs", F.posexplode("sigs").alias("t", "bucket"))
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    earlier = None
+    for i in range(LSH_TABLES - 1):
+        clash = (F.col("a.t") > i) & (
+            F.element_at(F.col("a.sigs"), i + 1) == F.element_at(F.col("b.sigs"), i + 1)
         )
-    return F.array(*structs)
+        earlier = clash if earlier is None else (earlier | clash)
+    return a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & ~earlier,
+    ).select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+
+
+def lsh_scored_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(a_id, vec_id, raw) for BOTH directions of every LSH candidate
+    pair — the exact cosine computed ONCE per unordered pair and
+    mirrored with an inline explode (no second subtree, no recompute).
+
+    Bit-exactness of the mirror: dot(x, y) and dot(y, x) multiply the
+    same doubles per index (IEEE multiply is commutative) and fold in
+    the same index order, so the mirrored raw is the identical double.
+    The embeddings re-attach via two BROADCAST joins (round 10 rule:
+    the pair set is quadratic within buckets, the 512-byte arrays must
+    ride the small side)."""
+    pairs = lsh_undirected_pairs(spark, emb)
+    eu = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("u_emb"))
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("v_emb"))
+    und = (
+        pairs.join(F.broadcast(eu), "u")
+        .join(F.broadcast(ev), "v")
+        .select("u", "v", dot("v_emb", "u_emb").alias("raw"))
+    )
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("a_id"), F.col("v").alias("vec_id"), F.col("raw")
+                ),
+                F.struct(
+                    F.col("v").alias("a_id"), F.col("u").alias("vec_id"), F.col("raw")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a_id", "e.vec_id", "e.raw")
 
 
 # DuckDB replay of the bucket pipeline: the ±1 planes come from the
@@ -964,35 +1061,14 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "dedup"),
 )
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 10: candidate join + dedup move ID PAIRS only; the
-    # 512-byte vectors re-attach via broadcast joins before the cosine
-    # (same rule as knn_edges — the pair set is quadratic within
-    # buckets, the payload must ride the small side)
+    # round 16: first-band pair accounting (lsh_undirected_pairs)
+    # replaces the bucket self-join + pair-set dropDuplicates — one
+    # exchange over the quadratic candidate set gone; the 512-byte
+    # vectors still re-attach via broadcast joins before the cosine
+    # (round 10 rule: the payload rides the small side)
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    # repartition before the plane-dot explode (round 15, guide §2.5):
-    # the embeddings fixture is ONE parquet row group, so the scan —
-    # and the 32-plane signature computation fused into its stage —
-    # ran as a single task; round-robin over default parallelism costs
-    # one kilobyte-scale exchange and parallelizes the signatures.
-    signed = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
-        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    a = signed.alias("a")
-    b = signed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+    cand = lsh_undirected_pairs(spark, emb).select(
+        F.col("u").alias("a_id"), F.col("v").alias("b_id")
     )
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
@@ -1068,45 +1144,13 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity"),
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 10: the bucket self-join and pair dedup move ID PAIRS only;
-    # embeddings re-attach via two broadcast joins before the dot — the
-    # candidate set is quadratic within buckets, so the 512-byte arrays
-    # must ride the small side (measured 12.7 -> 7.8 s at sf0.1 on the
-    # shared knn_edges pipeline; identical output)
+    # round 16: first-band pair accounting + one cosine per unordered
+    # pair, mirrored (lsh_scored_pairs) — the pair-set dropDuplicates
+    # exchange is gone and the HOF dot count halves; measured 2.9 ->
+    # 1.9 s at sf0.1 on the shared pipeline, identical rows (the
+    # DISTINCT-equivalence argument lives on lsh_undirected_pairs).
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    # repartition before the plane-dot explode (round 15, guide §2.5):
-    # the embeddings fixture is ONE parquet row group, so the scan —
-    # and the 32-plane signature computation fused into its stage —
-    # ran as a single task; round-robin over default parallelism costs
-    # one kilobyte-scale exchange and parallelizes the signatures.
-    signed = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
-        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    a = signed.alias("a")
-    b = signed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("vec_id"),
-        )
-        .dropDuplicates(["a_id", "vec_id"])
-    )
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    eb = emb.select("vec_id", F.col("embedding").alias("n_emb"))
-    scored = (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "vec_id")
-        .select("a_id", "vec_id", dot("n_emb", "a_emb").alias("raw"))
-    )
-    return topk_per_anchor(scored, 3)
+    return topk_per_anchor(lsh_scored_pairs(spark, emb), 3)
 
 
 @register(
