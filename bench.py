@@ -116,6 +116,40 @@ def _measure(spark, sf_dir: str) -> tuple[dict[str, float], float, float]:
     )
 
 
+def _spread_probe(spark) -> float:
+    """Scale-SENSITIVE sidecar (round 16, VERDICT r15 #2): a fixed
+    CPU-bound workload spread over one task per unit — the same shape
+    as the engine's _spread()-parallelized mapInPandas stages. The
+    headline queries are floor-dominated at sf0.1 (15-45 ms against a
+    ~15 ms per-action floor) and every fixture scan is one parquet row
+    group = one task, so their 8-core/32-core ratio sits at ~1 and the
+    artifact could not demonstrate that $SPARK_GRAFT_CPUS is honored.
+    This row can: 128 identical ~45 ms numpy units (~5.8 s of serial
+    CPU) complete in ~4 task waves on 32 cores vs ~16 on 8, so the
+    low-core run shows a multi-x ratio while the floor rows stay ~1.
+    Deterministic, input-independent, nothing cached or reused."""
+
+    def work(batches):
+        import numpy as np
+
+        for b in batches:
+            acc = 0
+            x = np.arange(1_500_000, dtype="int64")
+            for k in (3, 5, 7):
+                acc += int(((x * x + k) % 1000003).sum())
+            yield b.assign(id=b["id"] + (acc - acc))
+
+    units = 128
+    probe = spark.range(0, units, 1, units).mapInPandas(work, "id long")
+    ts = []
+    for i in range(4):  # first run warms workers/numpy, untimed
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        if i:
+            ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 4)
+
+
 def main() -> None:
     # Host-load bookkeeping (VERDICT r14 #3): the r13->r14 +10.5%
     # uniform headline drift was host load, but the artifact could not
@@ -217,6 +251,17 @@ def main() -> None:
             payload["disk_work_sec"] = round(
                 payload["disk_total"] - len(disk_queries) * disk_floor, 4
             )
+    # CPU-contract visibility (round 16, VERDICT r15 #2): the r15
+    # driver flagged `suspect_cpus_ignored` because nothing in this
+    # line proved the core count. All three keys are additive; the
+    # timed protocol is unchanged. `cpus` is the contract input,
+    # `default_parallelism` is what the JVM actually scheduled with,
+    # and `spread_sidecar_sec` is a fixed parallel workload whose
+    # 8-vs-32-core ratio demonstrates scaling where the floor-bound
+    # headline rows cannot (see BENCH_NOTES.md).
+    payload["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    payload["default_parallelism"] = spark.sparkContext.defaultParallelism
+    payload["spread_sidecar_sec"] = _spread_probe(spark)
     payload["loadavg_1m_start"] = loadavg_start
     payload["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     print(json.dumps(payload))
