@@ -151,13 +151,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def table_rows(sf_dir: str, name: str) -> int:
-    """Row count of a fixture table from parquet FOOTERS — no Spark
-    job (the ann_index._corpus_rows pattern, shared). Identical by
-    construction to count(*) over the unfiltered table."""
+def parquet_rows(src: str) -> int:
+    """Row count of a parquet file OR directory dataset from FOOTERS —
+    no Spark job. The ONE copy (ADVICE r15: table_rows, the ann-index
+    corpus/compaction counters and the in-query ANN tier had drifted
+    into four near-identical walks); identical by construction to
+    count(*) over the unfiltered data."""
     import pyarrow.parquet as papq
 
-    src = table_path(sf_dir, name)
     if os.path.isdir(src):
         return sum(
             papq.ParquetFile(p).metadata.num_rows
@@ -166,6 +167,12 @@ def table_rows(sf_dir: str, name: str) -> int:
             )
         )
     return papq.ParquetFile(src).metadata.num_rows
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a fixture table from parquet FOOTERS — no Spark
+    job. Identical by construction to count(*) over the table."""
+    return parquet_rows(table_path(sf_dir, name))
 
 
 def probe_file(path: str) -> str | None:

@@ -39,6 +39,7 @@ of the postings partitions and shuffle anchor-sized data only.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -94,18 +95,10 @@ def _corpus_rows(sf_dir: str) -> int:
     split; reading it from metadata removes one scheduled job (~20-50
     ms of pure action floor) from every probe/append call — measurable
     against the serving sidecar, free at any scale since footers are
-    O(files)."""
-    import pyarrow.parquet as papq
+    O(files). One shared walk: catalog.parquet_rows."""
+    from benchmark_spark.catalog import table_rows
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(src):
-        return sum(
-            papq.ParquetFile(os.path.join(base, fn)).metadata.num_rows
-            for base, _d, files in os.walk(src)
-            for fn in files
-            if fn.endswith(".parquet")
-        )
-    return papq.ParquetFile(src).metadata.num_rows
+    return table_rows(sf_dir, "embeddings")
 
 
 def _vm(vecs: DataFrame) -> DataFrame:
@@ -494,13 +487,25 @@ def delete_from_index(spark: SparkSession, path: str, keys: DataFrame) -> bool:
     # files. The dir never disappears and every intermediate state
     # serves a correct-or-newer delete set; a crash mid-publish leaves
     # extra rows, never missing ones.
+    #
+    # SINGLE-WRITER assumption (ADVICE r15): the safety argument above
+    # covers concurrent READERS only. Two concurrent delete calls can
+    # each read the pre-existing set, each publish a full set missing
+    # the other's keys, and the later one remove a file the earlier
+    # one still counts on — last-writer-wins, deletes lost (the same
+    # hazard the old rename-aside had; not a regression). Deletes must
+    # be serialized by the caller — the txlog queries' OCC ledger is
+    # the in-repo precedent; a lockfile works too. The suppress below
+    # only de-crashes the stale-file race, it does not make concurrent
+    # writers safe.
     old = set(glob.glob(os.path.join(tomb, "*.parquet")))
     for i, part in enumerate(
         sorted(glob.glob(os.path.join(tmp, "*.parquet")))
     ):
         os.rename(part, os.path.join(tomb, f"tomb-{uuid.uuid4().hex}-{i}.parquet"))
     for stale in old:
-        os.remove(stale)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(stale)
     shutil.rmtree(tmp, ignore_errors=True)
     return True
 
@@ -564,14 +569,9 @@ def compact_index(spark: SparkSession, path: str, meta: dict) -> tuple[str, dict
         # and every tombstone hitting a live row — wrong for partial
         # clones or out-of-set tombstones — and scheduled an extra
         # count job besides; footers are free and ground truth).
-        import pyarrow.parquet as papq
+        from benchmark_spark.catalog import parquet_rows
 
-        n_live = sum(
-            papq.ParquetFile(os.path.join(base, fn)).metadata.num_rows
-            for base, _d, files in os.walk(os.path.join(tmp, "postings"))
-            for fn in files
-            if fn.endswith(".parquet")
-        )
+        n_live = parquet_rows(os.path.join(tmp, "postings"))
         new_meta = dict(
             meta,
             appended=False,

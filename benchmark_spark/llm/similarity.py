@@ -2072,22 +2072,11 @@ def _ivfpq_train(train_micro, nlist: int):
 
 def _emb_count(sf_dir: str) -> int:
     """Row count of the embeddings fixture from parquet FOOTERS — no
-    scheduled Spark job (the ann_index._corpus_rows pattern, round 15
-    applied to the in-query ANN tier). Identical by construction to
-    count(*) over the unfiltered table."""
-    import os
+    scheduled Spark job. Identical by construction to count(*) over
+    the unfiltered table (one shared walk: catalog.parquet_rows)."""
+    from benchmark_spark.catalog import table_rows
 
-    import pyarrow.parquet as papq
-
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if os.path.isdir(src):
-        return sum(
-            papq.ParquetFile(os.path.join(base, fn)).metadata.num_rows
-            for base, _d, files in os.walk(src)
-            for fn in files
-            if fn.endswith(".parquet")
-        )
-    return papq.ParquetFile(src).metadata.num_rows
+    return table_rows(sf_dir, "embeddings")
 
 
 def _emb_slice(sf_dir: str, hi: int) -> list[tuple[int, list[float]]]:
@@ -2116,7 +2105,14 @@ def _sql_long(v) -> str:
 def _sql_double(v) -> str:
     # repr() is the shortest round-tripping decimal form; the SQL
     # parser's Double.parseDouble of that form returns the exact same
-    # IEEE-754 bits, so literal doubles are lossless.
+    # IEEE-754 bits, so literal doubles are lossless. Non-finite
+    # values would NOT round-trip (ADVICE r15: Python repr says
+    # 'inf'/'nan', Double.parseDouble accepts only 'Infinity'/'NaN',
+    # so the cast would yield a silent NULL) — fail loud instead; a
+    # NaN/Inf in a regenerated embeddings fixture is a data bug, not
+    # a literal to inline.
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite value {v!r} cannot be a double literal")
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
