@@ -358,8 +358,8 @@ def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
     doc_id) plus a map-side array_intersect per candidate — no
     pair x shingle expansion exists in the plan at all. Same output:
     pairs with exact shingle-Jaccard >= threshold, 4dp floor-rounded.
-    (Mirrors the DuckDB oracle's doclists/list_intersect form — both
-    engines verify through the identical algebra.)
+    (The DuckDB oracle counts the same intersections with a hash join
+    since round 16 — set algebra identical, carrier per-engine.)
 
     The explicit repartition is load-bearing: the candidate set is
     byte-SMALL (6.5M pairs ~ 100 MB at sf0.1) but compute-HEAVY
@@ -465,19 +465,24 @@ def _lsh_ctes(
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     corpus_sql: str = _DOUBLED_CORPUS_SQL,
-    intersect_code_expr: str | None = None,
 ) -> str:
-    # intersect_code_expr (round 14, VERDICT r13 #5): an exact integer
-    # encode of the shingle used ONLY inside the verify intersect.
-    # list_intersect over two ~100-element VARCHAR lists was the
-    # dominant fresh-replay CPU for the char-gram twin (34 of 80
-    # CPU-s at sf0.1: ~10k string compares per candidate pair x 140k
-    # pairs); the same intersect over BIGINTs is ~7x cheaper and the
-    # cardinality is unchanged whenever the encode is injective on the
-    # corpus alphabet (the chargram encode guards this with a loud
-    # error()). Signatures/banding still hash the STRING shingle, so
-    # candidates are bit-identical; only the verify carrier changes.
-    shset_item = intersect_code_expr or "shingle"
+    # Verify-intersect shape (round 16): COUNT the matching shingles
+    # with a three-way hash join (cand × sh × sh on the shingle
+    # itself) instead of building per-doc shingle LISTS and running
+    # list_intersect per candidate pair. Measured fresh at sf0.1:
+    # char-gram oracle 6.4 -> 2.7 s (the list walk was ~10k compares
+    # per pair x 140k pairs), word-gram unchanged at ~1.0 s; rows
+    # identical. This also retires the round-14 40-bit shingle encode
+    # — the hash join needs no integer carrier. sh stays DISTINCT, so
+    # COUNT(*) per (a_id, b_id) IS |shingle-set intersection|; pairs
+    # with an EMPTY intersection drop out of the inner join, which is
+    # row-identical for every consumer because all of them filter on
+    # a jaccard/containment threshold > 0 (isect >= 1 required).
+    # Materialization matrix (re-measured round 16): sigs MATERIALIZED
+    # is a pure win (one row per doc, 16 ints; recomputed through the
+    # whole shingle+md5 pass by every reference otherwise); sh/cand
+    # MATERIALIZED hurt (char-gram 2.7 -> 7.4 s with sh materialized —
+    # the round-6 "inline the fan-out CTEs" warning still holds).
     return f"""corpus AS (
         {corpus_sql}
     ),
@@ -487,16 +492,6 @@ def _lsh_ctes(
         )
     ),
     sigs AS MATERIALIZED (
-        -- MATERIALIZED (round 15): sigs is tiny (one row per doc, 16
-        -- ints) but each inlined reference recomputes the whole
-        -- shingle explosion + md5 pass, and the banding self-join
-        -- reads it 2x (8x through cand's x/y sides at band fan-out).
-        -- Measured at sf0.1: word-gram oracle 8.6 -> 1.8 s, char-gram
-        -- 10.1 -> 7.1 s, containment 4.2 -> 2.3 s. doclists/sh/cand
-        -- stay INLINE — materializing the list-valued fan-out CTEs
-        -- serializes the intersect join (re-measured this round:
-        -- +doclists 7.1 -> 33 s; the round-6 warning below still
-        -- holds for them).
         SELECT doc_id,
                {_MINHASH_SIG_COLS}
         FROM (
@@ -515,24 +510,27 @@ def _lsh_ctes(
          AND {" AND ".join(f"x.r{r} = y.r{r}" for r in range(rows_per_band))}
          AND x.doc_id < y.doc_id
     ),
-    doclists AS (
-        SELECT doc_id, list({shset_item}) AS shset FROM sh GROUP BY doc_id
+    isect0 AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS isect
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        GROUP BY c.a_id, c.b_id
     ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT a_id, b_id,
-               len(list_intersect(la.shset, lb.shset)) AS isect,
-               len(la.shset) AS na, len(lb.shset) AS nb
-        FROM cand
-        JOIN doclists la ON la.doc_id = a_id
-        JOIN doclists lb ON lb.doc_id = b_id
+        SELECT i.a_id, i.b_id, i.isect, za.n AS na, zb.n AS nb
+        FROM isect0 i
+        JOIN sizes za ON za.doc_id = i.a_id
+        JOIN sizes zb ON zb.doc_id = i.b_id
     )"""
 
 
 def _jaccard_final(threshold: float) -> str:
-    # na/nb ride along inside the materialized `inter` (see _lsh_ctes:
-    # separate `sizes` joins here put 5 relations back in the final
-    # select's optimizer scope — the exact shape that cross-produced
-    # at sf0.1), so the final pass is a pure scan + filter.
+    # na/nb ride along inside `inter` (see _lsh_ctes: separate `sizes`
+    # joins here put 5 relations back in the final select's optimizer
+    # scope — the exact shape that cross-produced at sf0.1), so the
+    # final pass is a pure scan + filter.
     return f"""
     SELECT a_id, b_id,
            {rnd_sql("isect * 1.0 / (na + nb - isect)", 4)} AS jaccard
@@ -1236,34 +1234,12 @@ _CHARGRAM_SHINGLE_SELECT = """SELECT doc_id,
 CHARGRAM_BANDS = 4
 CHARGRAM_ROWS_PER_BAND = 4
 
-# Exact 40-bit integer encode of a <=5-char latin-1 shingle (round 14,
-# VERDICT r13 #5 — see _lsh_ctes.intersect_code_expr): base-256
-# positional code, short shingles NUL-pad (ascii('') = 0). Injective
-# on the corpus alphabet — codepoints above 255 would alias across
-# positions and an embedded NUL would alias with the padding, so both
-# raise a loud error() instead of silently changing the Jaccard. The
-# fixture corpus is pure ASCII (max codepoint 121, all three SFs);
-# the guard makes that an enforced precondition, not an assumption.
-_CHARGRAM_CODE = " + ".join(
-    f"ascii(substring(shingle, {i + 1}, 1)) * {256 ** (4 - i)}" for i in range(5)
-)
-_CHARGRAM_GUARD = (
-    "greatest("
-    + ", ".join(f"ascii(substring(shingle, {i + 1}, 1))" for i in range(5))
-    # >5-char shingles would silently truncate (the encode reads only
-    # positions 1..5) — the guard enforces the full precondition, so a
-    # future caller reusing intersect_code_expr with longer shingles
-    # fails loudly instead of changing the Jaccard
-    + ") > 255 OR instr(shingle, chr(0)) > 0 OR length(shingle) > 5"
-)
-_CHARGRAM_CODE_EXPR = (
-    f"CASE WHEN {_CHARGRAM_GUARD} "
-    "THEN error('shingle outside latin-1: 40-bit encode not injective') "
-    f"ELSE {_CHARGRAM_CODE} END"
-)
-
+# The round-14 40-bit shingle encode (an integer carrier for
+# list_intersect) is retired: the round-16 verify counts matches with
+# a hash join on the shingle itself (see _lsh_ctes), so no injective
+# encode — and no latin-1 precondition guard — is needed anymore.
 _CHARGRAM_MINHASH_ORACLE = (
-    f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND, intersect_code_expr=_CHARGRAM_CODE_EXPR)}"
+    f"WITH {_lsh_ctes(_CHARGRAM_SHINGLE_SELECT, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)}"
     f"{_jaccard_final(0.6)}"
 )
 
