@@ -1883,14 +1883,22 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                      [_sql_long] * 3)
 
     # --- distributed encode: int rows x broadcast codebook, codegen ---
-    vm = vecs.select(
+    # Parallelism (round 16, guide §2.5 — the q_knn_ivfpq finding):
+    # the one-row-group fixture scan serialized the fused
+    # explode+partial-agg encode stage, and the vec_id-keyed reduce
+    # stages inherited the session's shuffle-partition count; spread
+    # the scan round-robin and pin the encode join/agg key partitioning
+    # to defaultParallelism. Rows identical — partitioning never
+    # affects the integer sums or window tiebreaks.
+    par = spark.sparkContext.defaultParallelism
+    vm = vecs.repartition(par).select(
         "vec_id", F.posexplode(F.col("v")).alias("pos", "x")
     ).select(
         "vec_id",
         F.floor(F.col("pos") / _PQT_D).cast("long").alias("s"),
         (F.col("pos") % _PQT_D).cast("long").alias("i"),
         F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xm"),
-    )
+    ).repartition(par, "vec_id")
     enc = (
         vm.join(F.broadcast(cb), ["s", "i"])
         .groupBy("vec_id", "s", "cid")
@@ -2526,146 +2534,162 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).astype("int64")
     coarse, cents = _ivfpq_train(train, nlist)
 
-    # codebook frames as zero-job VALUES literals (round 15): each
-    # createDataFrame parallelized its rows into a 32-slice RDD, so
-    # every broadcast of these frames scheduled a ~0.35 s 32-task
-    # collect job — five such jobs per query build; LocalRelations
-    # broadcast driver-side with no job at all.
-    coarse_rows = [
-        (int(cid), p, int(coarse[cid, p]))
+    # Round 16: the whole serving pipeline is ONE parameterized
+    # spark.sql statement (the round-15 _probe_plan treatment applied
+    # to the in-query tier): the DataFrame-API formulation issued
+    # ~830 py4j round trips + six separate VALUES parses per build
+    # (~1.1 s of driver time under load, cProfile) — one SQL parse
+    # replaces them. Every CTE mirrors the old DataFrame op exactly
+    # (same int64 products/sums, same floor/cast forms, same window
+    # tiebreaks), proven by collect-comparison and by the shared
+    # oracle hash at all three SFs. The codebook/probe/anchor frames
+    # stay zero-job VALUES literals (round 15).
+    coarse_values = ",".join(
+        f"({cid}L,{p}L,{int(coarse[cid, p])}L)"
+        for cid in range(len(coarse)) for p in range(64)
+    )
+    ccsq_values = ",".join(
+        f"({cid}L,{int((coarse[cid].astype('int64') ** 2).sum())}L)"
         for cid in range(len(coarse))
-        for p in range(64)
-    ]
-    cdf = _values_df(spark, "cid long, p long, cm long", coarse_rows,
-                     [_sql_long] * 3)
-    ccsq = _values_df(
-        spark, "cid long, csq long",
-        [(int(cid), int((coarse[cid].astype("int64") ** 2).sum()))
-         for cid in range(len(coarse))],
-        [_sql_long] * 2,
     )
-    pq_rows = [
-        (s, int(cid), i, int(cents[s][cid, i]))
-        for s in range(_PQT_M)
-        for cid in range(len(cents[s]))
+    pdf_values = ",".join(
+        f"({s}L,{cid}L,{i}L,{int(cents[s][cid, i])}L)"
+        for s in range(_PQT_M) for cid in range(len(cents[s]))
         for i in range(_PQT_D)
-    ]
-    pdf = _values_df(spark, "s long, cid long, i long, cm long", pq_rows,
-                     [_sql_long] * 4)
-    pcsq = _values_df(
-        spark, "s long, cid long, csq long",
-        [(s, int(cid), int((cents[s][cid].astype("int64") ** 2).sum()))
-         for s in range(_PQT_M) for cid in range(len(cents[s]))],
-        [_sql_long] * 3,
     )
-
-    vm = vecs.select("vec_id", F.posexplode(F.col("v")).alias("p", "x")).select(
-        "vec_id",
-        F.col("p").cast("long").alias("p"),
-        F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xm"),
+    pcsq_values = ",".join(
+        f"({s}L,{cid}L,{int((cents[s][cid].astype('int64') ** 2).sum())}L)"
+        for s in range(_PQT_M) for cid in range(len(cents[s]))
     )
-    # coarse assignment: exploded int join, argmin cost
-    dall = (
-        vm.join(F.broadcast(cdf), "p")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(F.col("xm") * F.col("cm")).alias("dp"))
-        .join(F.broadcast(ccsq), "cid")
-        .select("vec_id", "cid", (F.col("csq") - 2 * F.col("dp")).alias("cost"))
+    anchor_rows = _emb_slice(sf_dir, 5)
+    _a_ids, probe_rows, _t, _lids = _probe_side_arrays(
+        coarse, cents, anchor_rows, nprobe
     )
-    w_list = Window.partitionBy("vec_id").orderBy(F.asc("cost"), F.asc("cid"))
-    lists = (
-        dall.withColumn("rn", F.row_number().over(w_list))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("lid"))
+    probe_values = ",".join(
+        "(" + ",".join(_sql_long(v) for v in row) + ")" for row in probe_rows
     )
-    # residual rows under the final coarse
-    rr = (
-        vm.join(lists, "vec_id")
-        .join(
-            F.broadcast(cdf.select(F.col("cid").alias("lid"), "p", F.col("cm").alias("ccm"))),
-            ["lid", "p"],
-        )
-        .select(
-            "vec_id",
-            F.floor(F.col("p") / _PQT_D).cast("long").alias("s"),
-            (F.col("p") % _PQT_D).cast("long").alias("i"),
-            (F.col("xm") - F.col("ccm")).alias("rm"),
-        )
+    anchor_values = ",".join(
+        f"({_sql_long(vid)},{_sql_double_array(v)})" for vid, v in anchor_rows
     )
-    enc = (
-        rr.join(F.broadcast(pdf), ["s", "i"])
-        .groupBy("vec_id", "s", "cid")
-        .agg(F.sum(F.col("rm") * F.col("cm")).alias("dp"))
-        .join(F.broadcast(pcsq), ["s", "cid"])
-        .select("vec_id", "s", "cid", (F.col("csq") - 2 * F.col("dp")).alias("cost"))
-    )
-    w_code = Window.partitionBy("vec_id", "s").orderBy(F.asc("cost"), F.asc("cid"))
-    codes = (
-        enc.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
-    )
-
-    # probe-side frames as driver-computed literals (round 15): the
-    # coarse probe ranking, ADC tables and anchors are exact int64
-    # math over the trained numpy codebooks already on the driver —
-    # the broadcast-building Spark jobs are replaced by literal
-    # frames, the per-code ADC term by a literal lookup expression,
-    # and the shortlist bound by a footer-derived plan literal (same
-    # formula as the oracle's sl CTE: the footer count IS count(*)).
-    probe, anchors, tmat_sql, _probed = _probe_side_literals(
-        spark, coarse, cents, _emb_slice(sf_dir, 5), nprobe
-    )
-    adc = (
-        lists.join(F.broadcast(probe), "lid")
-        .filter(F.col("vec_id") != F.col("a_id"))
-        .join(codes, "vec_id")
-        .withColumn("t", F.expr(_adc_lookup_sql(tmat_sql)))
-        .groupBy("a_id", "vec_id", "cd")
-        .agg((F.col("cd") + F.sum("t")).alias("score"))
-        .select("a_id", "vec_id", "score")
-    )
+    tmat_sql = _adc_tmat_sql(cents, anchor_rows)
+    adc_term = _adc_lookup_sql(tmat_sql)
     sl = max(_PQT_SL_MIN, math.ceil(n_vecs / _PQT_SL_DIV))
-    w_rank = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    shortlist = (
-        adc.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= F.lit(sl))
-        .select("a_id", "vec_id")
-    )
-
-    rerank = (
-        shortlist.join(vecs, "vec_id")
-        .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
-    )
-    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    reranked = (
-        rerank.withColumn("rank", F.row_number().over(w_rr).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("a_id", "vec_id", "rank", F.round("raw", 4).alias("score"))
-    )
-    exact_scored = (
-        vecs.crossJoin(F.broadcast(anchors))
-        .filter(F.col("vec_id") != F.col("a_id"))
-        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
-    )
-    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    exact = (
-        exact_scored.withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= 10)
-        .select("a_id", F.col("vec_id").alias("x_vec"))
-    )
-    # exact is 10 rows per anchor at ANY corpus size — broadcast it so
-    # the final left join needs no exchange on either side.
-    return reranked.join(
-        F.broadcast(exact),
-        (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
-    ).select(
-        reranked.a_id,
-        F.col("vec_id").alias("neighbor_id"),
-        "rank",
-        "score",
-        F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact10"),
+    dot_vv = ("aggregate(zip_with(v.v, a.a_v, (x, y) -> CAST(x AS DOUBLE)"
+              " * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    # Parallelism (round 16, guide §2.5): the embeddings fixture is one
+    # parquet row group, so the fused scan+explode+partial-agg stages
+    # of the coarse assign / exact ground truth ran as ONE task, and
+    # the vec_id-keyed reduce stages inherited the bench's tiny
+    # shuffle-partition count (4) — ~2.4 s of codegen work on 4 of 32
+    # cores. A round-robin repartition of the scan (vsrc) plus a
+    # REPARTITION(defaultParallelism, vec_id) hint on vm spread both;
+    # measured 2.2 -> 1.2 s at sf0.1, rows identical (partitioning
+    # never affects the integer sums or window tiebreaks).
+    par = spark.sparkContext.defaultParallelism
+    vsrc = vecs.repartition(par)
+    return spark.sql(
+        f"""
+        WITH cdf AS (SELECT col1 AS cid, col2 AS p, col3 AS cm
+                     FROM VALUES {coarse_values}),
+        ccsq AS (SELECT col1 AS cid, col2 AS csq FROM VALUES {ccsq_values}),
+        pdf AS (SELECT col1 AS s, col2 AS cid, col3 AS i, col4 AS cm
+                FROM VALUES {pdf_values}),
+        pcsq AS (SELECT col1 AS s, col2 AS cid, col3 AS csq
+                 FROM VALUES {pcsq_values}),
+        probe AS (SELECT col1 AS a_id, col2 AS lid, col3 AS cd
+                  FROM VALUES {probe_values}),
+        anchors AS (SELECT col1 AS a_id, col2 AS a_v FROM VALUES {anchor_values}),
+        vm AS (
+            SELECT /*+ REPARTITION({par}, vec_id) */ vec_id,
+                   CAST(p AS BIGINT) AS p,
+                   CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT) AS xm
+            FROM (SELECT vec_id, posexplode(v) AS (p, x) FROM {{vsrc}})
+        ),
+        dp AS (
+            SELECT /*+ BROADCAST(c) */ vec_id, cid, SUM(xm * cm) AS dp
+            FROM vm JOIN cdf c USING (p)
+            GROUP BY vec_id, cid
+        ),
+        dall AS (
+            SELECT /*+ BROADCAST(q) */ vec_id, cid, csq - 2 * dp AS cost
+            FROM dp JOIN ccsq q USING (cid)
+        ),
+        lists AS (
+            SELECT vec_id, cid AS lid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cost ASC, cid ASC) AS rn
+                FROM dall) WHERE rn = 1
+        ),
+        rr AS (
+            SELECT /*+ BROADCAST(cc) */ vec_id,
+                   CAST(floor(p / {_PQT_D}) AS BIGINT) AS s,
+                   CAST(p % {_PQT_D} AS BIGINT) AS i,
+                   xm - ccm AS rm
+            FROM vm JOIN lists USING (vec_id)
+            JOIN (SELECT cid AS lid, p, cm AS ccm FROM cdf) cc USING (lid, p)
+        ),
+        encdp AS (
+            SELECT /*+ BROADCAST(pd) */ vec_id, s, cid, SUM(rm * cm) AS dp
+            FROM rr JOIN pdf pd USING (s, i)
+            GROUP BY vec_id, s, cid
+        ),
+        enc AS (
+            SELECT /*+ BROADCAST(pc) */ vec_id, s, cid, csq - 2 * dp AS cost
+            FROM encdp JOIN pcsq pc USING (s, cid)
+        ),
+        codes AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY cost ASC, cid ASC) AS rn
+                FROM enc) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT /*+ BROADCAST(pr) */ a_id, vec_id,
+                   cd + SUM({adc_term}) AS score
+            FROM lists JOIN probe pr USING (lid)
+            JOIN codes USING (vec_id)
+            WHERE vec_id <> a_id
+            GROUP BY a_id, vec_id, cd
+        ),
+        shortlist AS (
+            SELECT a_id, vec_id FROM (
+                SELECT a_id, vec_id,
+                       row_number() OVER (PARTITION BY a_id
+                                          ORDER BY score DESC, vec_id ASC) AS rk
+                FROM adc) WHERE rk <= {sl}
+        ),
+        rerank AS (
+            SELECT /*+ BROADCAST(a) */ h.a_id, h.vec_id, {dot_vv} AS raw
+            FROM shortlist h JOIN {{vecs}} v USING (vec_id)
+                 JOIN anchors a USING (a_id)
+        ),
+        reranked AS (
+            SELECT a_id, vec_id, CAST(rnk AS BIGINT) AS rank,
+                   round(raw, 4) AS score
+            FROM (SELECT a_id, vec_id, raw,
+                         row_number() OVER (PARTITION BY a_id
+                                            ORDER BY raw DESC, vec_id ASC) AS rnk
+                  FROM rerank) WHERE rnk <= 10
+        ),
+        exact AS (
+            SELECT a_id, x_vec FROM (
+                SELECT /*+ BROADCAST(a) */ a.a_id, v.vec_id AS x_vec,
+                       row_number() OVER (PARTITION BY a.a_id
+                                          ORDER BY {dot_vv} DESC,
+                                                   v.vec_id ASC) AS rn
+                FROM {{vsrc}} v CROSS JOIN anchors a
+                WHERE v.vec_id <> a.a_id) WHERE rn <= 10
+        )
+        SELECT /*+ BROADCAST(e) */ r.a_id, r.vec_id AS neighbor_id, r.rank,
+               r.score,
+               CAST(CASE WHEN e.x_vec IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS in_exact10
+        FROM reranked r LEFT JOIN exact e
+             ON r.a_id = e.a_id AND r.vec_id = e.x_vec
+        """,
+        vecs=vecs, vsrc=vsrc,
     )
 
 
