@@ -176,7 +176,11 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     toks = F.split("text", " ")
     length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, off + 1, length) for off in range(n)])
-    ex = corpus.select("doc_id", F.explode(zipped).alias("g"))
+    # repartition before the gram explode (round 16, guide §2.5): the
+    # corpus fixture is ONE parquet row group, so the explode + gram
+    # concat + map-side distinct fused into the scan ran as 1-2 tasks.
+    spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ex = spread.select("doc_id", F.explode(zipped).alias("g"))
     gram = F.concat_ws(" ", *[F.col("g")[str(i)] for i in range(n)])
     return ex.select("doc_id", gram.alias("shingle")).distinct()
 
@@ -857,7 +861,13 @@ _SIMHASH_ORACLE = f"""
     tags=("extension", "dedup"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = doubled_corpus(spark, sf_dir)
+    # repartition before the token explode (round 16, guide §2.5): the
+    # documents fixture is ONE parquet row group, so the explode + md5
+    # + 61-column partial aggregation fused into the scan stage ran as
+    # a single task; round-robin over default parallelism spreads it.
+    corpus = doubled_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -903,20 +913,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # First-band accounting (round 16, the lsh_undirected_pairs trick):
+    # a pair colliding in several bands used to be deduplicated by
+    # shuffling the whole quadratic pair set through `.distinct()`.
+    # Every band value is a pure function of the carried signature
+    # (band i = shiftright(simhash, i*15) & 32767), so each pair is
+    # instead emitted ONLY in the first band where the two signatures
+    # agree — a codegen'd OR-chain over the earlier bands suppresses
+    # later duplicates and the join output IS the distinct pair set.
+    earlier = None
+    for i in range(3):
+        clash = (F.col("a.band") > i) & (
+            F.shiftright(F.col("a.simhash"), i * 15).bitwiseAND(F.lit(32767))
+            == F.shiftright(F.col("b.simhash"), i * 15).bitwiseAND(F.lit(32767))
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()  # a pair may collide in several bands
+        earlier = clash if earlier is None else (earlier | clash)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ~earlier,
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     # eager checkpoint (round 15): the gate's level-2 dtype-mimic
@@ -1205,7 +1227,10 @@ def char_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
     chars = F.split(F.col("text"), "")
     length = F.greatest(F.size(chars) - (n - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(chars, off + 1, length) for off in range(n)])
-    ex = corpus.select("doc_id", F.explode(zipped).alias("g"))
+    # repartition before the gram explode (round 16, guide §2.5): same
+    # single-row-group-scan spread as shingles() above.
+    spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ex = spread.select("doc_id", F.explode(zipped).alias("g"))
     gram = F.concat_ws("", *[F.col("g")[str(i)] for i in range(n)])
     return ex.select("doc_id", gram.alias("shingle")).distinct()
 
