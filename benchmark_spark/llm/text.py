@@ -415,7 +415,11 @@ def q_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM (VALUES {_CHAR_PROFILE_VALUES}) AS profile(p_lang, p_tri, w)"
     )
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
-    tris = docs.select(
+    # repartition before the trigram explode (round 16, guide §2.5):
+    # the documents fixture is ONE parquet row group, so the explode +
+    # profile join + partial aggregation fused into the scan ran as a
+    # single task.
+    tris = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(
             F.transform(idx, lambda i: F.substring(F.col("text"), i, 3))
@@ -761,7 +765,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapsing distinct() on (doc_id, fp) — the shuffle the join needed
     # anyway. Measured 2.1x at sf0.1 (3.5 s -> 1.7 s), identical output.
     cols = [F.slice(t, off + 1, F.greatest(F.size(t) - 7, F.lit(0))) for off in range(8)]
-    ex = corpus.select("doc_id", F.explode(F.arrays_zip(*cols)).alias("g"))
+    # repartition before the 8-gram explode (round 16, guide §2.5): the
+    # corpus fixture is ONE parquet row group, so the explode + md5 +
+    # map-side distinct fused into the scan ran as 1-2 tasks.
+    ex = corpus.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(F.arrays_zip(*cols)).alias("g")
+    )
     gram = F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(8)])
     fp = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
     grams = ex.select("doc_id", fp.alias("fp")).distinct()
