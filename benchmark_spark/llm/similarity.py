@@ -191,36 +191,50 @@ def _fixed_embedding(emb_col: Column) -> Column:
     )
 
 
-def _bucket_exprs(
-    emb_col: Column, tables: int, bits: int, dim: int
-) -> list[Column]:
-    """One bucket-id Column per hash table (shared by lsh_buckets and
-    lsh_sigs — identical expression trees, so plans/results agree)."""
-    rfix = _fixed_embedding(emb_col)
+def _bucket_sqls(
+    emb_sql: str, tables: int, bits: int, dim: int
+) -> list[str]:
+    """One bucket-id SQL expression per hash table (shared by
+    lsh_buckets and lsh_sigs — identical expression trees, so
+    plans/results agree).
+
+    Generated as SQL TEXT and parsed with one F.expr (round 16, the
+    dot() fast-path lesson scaled up): building the same 32-plane
+    aggregate/zip_with tree through the Python functions API issued
+    thousands of py4j round trips — measured 2.0-2.9 s of driver time
+    PER lsh_buckets/lsh_sigs call, paid by every graph/LSH consumer at
+    plan-build time. One parse of ~16 KB of SQL is ~30 ms; the parsed
+    tree (transform → zip_with → aggregate with the same literal sign
+    arrays, CASE bits, integer sums) is the identical expression, so
+    plans and results are unchanged."""
+    rfix = (
+        f"transform({emb_sql}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1.0E7D + 0.5D) AS BIGINT))"
+    )
     buckets = []
     for t in range(tables):
         bit_terms = []
         for j in range(bits):
             p = t * bits + j
-            signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
-            pdot = F.aggregate(
-                F.zip_with(rfix, signs, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            signs = "array(" + ",".join(
+                str(_plane_sign(p, d)) for d in range(dim)
+            ) + ")"
+            pdot = (
+                f"aggregate(zip_with({rfix}, {signs}, (x, s) -> x * s), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             )
-            bit_terms.append(F.when(pdot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        bucket = bit_terms[0]
-        for b in bit_terms[1:]:
-            bucket = bucket + b
-        buckets.append(bucket.cast("long"))
+            bit_terms.append(f"(CASE WHEN {pdot} >= 0 THEN {1 << j} ELSE 0 END)")
+        buckets.append("CAST(" + " + ".join(bit_terms) + " AS BIGINT)")
     return buckets
 
 
 def lsh_buckets(
-    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
+    emb_sql: str = "embedding", tables: int = LSH_TABLES, bits: int = LSH_BITS,
+    dim: int = 64
 ) -> Column:
     """Multi-table random-hyperplane LSH: an array of (table, bucket)
-    structs, one per hash table.
+    structs, one per hash table. `emb_sql` is the embedding column as
+    SQL text (see _bucket_sqls for why text, not Columns).
 
     One k-bit table has collision probability (1 - θ/π)^k for angle θ
     — far too low for moderate-similarity neighbors — so ANN uses L
@@ -230,22 +244,24 @@ def lsh_buckets(
     constants, so at 100 TB the (table, bucket) pair is a write-time
     partition key and probes touch L partitions, not the corpus.
     """
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), b.alias("bucket"))
-            for t, b in enumerate(_bucket_exprs(emb_col, tables, bits, dim))
-        ]
+    structs = ",".join(
+        f"named_struct('t', {t}, 'bucket', {b})"
+        for t, b in enumerate(_bucket_sqls(emb_sql, tables, bits, dim))
     )
+    return F.expr(f"array({structs})")
 
 
 def lsh_sigs(
-    emb_col: Column, tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 64
+    emb_sql: str = "embedding", tables: int = LSH_TABLES, bits: int = LSH_BITS,
+    dim: int = 64
 ) -> Column:
     """The same per-table bucket ids as lsh_buckets, as a plain array
     indexed by table id (position i = table i's bucket) — the compact
     per-row signature the first-band pair dedup needs on both sides of
     the bucket join."""
-    return F.array(*_bucket_exprs(emb_col, tables, bits, dim))
+    return F.expr(
+        "array(" + ",".join(_bucket_sqls(emb_sql, tables, bits, dim)) + ")"
+    )
 
 
 def lsh_undirected_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -271,7 +287,7 @@ def lsh_undirected_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # one kilobyte-scale exchange and parallelizes the signatures.
     signed = (
         emb.repartition(par)
-        .select("vec_id", lsh_sigs(F.col("embedding")).alias("sigs"))
+        .select("vec_id", lsh_sigs("embedding").alias("sigs"))
         .select("vec_id", "sigs", F.posexplode("sigs").alias("t", "bucket"))
     )
     a = signed.alias("a")
@@ -414,7 +430,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = emb.repartition(
         spark.sparkContext.defaultParallelism
     ).select(
-        "vec_id", "embedding", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+        "vec_id", "embedding", F.explode(lsh_buckets("embedding")).alias("tb")
     ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     probe_vals = F.array(
         *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in (0, 1, 2, 4, 8)]
