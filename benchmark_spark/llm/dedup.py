@@ -972,6 +972,16 @@ def connected_components(
     one true cluster into several, a silent correctness bug in a dedup
     pipeline, never an acceptable partial answer.
     """
+    # Materialize the INPUT pair pipeline once (round 16): sym is
+    # referenced by every superstep's neighbor-min join and nodes by
+    # the initial labels, and neither was checkpointed — so each of
+    # the ~4-6 rounds replayed the whole upstream LSH verify pipeline
+    # (measured: q_dedup_clusters/keep_best/leakage_split 10-12 s of
+    # build each at sf0.1, the three largest Spark bills in the gate).
+    # The same one-materialization-before-the-loop rule q_pagerank has
+    # carried since round 5; edge lists are O(pairs) rows of two
+    # longs.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("a_id").alias("doc_id"))
         .unionByName(edges.select(F.col("b_id").alias("doc_id")))
@@ -983,6 +993,7 @@ def connected_components(
         .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # Labels/edges are CORPUS-SIZED: broadcasting them is wrong at any
     # real scale, and letting AQE try piles one driver-held broadcast
