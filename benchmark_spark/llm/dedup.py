@@ -1304,7 +1304,13 @@ def q_chargram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingles(corpus)
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig, CHARGRAM_BANDS, CHARGRAM_ROWS_PER_BAND)
-    return verify_jaccard(sh, cand, 0.6)
+    # eager checkpoint (round 16, the q_jaccard_chargram precedent):
+    # the exact-verify stage runs ~1000 string-set intersections per
+    # candidate pair — the char-gram lists are ~10x the word-gram ones
+    # — and the gate's level-2 dtype mimic re-ran that final stage in
+    # full (~3 s); the 6 k result rows materialize once, both passes
+    # read them. Word-gram verify stays lazy (its re-run is ~0.1 s).
+    return verify_jaccard(sh, cand, 0.6).localCheckpoint(eager=True)
 
 
 # Repeated n-gram SPAN detection (round 11): the fixed-width-window

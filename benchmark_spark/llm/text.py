@@ -1688,59 +1688,61 @@ def bpe_train(
 
     round_secs, if given, receives one wall-seconds float per merge
     round (tools/curve_bpe.py uses it to prove per-round time stays
-    FLAT across K=32 rounds — the lineage cut working as claimed)."""
+    FLAT across K=32 rounds).
+
+    Round 16: the merge LOOP runs on the driver over the collected
+    vocabulary. The vocab is BOUNDED (pre-token types, ~100 rows on
+    the fixtures; ~1e5-1e6 in production — never corpus-sized), and
+    the old driver-coordinated form scheduled one 2-stage Spark job
+    per round (K=32 jobs, 3.8-7.5 s per consumer at sf0.1) to
+    aggregate a kilobyte table. Exactness of the Python replay, piece
+    by piece: the encoded ws strings are COLLECTED from the same
+    Spark expression (no Python re-encoding); adjacent-pair counts
+    are exact integer sums; the top pair by (cnt DESC, lhs, rhs)
+    matches because UTF-8 binary order (Spark's string sort) equals
+    code-point order (Python's); and str.replace is the same
+    non-overlapping left-to-right substitution as Spark's replace.
+    Verified merges == the Spark-loop merges on both vocab sources.
+    The post-merge vocabulary state returns as the SAME distributed
+    frame with all K replaces fused into one projection (round i
+    applies to round i-1's output — identical composition), so
+    downstream consumers keep their vocab-sized distributed plans and
+    no per-round lineage cutting is needed at all."""
     import time as _time
 
-    words = vocab.select(
+    words_df = vocab.select(
         F.concat(
             F.lit(" "),
             F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1  ")),
             F.lit(" "),
         ).alias("ws"),
         "n",
-    ).persist()
-    base = words  # the persisted vocab table; `words` is rebound per round
-    try:
-        merges: list[tuple[int, str, str, int]] = []
-        for i in range(1, k + 1):
-            t0 = _time.perf_counter()
-            pr = words.withColumn(
-                "syms", F.split(F.trim(F.col("ws")), "  ")
-            ).select(
-                "n",
-                F.explode(
-                    F.expr(
-                        "transform(slice(syms, 1, size(syms) - 1),"
-                        " (s, i) -> struct(s AS lhs, syms[i + 1] AS rhs))"
-                    )
-                ).alias("p"),
-            ).select("n", "p.lhs", "p.rhs")
-            top = (
-                pr.groupBy("lhs", "rhs")
-                .agg(F.sum("n").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            l, r, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
-            merges.append((i, l, r, c))
-            words = words.select(
-                F.replace(
-                    F.col("ws"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-                ).alias("ws"),
-                "n",
-            )
-            if i % 4 == 0:
-                # cut lineage: without this, round i replays i chained
-                # replaces over the persisted base (O(K^2) total)
-                words = words.localCheckpoint(eager=True)
-            if round_secs is not None:
-                round_secs.append(_time.perf_counter() - t0)
-        return merges, words
-    finally:
-        base.unpersist()
+    )
+    words = [(r["ws"], int(r["n"])) for r in words_df.collect()]
+    merges: list[tuple[int, str, str, int]] = []
+    from collections import Counter
+
+    for i in range(1, k + 1):
+        t0 = _time.perf_counter()
+        counts: Counter = Counter()
+        for ws, n in words:
+            syms = ws.strip(" ").split("  ")
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += n
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, l, r, c))
+        pat, rep = f" {l}  {r} ", f" {l}{r} "
+        words = [(ws.replace(pat, rep), n) for ws, n in words]
+        if round_secs is not None:
+            round_secs.append(_time.perf_counter() - t0)
+    out = F.col("ws")
+    for _i, l, r, _c in merges:
+        out = F.replace(out, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return merges, words_df.select(out.alias("ws"), "n")
 
 
 @register(
