@@ -965,33 +965,39 @@ def connected_components(
     O(diameter) for plain propagation: labels hop 2^k edges after k
     rounds, so even chain-shaped clusters (the worst case for dedup
     graphs; tests/test_round5.py plants a 16-node path) resolve in a
-    handful of rounds. Each round is three shuffles (neighbor-min agg,
-    label-of-label self-join, convergence probe); localCheckpoint cuts
-    lineage per superstep. If the label assignment still changes after
+    handful of rounds. Each round is one checkpointed job (neighbor-min
+    agg + label-of-label self-join) plus a scan-only convergence probe
+    over the checkpointed result; localCheckpoint cuts lineage per
+    superstep. If the label assignment still changes after
     ``max_iters`` rounds the function RAISES — unconverged labels split
     one true cluster into several, a silent correctness bug in a dedup
     pipeline, never an acceptable partial answer.
     """
-    # Materialize the INPUT pair pipeline once (round 16): sym is
-    # referenced by every superstep's neighbor-min join and nodes by
-    # the initial labels, and neither was checkpointed — so each of
-    # the ~4-6 rounds replayed the whole upstream LSH verify pipeline
-    # (measured: q_dedup_clusters/keep_best/leakage_split 10-12 s of
-    # build each at sf0.1, the three largest Spark bills in the gate).
-    # The same one-materialization-before-the-loop rule q_pagerank has
-    # carried since round 5; edge lists are O(pairs) rows of two
-    # longs.
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("a_id").alias("doc_id"))
-        .unionByName(edges.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    # symmetric edge list (including self-loops keeps singletons stable)
+    # One-pass input materialization (round 16, second cut): the loop
+    # state is exactly ONE table — the symmetric edge list with a
+    # self-loop per node (self-loops keep singletons stable AND make
+    # the src set the node set, so the initial labels need no separate
+    # nodes frame). Exploding each input pair into its four incidences
+    # ((a,b),(b,a),(a,a),(b,b)) and running ONE distinct replaces the
+    # old nodes-distinct + 3-way-union + distinct chain (two chained
+    # shuffles, plus an un-checkpointed `nodes` that round 0's plan
+    # recomputed) — and the upstream LSH verify pipeline now executes
+    # exactly once, inside this job, so the separate edges checkpoint
+    # is gone too. Measured (sf0.1, warm): setup 1.0 -> 0.44 s and
+    # round 0 1.87 -> 0.65 s; CC after the edge pipeline 3.8 -> 1.5 s.
+    # Edge lists are O(pairs) rows of two longs.
     sym = (
-        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                    F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+                    F.struct(F.col("a_id").alias("src"), F.col("a_id").alias("dst")),
+                    F.struct(F.col("b_id").alias("src"), F.col("b_id").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1016,7 +1022,7 @@ def connected_components(
             saved[k] = None
         conf.set(k, "-1")
     try:
-        return _cc_loop(sym, nodes, max_iters)
+        return _cc_loop(sym, max_iters)
     finally:
         for k, v in saved.items():
             if v is None:
@@ -1025,8 +1031,11 @@ def connected_components(
                 conf.set(k, v)
 
 
-def _cc_loop(sym: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
-    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
+    # initial labels: self-loops make sym's diagonal the node set
+    labels = sym.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+    )
     for _ in range(max_iters):
         # (a) candidate label per node: min over neighbors' current labels
         prop = (
@@ -1038,6 +1047,7 @@ def _cc_loop(sym: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
             labels.join(prop, labels.doc_id == prop.src)
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_id"),
                 F.least(F.col("cluster_id"), F.col("new_id")).alias("cluster_id"),
             )
         )
@@ -1052,6 +1062,7 @@ def _cc_loop(sym: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
             merged.join(lut, merged.cluster_id == lut.lab_id, "left")
             .select(
                 "doc_id",
+                "old_id",
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("lab_lab"), F.col("cluster_id")),
@@ -1060,16 +1071,15 @@ def _cc_loop(sym: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
         )
         # checkpoint FIRST (cut lineage per superstep), then probe
         # convergence on the materialized result — otherwise the whole
-        # superstep plan executes twice per round
+        # superstep plan executes twice per round. The round-start
+        # label rides along as old_id, so the probe is a filter over
+        # the checkpointed RDD instead of a join against the previous
+        # round (round 16: the probe was ~0.7 s of the 1.87 s round).
         new_labels = jumped.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("cluster_id") != F.col("old_id")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
