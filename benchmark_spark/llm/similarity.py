@@ -549,6 +549,31 @@ def _pydot(a, b) -> float:
     return s
 
 
+def _prepared_vecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, v array<double>) spread over defaultParallelism and
+    materialized ONCE for the k-means family's many small jobs.
+
+    The embeddings fixture is a single parquet row group, so every job
+    that fuses the scan with crossJoin + interpreted-HOF dot work runs
+    as ONE task (guide §2.5 — the multimodal._spread finding applied to
+    vectors); and kmeans_lite's supersteps re-ran that scan+cast per
+    job. One repartition + localCheckpoint gives every superstep a
+    32-way in-memory input. HASH partitioning on vec_id (not round-
+    robin): every init/assign superstep aggregates or windows BY
+    vec_id, so the materialized partitioning satisfies those
+    operators' distribution requirement and their exchange is elided
+    (measured: warm kmeans_lite 3.49 -> 2.61 s at sf0.1).
+    Size-bounded: the frame is the embedding table itself (vec_id +
+    dim doubles), the same thing the old per-job scans
+    re-materialized each time."""
+    P = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(P, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 def kmeans_parallel_init(
     vecs: DataFrame, k: int, rounds: int = 2, oversample: int | None = None
 ) -> DataFrame:
@@ -586,6 +611,12 @@ def kmeans_parallel_init(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )
     for r in range(rounds):
+        # Checkpoint the cost table once per round (round 16): phi and
+        # the picked filter both read it, so the crossJoin + dot + agg
+        # pipeline executes ONCE instead of twice per round (the phi
+        # .first() used to replay it in full; measured 2.83 -> 2.05 s
+        # per init at sf0.1). cand itself needs no checkpoint any more
+        # — it is a trivial union over the materialized cost rows.
         cost = (
             vecs.crossJoin(F.broadcast(cand))
             .groupBy("vec_id")
@@ -597,6 +628,7 @@ def kmeans_parallel_init(
                     F.greatest(F.lit(0.0), 1 - F.col("best")) * 1e9 + F.lit(0.5)
                 ).alias("ci"),
             )
+            .localCheckpoint(eager=True)
         )
         phi_int = cost.agg(F.sum("ci")).first()[0]
         if not phi_int:
@@ -618,18 +650,21 @@ def kmeans_parallel_init(
         picked = cost.filter(
             u < F.lit(float(oversample)) * (F.col("ci").cast("double") / F.lit(1e9)) / F.lit(phi)
         )
-        cand = (
-            cand.unionByName(
-                picked.select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
-            )
-            .dropDuplicates(["cid"])
-            .localCheckpoint(eager=True)
-        )
-    weights = {
-        r["cid"]: r["w"]
-        for r in _assign(vecs, cand).groupBy("cid").agg(F.count(F.lit(1)).alias("w")).collect()
-    }
-    cand_rows = sorted(cand.collect(), key=lambda r: r["cid"])
+        cand = cand.unionByName(
+            picked.select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+        ).dropDuplicates(["cid"])
+    cand = cand.localCheckpoint(eager=True)
+    # One job for weights AND candidate rows (round 16): the nearest-
+    # candidate counts ride back on the candidate table itself instead
+    # of a separate collect per table. Candidates a point never wins
+    # get weight 0, exactly as the old dict .get(id, 0) default.
+    cand_w = cand.join(
+        _assign(vecs, cand).groupBy("cid").agg(F.count(F.lit(1)).alias("w")),
+        "cid",
+        "left",
+    ).collect()
+    weights = {r["cid"]: r["w"] or 0 for r in cand_w}
+    cand_rows = sorted(cand_w, key=lambda r: r["cid"])
     ids = [r["cid"] for r in cand_rows]
     mat = [list(r["cvec"]) for r in cand_rows]
     # heaviest candidate first (tiebreak: lowest cid)
@@ -652,7 +687,11 @@ def kmeans_parallel_init(
 
 
 def kmeans_lite(
-    emb: DataFrame, k: int = 10, iters: int = 2, init: str = "parallel"
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    init: str = "parallel",
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical-k-means-lite over embedding arrays: init = k-means||
     seeding (kmeans_parallel_init; init='first' falls back to the k
@@ -675,7 +714,11 @@ def kmeans_lite(
     at 100 TB each round is one broadcast join + one shuffle, and the
     centroid table (k x dim doubles) always broadcasts.
     """
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # callers that reuse the vector frame downstream (semdedup's pair
+    # join, ann_ivf's lists/probes) pass the prepared frame in so the
+    # repartition + materialization happens once per query, not twice
+    if vecs is None:
+        vecs = _prepared_vecs(emb)
     if init == "parallel":
         centroids = kmeans_parallel_init(vecs, k)
     else:
@@ -709,8 +752,14 @@ def kmeans_lite(
             F.transform(F.col("mvec"), lambda x: x / F.greatest(norm, F.lit(1e-12))).alias(
                 "cvec"
             ),
-        ).localCheckpoint(eager=True)
-    return centroids
+        )
+    # One checkpoint AFTER the loop (round 16): iteration r+1 consumes
+    # iteration r's 10-row centroid table as a broadcast subtree, so
+    # both Lloyd supersteps execute inside one job (measured 1.7 ->
+    # 1.3 s at sf0.1); only the final table — what every consumer
+    # broadcasts repeatedly — is materialized. vecs is checkpointed, so
+    # lineage depth stays bounded by `iters`, not by the corpus plan.
+    return centroids.localCheckpoint(eager=True)
 
 
 def _assign(
@@ -914,8 +963,8 @@ def _build_ivf_oracle(k: int = 10, rounds: int = 2, oversample: int = 20,
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
     nprobe = 4
-    centroids = kmeans_lite(emb, k=10, iters=2)
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    vecs = _prepared_vecs(emb)
+    centroids = kmeans_lite(emb, k=10, iters=2, vecs=vecs)
     # inverted lists carry the vector, so probing needs no corpus re-join
     lists = _assign(vecs, centroids, keep_vec=True)
     anchors = vecs.filter(F.col("vec_id") < 5)
@@ -1424,8 +1473,8 @@ def _cluster_sample_oracle() -> str:
 )
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", assert_schema=False)
-    centroids = kmeans_lite(emb, k=10, iters=2)
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    vecs = _prepared_vecs(emb)
+    centroids = kmeans_lite(emb, k=10, iters=2, vecs=vecs)
     lists = _assign(vecs, centroids)
     sized = lists.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
     w = Window.partitionBy("cid").orderBy(
@@ -2717,6 +2766,9 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivor; the paper keeps the member farthest from the centroid —
 # same pair set, different representative choice).
 _SEMDEDUP_TAU = 0.3  # same radius as the q_dedup_embed tier
+# pair-join salt fan-out: result-invariant (any S gives the same pair
+# multiset), only the task split changes; 16 x 10 cids covers local[32]
+_PAIR_SALT = 16
 
 
 def _semdedup_oracle(vecs_sql: str = _RAW_VECS_SQL,
@@ -2774,17 +2826,39 @@ def _semdedup_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """k-means partition + within-cluster cosine dup verdicts over an
     (vec_id, embedding array<double>) frame — shared by the raw-corpus
     query and the planted-mixture recovery variant."""
-    centroids = kmeans_lite(emb, k=10, iters=2)
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    lists = _assign(vecs, centroids, keep_vec=True)
+    vecs = _prepared_vecs(emb)
+    centroids = kmeans_lite(emb, k=10, iters=2, vecs=vecs)
+    # lists feeds three plan branches (both pair-join sides + the final
+    # verdict join) and the assignment window has no exchange to reuse
+    # (vecs is already hash-partitioned, so the window is exchange-
+    # free) — materialize once instead of running it three times per
+    # pass; O(corpus) rows of (vec_id, cid, v), the same size as vecs
+    lists = _assign(vecs, centroids, keep_vec=True).localCheckpoint(eager=True)
+    # Salted within-cluster pair join (round 16, guide §2.3): the join
+    # key is cid alone (10 values), so the quadratic pair work — an
+    # interpreted-HOF dot per pair — ran as ONE task per cluster and the
+    # biggest cluster was the straggler (~1.4 s of the 1.9 s spark
+    # bill). AQE's skew split never fires: the clusters are kilobytes,
+    # the cost is CPU. Salt the b-side by b_id (each b row lands in
+    # exactly one of _PAIR_SALT buckets), replicate the a-side across
+    # all buckets, and join on (cid, salt): every (a, b) pair still
+    # meets exactly once, so the pair multiset — and the distinct dup
+    # set — is unchanged, but the dot work spreads over
+    # 10 * _PAIR_SALT tasks. Replication is bounded: |lists| * salt
+    # rows on the a-side only.
     a = lists.select(
         "cid", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    ).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
     )
     b = lists.select(
-        "cid", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.pmod(F.col("vec_id"), F.lit(_PAIR_SALT)).cast("int").alias("salt"),
     )
     dups = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dot("a_v", "b_v") >= _SEMDEDUP_TAU)
         .select(F.col("b_id").alias("vec_id"))
