@@ -1348,7 +1348,7 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "ann", "index", "streaming"),
 )
 def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from benchmark_spark.streaming.windows import await_done, scratch_dir
+    from benchmark_spark.streaming.windows import await_done, pinned_start, scratch_dir
 
     n_all = _corpus_rows(sf_dir)
     base_n = (_BASE_NUM * n_all) // _BASE_DEN
@@ -1365,11 +1365,10 @@ def q_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         stream_append_segment(spark, spath, batch_df, batch_id)
 
-    q = (
+    q = pinned_start(
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return _probe_plan(spark, sf_dir, spath, meta, with_delta=False,

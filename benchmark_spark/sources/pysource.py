@@ -199,7 +199,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.errors import AnalysisException
 
-    from benchmark_spark.streaming.windows import scratch_dir
+    from benchmark_spark.streaming.windows import pinned_start, scratch_dir
 
     spark.dataSource.register(SynthFeedSource)
     agg = (
@@ -216,13 +216,12 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"pyfeed_sink_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir()
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
-        .start()
     )
     try:
         done = None
@@ -237,7 +236,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 done = None
             if done == FEED_TOTAL:
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)  # poll granularity: half the old 0.5 s wait tail (round 16)
         else:
             raise RuntimeError(
                 f"synthfeed stream incomplete: {done}/{FEED_TOTAL} rows"

@@ -966,6 +966,53 @@ def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _append_key_slices(t: TxLogTable, base: DataFrame, n: int = 5) -> None:
+    """The five key-sliced append commits both txlog stream queries
+    start from, produced by ONE distributed write (round 16).
+
+    Commit i's data is ``base WHERE o_orderkey % 50 == 10*i`` — exactly
+    the frame the old per-commit ``append`` path wrote — but instead of
+    five sequential coalesce(1) jobs (each re-running the filter scan;
+    ~0.6 s apiece at sf0.1) the slice index becomes a partitionBy
+    bucket of a single job (the q_txlog _write_files_ranged shape).
+    Hash-repartitioning on the bucket lands each slice wholly in one
+    task, so every slice is still exactly ONE data file, and the log
+    still gains five separate versions = five offset steps for the
+    stream. Aggregate-identical: same rows per file, and every
+    consumer (footer stats, stream read, md5 fingerprint rollup) is
+    row-order-free."""
+    stage = os.path.join(t.path, f".stage-{uuid.uuid4().hex}")
+    try:
+        (
+            base.withColumn(
+                "_bucket", F.expr("CAST((o_orderkey % 50) DIV 10 AS INT)")
+            )
+            .repartition(F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for i in range(n):
+            d = os.path.join(stage, f"_bucket={i}")
+            parts = (
+                [p for p in os.listdir(d) if p.endswith(".parquet") and not p.startswith(".")]
+                if os.path.isdir(d)
+                else []
+            )
+            actions = []
+            for part in sorted(parts):
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(d, part), os.path.join(t.path, name))
+                st = _file_stats(os.path.join(t.path, name), ("o_orderkey",))
+                if st["rows"] == 0:
+                    os.unlink(os.path.join(t.path, name))
+                    continue
+                actions.append({"add": name, **st})
+            t.commit(actions, op="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _appended(base: DataFrame, offset: int) -> DataFrame:
     """Append batch shifted past the live key range. The offset is
     max(o_orderkey)+1 (ADVICE r8): derived, not a fixed +1e8, so the
@@ -1284,6 +1331,7 @@ def q_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchmark_spark.streaming.windows import (
         await_done,
         events_stream_chunks,
+        pinned_start,
         scratch_dir,
     )
 
@@ -1297,11 +1345,10 @@ def q_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             t, batch_df.select("event_id", "event_type", "value"), batch_id, ("event_id",)
         )
 
-    q = (
+    q = pinned_start(
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return t.read(spark).groupBy("event_type").agg(
@@ -2238,17 +2285,21 @@ def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.errors import AnalysisException
 
-    from benchmark_spark.streaming.windows import scratch_dir
+    from benchmark_spark.streaming.windows import pinned_start, scratch_dir
 
-    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_totalprice"
+    # materialize the filtered base once (round 16): count + the
+    # five-slice write then read memory instead of re-scanning orders
+    base = (
+        _orders_base(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
     )
     expected = base.count()
     path = _fresh_table_dir("streamsrc")
     os.makedirs(path, exist_ok=True)
     t = TxLogTable(path)
-    for i in range(5):  # five append commits = five offset steps
-        t.append(spark, base.filter(F.col("o_orderkey") % 50 == 10 * i), ("o_orderkey",))
+    _append_key_slices(t, base)  # five append commits = five offset steps
 
     spark.dataSource.register(_txlog_stream_source_cls())
     agg = (
@@ -2268,13 +2319,12 @@ def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"txlog_src_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir()
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
-        .start()
     )
     try:
         done = None
@@ -2286,7 +2336,7 @@ def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 done = None
             if done == expected:
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)  # poll granularity: half the old 0.5 s wait tail (round 16)
         else:
             raise RuntimeError(f"txlog stream incomplete: {done}/{expected} rows")
     finally:
@@ -2328,17 +2378,21 @@ def q_txlog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.errors import AnalysisException
 
-    from benchmark_spark.streaming.windows import scratch_dir
+    from benchmark_spark.streaming.windows import pinned_start, scratch_dir
 
-    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_totalprice"
+    # materialize the filtered base once (round 16): count + the
+    # five-slice write then read memory instead of re-scanning orders
+    base = (
+        _orders_base(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
     )
     expected = base.count()
     path = _fresh_table_dir("streampart")
     os.makedirs(path, exist_ok=True)
     t = TxLogTable(path)
-    for i in range(5):  # five append commits = five offset steps
-        t.append(spark, base.filter(F.col("o_orderkey") % 50 == 10 * i), ("o_orderkey",))
+    _append_key_slices(t, base)  # five append commits = five offset steps
 
     spark.dataSource.register(_txlog_partitioned_stream_source_cls())
     agg = (
@@ -2358,13 +2412,12 @@ def q_txlog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"txlog_part_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir()
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
-        .start()
     )
     try:
         done = None
@@ -2376,7 +2429,7 @@ def q_txlog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 done = None
             if done == expected:
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)  # poll granularity: half the old 0.5 s wait tail (round 16)
         else:
             raise RuntimeError(f"txlog stream incomplete: {done}/{expected} rows")
     finally:

@@ -68,6 +68,31 @@ def scratch_dir() -> str:
     return d
 
 
+def pinned_start(writer):
+    """Start a fixture micro-batch stream with FEW state partitions.
+
+    A streaming aggregation creates one state-store partition — one
+    task plus one checkpoint file group, EVERY micro-batch — per
+    spark.sql.shuffle.partitions, and AQE never coalesces streaming
+    shuffles, so the session's 32 meant 32 tasks + 32 fsync'd store
+    files per batch for sinks that hold a handful of keys (measured:
+    q_txlog_stream_source's drain 4.7 -> 2.7 s at 1 partition).
+    StreamExecution CLONES the session inside .start(), so pinning the
+    conf only around the start call is race-free: the stream keeps the
+    pinned value for its whole life while the caller's session gets
+    its batch-scale setting right back. The value is an env knob, not
+    a constant: at production scale state partitioning is sized to
+    key cardinality/state bytes, never to a fixture's sink size."""
+    spark = writer._df.sparkSession
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def await_done(q, timeout: int = 120) -> None:
     """Block until the AvailableNow query terminates; raise on timeout.
 
@@ -142,14 +167,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
     sink = f"tumble_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         _tumble(stream)
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -284,13 +308,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"session_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -519,13 +542,12 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
     )
     sink = f"slide_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -556,7 +578,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream_chunks(spark, sf_dir)
     sink = f"topk_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         stream.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .writeStream.outputMode("complete")
@@ -564,7 +586,6 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return (
@@ -593,7 +614,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream_chunks(spark, sf_dir)
     sink = f"upd_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         stream.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .writeStream.outputMode("update")
@@ -601,7 +622,6 @@ def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     # final state per key: counts only grow, so MAX picks each key's
@@ -635,7 +655,7 @@ def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream_chunks(spark, sf_dir)
     sink = f"app_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total"))
@@ -645,7 +665,6 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -682,11 +701,10 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
+    q = pinned_start(
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return (
@@ -729,13 +747,12 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 2).alias("total")
     )
     sink = f"enrich_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -842,13 +859,12 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value"), 2).alias("total"),
     )
     sink = f"dq_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -888,7 +904,7 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream_chunks(spark, sf_dir)
     sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         stream.withColumn("w_hour", F.date_trunc("hour", F.col("ts")))
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "w_hour"])
@@ -898,7 +914,6 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink)
@@ -1024,13 +1039,12 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"ewma_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         folded.writeStream.outputMode("append")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     return spark.table(sink).orderBy("event_type", "day")
@@ -1072,13 +1086,12 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r").alias("mx"))
     )
     sink = f"hll_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = pinned_start(
         regs.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", scratch_dir())
         .trigger(availableNow=True)
-        .start()
     )
     await_done(q)
     maxed = spark.table(sink)
