@@ -1682,39 +1682,35 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "vec_id")
     )
 
-    # exact re-rank ONLY on shortlist members: 50 dots per anchor
-    # instead of a corpus scan — the compute saving PQ buys at scale
-    rerank = (
-        shortlist.join(vecs, "vec_id")
-        .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
-    )
-    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    reranked = (
-        rerank.withColumn("rank", F.row_number().over(w_rr).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("a_id", "vec_id", "rank", F.round("raw", 4).alias("score"))
-    )
-
-    exact_scored = (
+    # Exact-rerank tail as ONE corpus pass (round 16): the shortlist's
+    # exact dots are a subset of the ground-truth cross join's, so
+    # alldots computes every anchor dot once with its exact rank rn,
+    # the kilobyte shortlist broadcast-joins into it (the shortlist
+    # never holds a self-pair — adc filters vec_id <> a_id, exactly
+    # like alldots), and in_exact10 is the carried rn <= 10 instead of
+    # a final left join against a separate exact subtree. Same dot
+    # values, same (raw DESC, vec_id ASC) tiebreak on the same row
+    # sets — row-identical, one corpus scan and two plan branches
+    # fewer.
+    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    alldots = (
         vecs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
         .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
+        .withColumn("rn", F.row_number().over(w_ex))
     )
-    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    exact = (
-        exact_scored.withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= 10)
-        .select("a_id", F.col("vec_id").alias("x_vec"))
-    )
-    return reranked.join(
-        exact, (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
-    ).select(
-        reranked.a_id,
-        F.col("vec_id").alias("neighbor_id"),
-        "rank",
-        "score",
-        F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact10"),
+    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        alldots.join(F.broadcast(shortlist), ["a_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w_rr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("raw", 4).alias("score"),
+            (F.col("rn") <= 10).cast("long").alias("in_exact10"),
+        )
     )
 
 
@@ -2012,37 +2008,28 @@ def q_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     anchors = _values_df(spark, "a_id long, a_v array<double>", anchor_rows,
                          [_sql_long, _sql_double_array])
-    rerank = (
-        shortlist.join(vecs, "vec_id")
-        .join(F.broadcast(anchors), "a_id")
-        .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
-    )
-    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    reranked = (
-        rerank.withColumn("rank", F.row_number().over(w_rr).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("a_id", "vec_id", "rank", F.round("raw", 4).alias("score"))
-    )
-
-    exact_scored = (
+    # Exact-rerank tail as ONE corpus pass (round 16) — the q_knn_pq
+    # merge, same row-identity argument (adc filters self-pairs, so
+    # shortlist ⊆ alldots' rows; same dot values, same tiebreaks).
+    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    alldots = (
         vecs.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("a_id"))
         .select("a_id", "vec_id", dot("v", "a_v").alias("raw"))
+        .withColumn("rn", F.row_number().over(w_ex))
     )
-    w_ex = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
-    exact = (
-        exact_scored.withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= 10)
-        .select("a_id", F.col("vec_id").alias("x_vec"))
-    )
-    return reranked.join(
-        exact, (reranked.a_id == exact.a_id) & (reranked.vec_id == exact.x_vec), "left"
-    ).select(
-        reranked.a_id,
-        F.col("vec_id").alias("neighbor_id"),
-        "rank",
-        "score",
-        F.when(F.col("x_vec").isNotNull(), 1).otherwise(0).cast("long").alias("in_exact10"),
+    w_rr = Window.partitionBy("a_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        alldots.join(F.broadcast(shortlist), ["a_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w_rr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("raw", 4).alias("score"),
+            (F.col("rn") <= 10).cast("long").alias("in_exact10"),
+        )
     )
 
 
@@ -2725,36 +2712,27 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY score DESC, vec_id ASC) AS rk
                 FROM adc) WHERE rk <= {sl}
         ),
-        rerank AS (
-            SELECT /*+ BROADCAST(a) */ h.a_id, h.vec_id, {dot_vv} AS raw
-            FROM shortlist h JOIN {{vecs}} v USING (vec_id)
-                 JOIN anchors a USING (a_id)
-        ),
-        reranked AS (
-            SELECT a_id, vec_id, CAST(rnk AS BIGINT) AS rank,
-                   round(raw, 4) AS score
-            FROM (SELECT a_id, vec_id, raw,
-                         row_number() OVER (PARTITION BY a_id
-                                            ORDER BY raw DESC, vec_id ASC) AS rnk
-                  FROM rerank) WHERE rnk <= 10
-        ),
-        exact AS (
-            SELECT a_id, x_vec FROM (
-                SELECT /*+ BROADCAST(a) */ a.a_id, v.vec_id AS x_vec,
-                       row_number() OVER (PARTITION BY a.a_id
-                                          ORDER BY {dot_vv} DESC,
-                                                   v.vec_id ASC) AS rn
-                FROM {{vsrc}} v CROSS JOIN anchors a
-                WHERE v.vec_id <> a.a_id) WHERE rn <= 10
+        alldots AS (
+            SELECT a_id, vec_id, raw,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY raw DESC, vec_id ASC) AS rn
+            FROM (SELECT /*+ BROADCAST(a) */ a.a_id, v.vec_id, {dot_vv} AS raw
+                  FROM {{vsrc}} v CROSS JOIN anchors a
+                  WHERE v.vec_id <> a.a_id)
         )
-        SELECT /*+ BROADCAST(e) */ r.a_id, r.vec_id AS neighbor_id, r.rank,
-               r.score,
-               CAST(CASE WHEN e.x_vec IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        SELECT a_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               round(raw, 4) AS score,
+               CAST(CASE WHEN rn <= 10 THEN 1 ELSE 0 END AS BIGINT)
                    AS in_exact10
-        FROM reranked r LEFT JOIN exact e
-             ON r.a_id = e.a_id AND r.vec_id = e.x_vec
+        FROM (SELECT /*+ BROADCAST(h) */ d.a_id, d.vec_id, d.raw, d.rn,
+                     row_number() OVER (PARTITION BY d.a_id
+                                        ORDER BY d.raw DESC, d.vec_id ASC)
+                         AS rnk
+              FROM alldots d JOIN shortlist h
+                   ON d.a_id = h.a_id AND d.vec_id = h.vec_id) r
+        WHERE rnk <= 10
         """,
-        vecs=vecs, vsrc=vsrc,
+        vsrc=vsrc,
     )
 
 
