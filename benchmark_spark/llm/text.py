@@ -1392,8 +1392,12 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide shuffle both BPE queries start from."""
     events = load_table(spark, sf_dir, "events", assert_schema=False)
     toks = F.regexp_extract_all(F.col("props"), F.lit(_BPE_REGEX), F.lit(0))
+    # repartition before the explode (round 16, guide §2.5): the
+    # events fixture is ONE parquet row group, so the regexp + explode
+    # + partial count fused into the scan ran as a single task.
     return (
-        events.select(F.explode(toks).alias("tok"))
+        events.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1458,8 +1462,11 @@ def _doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(tok, n) pre-token vocabulary of documents.text."""
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
+    # repartition before the explode (round 16, guide §2.5): one
+    # parquet row group = one fused task otherwise.
     return (
-        docs.select(F.explode(toks).alias("tok"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1557,19 +1564,50 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = hist.select("sym", F.row_number().over(wid).cast("long").alias("tid"))
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
-    pre = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
-    ex = pre.join(F.broadcast(symtab.select("tok", "syms")), "tok").select(
-        "doc_id", "p", F.posexplode("syms").alias("sp", "sym")
+    # Fold the symbol dimension into per-token constants (round 16,
+    # guide §2.2 "shuffle fewer bytes"): the old tail exploded every
+    # symbol occurrence of every document (a double posexplode) and
+    # row_number()'d the flattened ids in one giant per-doc window.
+    # For a token occurrence with symbols t_1..t_m starting at in-doc
+    # symbol offset B, its contribution to every output is algebraic
+    # in per-TOKEN vocab constants (exact int64, order-free):
+    #   n_tok  += m
+    #   id_sum += sum(t_j)                           (tid_sum)
+    #   seq_fp += sum((B+j) * t_j) = B*tid_sum + sum(j*t_j)  (wsum)
+    #   distinct ids: union of the token's distinct-tid set (dts)
+    # so the corpus pipeline stays at TOKEN granularity: the window
+    # only cumsums m by pre-token position, and the per-doc distinct
+    # count unions the tiny dts arrays inside the aggregate (per-doc
+    # state bounded by the doc's own token count, like any per-doc
+    # agg). Row-identical by integer algebra; the unchanged oracle
+    # replays the original symbol-level window in DuckDB.
+    sym_tids = symtab.select(
+        "tok", F.posexplode("syms").alias("sp", "sym")
+    ).join(ids, "sym")
+    tokmap = sym_tids.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("tid").alias("tid_sum"),
+        F.sum((F.col("sp") + F.lit(1)) * F.col("tid")).alias("wsum"),
+        F.collect_set("tid").alias("dts"),
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("p", "sp")
-    seq = ex.join(F.broadcast(ids), "sym").withColumn(
-        "idx", F.row_number().over(wdoc).cast("long")
+    # repartition before the pre-token explode (guide §2.5): the
+    # documents fixture is ONE parquet row group, so the regexp +
+    # explode fused into the scan ran as a single task.
+    pre = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.posexplode(toks).alias("p", "tok")
+    )
+    tk = pre.join(F.broadcast(tokmap), "tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    seq = tk.withColumn(
+        "b", (F.sum("m").over(wdoc) - F.col("m")).cast("long")
     )
     return seq.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.countDistinct("tid").alias("n_distinct"),
-        F.sum(F.col("idx") * F.col("tid")).alias("seq_fp"),
-        F.sum("tid").alias("id_sum"),
+        F.sum("m").alias("n_tok"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("dts"))))
+        .cast("long")
+        .alias("n_distinct"),
+        F.sum(F.col("b") * F.col("tid_sum") + F.col("wsum")).alias("seq_fp"),
+        F.sum("tid_sum").alias("id_sum"),
     )
 
 
@@ -1631,8 +1669,11 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents", assert_schema=False)
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), F.lit(0))
+    # repartition before the explode (round 16, guide §2.5): one
+    # parquet row group = one fused task otherwise.
     dl = (
-        docs.select("doc_id", "source", F.explode(toks).alias("tok"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", F.explode(toks).alias("tok"))
         .join(F.broadcast(symtab), "tok")
         .groupBy("doc_id", "source")
         .agg(F.sum("n_syms").alias("n_tok"))
