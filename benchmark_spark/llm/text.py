@@ -1501,6 +1501,25 @@ _BPE_TOKENIZE_FINAL = f"""
                    AS tid
         FROM hist
     ),
+    tokmap AS MATERIALIZED (
+        -- per-token constants (round 16): the symbol-level window is
+        -- algebraically foldable — a token occurrence with symbols
+        -- t_1..t_m at in-doc symbol offset B contributes
+        -- n_tok += m, id_sum += sum(t_j),
+        -- seq_fp += sum((B+j)*t_j) = B*sum(t_j) + sum(j*t_j),
+        -- and its distinct-tid set to the per-doc union. Exact int64
+        -- algebra over the same rows: row-identical to the old
+        -- per-symbol row_number replay, ~5x cheaper (the corpus stays
+        -- at token granularity; mirrors the Spark side).
+        SELECT st.tok,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(ids.tid) AS BIGINT) AS tid_sum,
+               CAST(SUM(s.i * ids.tid) AS BIGINT) AS wsum,
+               list_distinct(list(ids.tid)) AS dts
+        FROM symtab st, unnest(range(1, len(st.syms) + 1)) AS s(i)
+             JOIN ids ON ids.sym = st.syms[s.i]
+        GROUP BY st.tok
+    ),
     pre AS (
         SELECT doc_id, t.i AS p, toks[t.i] AS tok
         FROM (SELECT doc_id,
@@ -1508,22 +1527,19 @@ _BPE_TOKENIZE_FINAL = f"""
               FROM documents),
              unnest(range(1, len(toks) + 1)) AS t(i)
     ),
-    ex AS (
-        SELECT pre.doc_id, pre.p, s.i AS sp, st.syms[s.i] AS sym
-        FROM pre JOIN symtab st USING (tok),
-             unnest(range(1, len(st.syms) + 1)) AS s(i)
-    ),
-    seq AS (
-        SELECT doc_id, tid,
-               row_number() OVER (PARTITION BY doc_id ORDER BY p, sp) AS idx
-        FROM ex JOIN ids USING (sym)
+    tk AS (
+        SELECT pre.doc_id, tm.m, tm.tid_sum, tm.wsum, tm.dts,
+               SUM(tm.m) OVER (PARTITION BY pre.doc_id ORDER BY pre.p)
+                   - tm.m AS b
+        FROM pre JOIN tokmap tm USING (tok)
     )
     SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tok,
-           CAST(COUNT(DISTINCT tid) AS BIGINT) AS n_distinct,
-           CAST(SUM(idx * tid) AS BIGINT) AS seq_fp,
-           CAST(SUM(tid) AS BIGINT) AS id_sum
-    FROM seq GROUP BY doc_id
+           CAST(SUM(m) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(flatten(list(dts)))) AS BIGINT)
+               AS n_distinct,
+           CAST(SUM(b * tid_sum + wsum) AS BIGINT) AS seq_fp,
+           CAST(SUM(tid_sum) AS BIGINT) AS id_sum
+    FROM tk GROUP BY doc_id
 """
 
 
@@ -1539,8 +1555,11 @@ _BPE_TOKENIZE_FINAL = f"""
         "histogram (id = rank by count desc, symbol — deterministic in "
         "both engines), then materialize every document's token-id "
         "SEQUENCE with ONE corpus map: pre-tokens explode in document "
-        "order, a broadcast join swaps each for its final symbol "
-        "array, and a per-doc window numbers the flattened ids. The "
+        "order, a broadcast join swaps each for its per-token id "
+        "constants, and a per-doc window assigns each token its "
+        "flattened symbol offset (round 16: the per-symbol "
+        "row_number is folded algebraically into those constants — "
+        "exact int64, row-identical on both engines). The "
         "per-doc digest carries total/distinct counts plus an "
         "ORDER-SENSITIVE checksum (sum of position x id) — a single "
         "swapped, dropped, or mis-merged token anywhere in any "
